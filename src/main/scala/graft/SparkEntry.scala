@@ -1,13 +1,332 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.functions.TextFunctions
+import graft.dedup.ExactDedup
+import graft.segmentation.{Elbow, KMeansMR, Pipelines}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry is one operator from SURVEY §2 (or a §7 north-star
+  * extension); entries with a DuckDB-expressible equivalent also appear in
+  * [[oracleSql]] with IDENTICAL column names and deterministic ORDER BY.
+  *
+  * Numeric-parity rules used throughout (so Spark and DuckDB hash-match):
+  *  - money sums go through DECIMAL(18,2) (exact addition) and cast back to
+  *    double (deterministic) — never raw double sums, whose value depends on
+  *    partial-aggregation order;
+  *  - averages are expressed as exact-sum / count, one deterministic double
+  *    division, not engine-native AVG (whose decimal widening rules differ);
+  *  - counts/sizes are cast to the same width on both sides (Spark size() is
+  *    INT32, DuckDB len() is INT64);
+  *  - K-means oracle centroids are integer-valued so squared distances are
+  *    integral doubles and their sums are order-independent.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Relational.revenueByNation(
+      Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir), Tables.nation(spark, dir))
+  }
+
+  // ---- K-means fixture shared by queries + oracle: integral centroids ----
+  private val kmCentroids: Array[Array[Double]] =
+    Array(Array(17.0, 0.0), Array(13.0, 0.0), Array(8.0, 3.0)) // BASELINE.md K=3 (A) init
+
+  private def eventPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        hour(col("ts")).cast("double").as("hour"),
+        (dayofweek(col("ts")) - lit(1)).cast("double").as("dow"))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / projections / filters / casts (SURVEY §2.1, §2.2) ---
+    "q11_pushdown_filter" -> ((s, dir) =>
+      Relational.highValueEarlyLines(Tables.lineitem(s, dir))),
+    "q09_cast_profile" -> ((s, dir) =>
+      Relational.priorityCastProfile(Tables.orders(s, dir))),
+    "q14_dow_recode" -> ((s, dir) =>
+      Relational.eventDowRecode(Tables.events(s, dir))),
+    // --- sorts / limits (§2.3) ---
+    "q02_top_orders" -> ((s, dir) =>
+      Relational.topKOrders(Tables.orders(s, dir), 10)),
+    // --- aggregations (§2.5) ---
+    "q01_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q10_hist2d" -> ((s, dir) =>
+      Relational.lineitemHistogram2d(Tables.lineitem(s, dir))),
+    "q12_distinct_counts" -> ((s, dir) =>
+      Relational.supplierPartStats(Tables.lineitem(s, dir))),
+    "q13_events_hourly" -> ((s, dir) =>
+      Relational.eventsHourly(Tables.events(s, dir))),
+    // --- joins & set ops (§2.4 extension surface) ---
+    "q03_revenue_by_nation" -> ((s, dir) =>
+      Relational.revenueByNation(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    "q04_semi_join" -> ((s, dir) =>
+      Relational.customersWithOrders(Tables.customer(s, dir), Tables.orders(s, dir), "F")),
+    "q05_anti_join" -> ((s, dir) =>
+      Relational.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir), "P")),
+    "q08_union_agg" -> ((s, dir) =>
+      Relational.unionAccountHolders(Tables.customer(s, dir), Tables.supplier(s, dir))),
+    // --- windows ---
+    "q06_window_topn" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(Tables.orders(s, dir), 2)),
+    "q07_distinct" -> ((s, dir) =>
+      Relational.distinctBrandTypes(Tables.part(s, dir))),
+    // --- K-means surface (§2.6/§2.7): assignment + WCSS with fixed inits ---
+    "q19_kmeans_assign" -> ((s, dir) => {
+      val pts = eventPoints(s, dir)
+      pts.withColumn("cluster",
+          KMeansMR.assignExpr(Seq(col("hour"), col("dow")), kmCentroids))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_points"),
+          (sum(col("hour")) / count(lit(1))).as("mean_hour"),
+          (sum(col("dow")) / count(lit(1))).as("mean_dow"))
+        .orderBy(col("cluster"))
+    }),
+    "q20_wcss" -> ((s, dir) => {
+      val pts = eventPoints(s, dir)
+      pts.agg(
+        sum(KMeansMR.minSqDistExpr(Seq(col("hour"), col("dow")), kmCentroids))
+          .as("wcss"),
+        count(lit(1)).as("n_points"))
+    }),
+    // --- text analysis (north-star extensions, SURVEY §7 slice 5) ---
+    "q15_doc_stats" -> ((s, dir) =>
+      TextFunctions.docStats(Tables.documents(s, dir))),
+    "q16_exact_dedup" -> ((s, dir) =>
+      ExactDedup.summary(Tables.documents(s, dir))),
+    "q21_dedup_groups" -> ((s, dir) =>
+      ExactDedup.duplicateGroups(Tables.documents(s, dir))),
+    "q17_lang_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val lowered = lower(col("text"))
+      d.select(
+        col("doc_id"),
+        TextFunctions.stopwordHits(lowered, TextFunctions.defaultLexicons.head._2).as("en_hits"),
+        TextFunctions.langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+    "q18_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(
+        col("doc_id"),
+        TextFunctions.lexicalDiversity(col("text")).as("lex_div"),
+        TextFunctions.meanTokenLength(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    }),
+    // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
+    "q40_kmeans_full" -> ((s, dir) => {
+      val pts = eventPoints(s, dir)
+      val res = KMeansMR.fit(pts, Seq("hour", "dow"), kmCentroids, maxIter = 10)
+      import s.implicits._
+      res.centroids.zipWithIndex
+        .map { case (c, i) => (i, c(0), c(1), res.iterations, res.converged) }
+        .toSeq.toDF("cluster", "hour", "dow", "iterations", "converged")
+    }),
+    "q41_elbow_sweep" -> ((s, dir) => {
+      val pts = eventPoints(s, dir)
+      val sweep = Elbow.sweep(pts, Seq("hour"), ks = 2 until 8)
+      import s.implicits._
+      sweep.map(p => (p.k, p.wcss, p.trainingCost)).toDF("k", "wcss", "training_cost")
+    }),
+    "q42_segmentation_pipeline" -> ((s, dir) => {
+      val feats = Pipelines.ordersFeatures(s, dir)
+      feats.groupBy(col("days"), col("order_dow_updated"))
+        .agg(count(lit(1)).as("n")).orderBy(col("days"))
+    })
+  )
+
+  private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q11_pushdown_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         WHERE l_extendedprice > 90000 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q09_cast_profile" ->
+      """SELECT o_orderpriority,
+                CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_int,
+                COUNT(*) AS n,
+                COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS n_clean_casts
+         FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority""",
+    "q14_dow_recode" ->
+      """WITH e AS (SELECT CAST(dayofweek(ts) AS INTEGER) AS dow FROM events)
+         SELECT dow,
+                CASE WHEN dow IN (0,1) THEN 0 WHEN dow IN (2,3,4) THEN 1 ELSE 2 END AS dow_bucket,
+                CASE WHEN dow IN (0) THEN 'Monday' WHEN dow IN (1) THEN 'Tuesday'
+                     WHEN dow IN (2) THEN 'Wednesday' WHEN dow IN (3) THEN 'Thursday'
+                     WHEN dow IN (4) THEN 'Friday' WHEN dow IN (5) THEN 'Saturday'
+                     WHEN dow IN (6) THEN 'Sunday' ELSE 'None' END AS day_name,
+                COUNT(*) AS n
+         FROM e GROUP BY 1, 2, 3 ORDER BY dow""",
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 SUM(l_quantity) AS sum_qty,
+                 CAST(SUM($decPrice) AS DOUBLE) AS sum_base_price,
+                 CAST(SUM($decPrice * (CAST(1 AS DECIMAL(18,2)) - $decDisc)) AS DOUBLE) AS sum_disc_price,
+                 CAST(SUM($decPrice) AS DOUBLE) / COUNT(*) AS avg_price,
+                 SUM(l_quantity) / COUNT(*) AS avg_qty,
+                 COUNT(*) AS count_order
+          FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
+    "q10_hist2d" ->
+      """SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bin,
+                CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS price_bin,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY qty_bin, price_bin""",
+    "q12_distinct_counts" ->
+      """SELECT l_returnflag,
+                COUNT(DISTINCT l_suppkey) AS n_supp,
+                COUNT(DISTINCT l_partkey) AS n_part,
+                COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q13_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q03_revenue_by_nation" ->
+      s"""SELECT n_name,
+                 CAST(SUM($decPrice * (CAST(1 AS DECIMAL(18,2)) - $decDisc)) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name ORDER BY n_name""",
+    "q04_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         GROUP BY 1 ORDER BY c_mktsegment""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         ORDER BY c_custkey""",
+    "q08_union_agg" ->
+      """WITH u AS (
+           SELECT c_custkey AS key, c_acctbal AS acctbal FROM customer
+           UNION ALL
+           SELECT CAST(s_suppkey AS BIGINT), s_acctbal FROM supplier)
+         SELECT key,
+                CAST(SUM(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+                COUNT(*) AS n_accounts
+         FROM u GROUP BY key HAVING COUNT(*) > 1 ORDER BY key""",
+    "q06_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+               FROM orders) t
+         WHERE rk <= 2 ORDER BY o_custkey, rk""",
+    "q07_distinct" ->
+      """SELECT DISTINCT p_brand, p_type FROM part ORDER BY p_brand, p_type""",
+    "q19_kmeans_assign" -> kmAssignSql,
+    "q20_wcss" -> kmWcssSql,
+    "q15_doc_stats" ->
+      """SELECT doc_id, n_chars,
+                CAST(length(text) AS INTEGER) AS len_chars,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), ' +')) END AS INTEGER) AS n_tokens,
+                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(list_distinct(string_split_regex(trim(text), ' +'))) END AS INTEGER)
+                  AS n_unique_tokens
+         FROM documents ORDER BY doc_id""",
+    "q16_exact_dedup" ->
+      """SELECT COUNT(*) AS n_docs,
+                COUNT(DISTINCT md5(text)) AS n_distinct,
+                COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_copies
+         FROM documents""",
+    "q21_dedup_groups" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+                COUNT(*) AS n_copies
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id""",
+    "q17_lang_id" -> langIdSql,
+    "q18_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), ' +')) END AS INTEGER) AS n_tok,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(list_distinct(string_split_regex(trim(text), ' +'))) END AS INTEGER) AS n_uniq,
+                  CAST(length(trim(text)) AS INTEGER) AS len_trim
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN n_tok = 0 THEN 0.0
+                     ELSE CAST(n_uniq AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS lex_div,
+                CASE WHEN n_tok = 0 THEN 0.0
+                     ELSE CAST(len_trim - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) END
+                  AS mean_tok_len
+         FROM t ORDER BY doc_id"""
+  )
+
+  /** SQL mirror of [[KMeansMR.assignExpr]] over the shared integral
+    * centroids: same first-index-wins CASE WHEN argmin, same arithmetic.
+    */
+  private def kmDistSql(c: Array[Double]): String =
+    s"((hour - ${c(0)}) * (hour - ${c(0)}) + (dow - ${c(1)}) * (dow - ${c(1)}))"
+
+  private def kmAssignCaseSql: String = {
+    val ds = kmCentroids.map(kmDistSql)
+    val n = ds.length
+    val branches = (0 until n - 1).map { j =>
+      val rest = (j + 1 until n).map(ds)
+      val minRest = if (rest.length == 1) rest.head else s"LEAST(${rest.mkString(", ")})"
+      s"WHEN ${ds(j)} <= $minRest THEN $j"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE ${n - 1} END"
+  }
+
+  private def kmPointsSql: String =
+    """SELECT CAST(hour(ts) AS DOUBLE) AS hour,
+              CAST(dayofweek(ts) AS DOUBLE) AS dow
+       FROM events"""
+
+  private def kmAssignSql: String =
+    s"""WITH pts AS ($kmPointsSql),
+            assigned AS (SELECT hour, dow, $kmAssignCaseSql AS cluster FROM pts)
+        SELECT cluster, COUNT(*) AS n_points,
+               SUM(hour) / COUNT(*) AS mean_hour,
+               SUM(dow) / COUNT(*) AS mean_dow
+        FROM assigned GROUP BY cluster ORDER BY cluster"""
+
+  private def kmWcssSql: String = {
+    val ds = kmCentroids.map(kmDistSql)
+    s"""WITH pts AS ($kmPointsSql)
+        SELECT SUM(LEAST(${ds.mkString(", ")})) AS wcss, COUNT(*) AS n_points
+        FROM pts"""
+  }
+
+  /** SQL mirror of [[TextFunctions.langId]] with the default lexicons. */
+  private def langIdSql: String = {
+    def hits(words: Seq[String]): String =
+      words.map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+    val scores = TextFunctions.defaultLexicons.map { case (lang, ws) => (lang, hits(ws)) }
+    val cols = scores.map { case (lang, e) => s"CAST($e AS INTEGER) AS ${lang}_h" }.mkString(", ")
+    val best = s"GREATEST(${scores.map(s => s"${s._1}_h").mkString(", ")})"
+    val caseExpr = scores.map { case (lang, _) =>
+      s"WHEN ${lang}_h = $best AND ${lang}_h > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT doc_id, $cols FROM documents)
+        SELECT doc_id, en_h AS en_hits,
+               CASE $caseExpr ELSE 'und' END AS lang_guess
+        FROM s ORDER BY doc_id"""
+  }
 }

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for a training-data pipeline, composed entirely from
+  * codegen'd built-ins (no UDFs on the hot path): token counting, lexical
+  * quality scoring, stopword-based language scoring. All per-row narrow
+  * transformations — zero shuffle, scale linearly with input.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. Empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), " +")))
+
+  /** Distinct whitespace tokens. */
+  def uniqueTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(array_distinct(split(trim(text), " +"))))
+
+  /** Lexical-diversity ratio = unique/total tokens (0 for empty text). */
+  def lexicalDiversity(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(uniqueTokenCount(text).cast("double") / tokenCount(text).cast("double"))
+
+  /** Mean token length = non-space chars / tokens. */
+  def meanTokenLength(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(
+        (length(trim(text)) - (tokenCount(text) - 1)).cast("double")
+          / tokenCount(text).cast("double"))
+
+  /** Occurrences of a literal word at word boundaries. `\b` behaves the same
+    * in Java regex (Spark) and RE2 (DuckDB), keeping the oracle comparable.
+    */
+  def wordOccurrences(text: Column, word: String): Column =
+    regexp_count(text, lit(s"\\b$word\\b"))
+
+  /** Stopword hits: total occurrences of the given word list. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    stopwords.map(w => wordOccurrences(text, w)).reduce(_ + _)
+
+  /** Heuristic language score table: per-language stopword hit counts.
+    * Language ID = argmax over languages (ties → first language listed).
+    * The lexicons are tiny top-stopword lists — this is the n-gram/stopword
+    * heuristic shape, not a trained model.
+    */
+  val defaultLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  /** Best-scoring language (first wins ties; "und" = undetermined if all 0). */
+  def langId(text: Column, lexicons: Seq[(String, Seq[String])] = defaultLexicons): Column = {
+    val lowered = lower(text)
+    val scores = lexicons.map { case (lang, words) => (lang, stopwordHits(lowered, words)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of length saturation, lexical diversity,
+    * and mean-token-length sanity (heuristic quality scoring surface).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 400.0, lit(1.0))
+    val divScore = lexicalDiversity(text)
+    val mtl = meanTokenLength(text)
+    val mtlScore = when(mtl >= 3 && mtl <= 10, 1.0).otherwise(0.5)
+    round((lenScore * 0.4 + divScore * 0.4 + mtlScore * 0.2), 6)
+  }
+
+  /** Per-document stats frame used by the oracle-checked text queries. */
+  def docStats(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      length(col("text")).as("len_chars"),
+      tokenCount(col("text")).as("n_tokens"),
+      uniqueTokenCount(col("text")).as("n_unique_tokens"))
+      .orderBy(col("doc_id"))
+}

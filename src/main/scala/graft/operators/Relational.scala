@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface over the TESTDATA star schema: projections,
+  * aggregations, joins (broadcast + shuffle), semi/anti joins, windows,
+  * sorts/limits, set ops, histograms.
+  *
+  * These extend the reference's single-table surface (SURVEY §2.4 notes
+  * joins/set-ops are extension, not reference, capabilities) and are designed
+  * scale-first:
+  *  - Dimension tables (region/nation/supplier/part at TPC-H ratios) are
+  *    broadcast explicitly — no shuffle for the big fact side.
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key once and let
+  *    AQE coalesce/skew-split at runtime.
+  *  - Money aggregates go through DECIMAL(18,2) so partial-aggregation order
+  *    (which differs run-to-run and engine-to-engine) cannot perturb results:
+  *    decimal addition is exact, and the final cast back to double is
+  *    deterministic. The raw columns are 2-decimal values stored as double.
+  *
+  * Every query ends with a deterministic ORDER BY so output is comparable
+  * row-for-row against the DuckDB oracle.
+  */
+object Relational {
+
+  /** Exact money: double → DECIMAL(18,2) (values are 2-decimal by contract). */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-shaped pricing summary over lineitem: grouped sums/averages of
+    * quantity, base price, discounted price, charge. Group-by is a single
+    * hash aggregate with map-side partials; the shuffle carries only
+    * |flag×status| rows per partition.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k orders by total price — Catalyst plans sort+limit as
+    * TakeOrderedAndProject (distributed top-k, no global sort).
+    */
+  def topKOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** Revenue per nation: fact⋈fact shuffle join (orders⋈lineitem) with
+    * broadcast dimensions (customer at sf ratios is small enough locally;
+    * nation always is). At 100 TB the fact join shuffles once on orderkey;
+    * dims stay broadcast.
+    */
+  def revenueByNation(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+
+  /** Customers with at least one order in a status — left SEMI join (EXISTS):
+    * no row duplication, the probe side streams, build side is the distinct
+    * keys only.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame,
+                          status: String): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === status), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Customers with NO orders in a status — left ANTI join (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             status: String): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderstatus") === status),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Top-n orders per customer by price — ranking window; partition-local
+    * sort after one shuffle on the partition key.
+    */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Distinct (brand, type) pairs — hash aggregate, not a global sort. */
+  def distinctBrandTypes(part: DataFrame): DataFrame =
+    part.select(col("p_brand"), col("p_type")).distinct()
+      .orderBy(col("p_brand"), col("p_type"))
+
+  /** Set op: all account-holder keys across customers ∪ suppliers. */
+  def unionAccountHolders(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(col("c_custkey").as("key"), col("c_acctbal").as("acctbal"))
+      .union(supplier.select(col("s_suppkey").cast("bigint").as("key"), col("s_acctbal").as("acctbal")))
+      .groupBy(col("key"))
+      .agg(sum(dec(col("acctbal"))).cast("double").as("total_bal"),
+        count(lit(1)).as("n_accounts"))
+      .filter(col("n_accounts") > 1)
+      .orderBy(col("key"))
+
+  /** Order-priority cast profile: permissive string→int narrowing (the
+    * reference's P6 semantics — dirty values become NULL, counted here).
+    */
+  def priorityCastProfile(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("prio_int", substring(col("o_orderpriority"), 1, 1).cast("int"))
+      .withColumn("prio_dirty", col("o_orderpriority").cast("int"))
+      .groupBy(col("o_orderpriority"), col("prio_int"))
+      .agg(count(lit(1)).as("n"),
+        count(col("prio_dirty")).as("n_clean_casts"))
+      .orderBy(col("o_orderpriority"))
+
+  /** 2-D histogram over lineitem (quantity × price bucket) — the engine-side
+    * form of the notebook's driver-side hist2d (SURVEY §2.5 A4).
+    */
+  def lineitemHistogram2d(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(
+        floor(col("l_quantity") / 10).cast("long").as("qty_bin"),
+        floor(col("l_extendedprice") / 10000).cast("long").as("price_bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("qty_bin"), col("price_bin"))
+
+  /** Filter + projection pushdown showcase: shipped-early high-value lines.
+    * Both predicates and the 3-column projection reach the parquet scan
+    * (PushedFilters / ReadSchema in explain).
+    */
+  def highValueEarlyLines(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_extendedprice") > 90000 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Grouped distinct-count + approx distinct side-by-side. */
+  def supplierPartStats(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Tumbling 1-hour event aggregation (batch form of the streaming window;
+    * date_trunc is the window start).
+    */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Day-of-week recode pipeline over events — the reference's P3/P4 CASE
+    * WHEN surface applied to a derived dow (SURVEY §2.2).
+    */
+  def eventDowRecode(events: DataFrame): DataFrame = {
+    import graft.segmentation.Recode
+    events
+      .withColumn("dow", (dayofweek(col("ts")) - lit(1)).cast("int"))
+      .withColumn("dow_bucket", Recode.dowBucket(col("dow")))
+      .withColumn("day_name", Recode.dayName(col("dow")))
+      .groupBy(col("dow"), col("dow_bucket"), col("day_name"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow"))
+  }
+}
