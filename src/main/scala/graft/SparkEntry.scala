@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
-import graft.functions.TextFunctions
-import graft.dedup.ExactDedup
+import graft.functions.{HashExprs, TextFunctions}
+import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
 import graft.segmentation.{Elbow, KMeansMR, Pipelines}
+import graft.similarity.Knn
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -122,6 +123,35 @@ object SparkEntry {
         TextFunctions.lexicalDiversity(col("text")).as("lex_div"),
         TextFunctions.meanTokenLength(col("text")).as("mean_tok_len"))
         .orderBy(col("doc_id"))
+    }),
+    // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
+    "q22_minhash_neardups" -> ((s, dir) =>
+      MinHashLSH.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)),
+    "q23_simhash_neardups" -> ((s, dir) =>
+      SimHashDedup.nearDuplicates(Tables.documents(s, dir), maxHamming = 10)),
+    "q24_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
+    "q25_fingerprints" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), HashExprs.fingerprint(col("text")).as("fp"),
+          HashExprs.simhash64(col("text")).as("sim"))
+        .orderBy(col("doc_id"))),
+    "q26_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("id1"))
+        .filter(col("id1") < 50)
+        .withColumn("id2", col("id1") + 1)
+      NgramJaccard.forPairs(pairs, docs)
+        .orderBy(col("id1"))
+    }),
+    "q27_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
+      Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
     }),
     // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
     "q40_kmeans_full" -> ((s, dir) => {
@@ -259,6 +289,36 @@ object SparkEntry {
                 COUNT(*) AS n_copies
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id""",
     "q17_lang_id" -> langIdSql,
+    "q24_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              scored AS (
+                SELECT q.qid, e.vec_id nid,
+                       list_sum([e.v[i] * q.qv[i] for i in range(1, len(e.v) + 1)])
+                         / (sqrt(list_sum([x * x for x in e.v]))
+                            * sqrt(list_sum([x * x for x in q.qv]))) AS cos
+                FROM e, q WHERE e.vec_id <> q.qid)
+         SELECT qid AS query_id, nid AS neighbor_id,
+                round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rank
+         FROM (SELECT qid, nid, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+               FROM scored) t
+         WHERE rk <= 3 ORDER BY query_id, rank""",
+    "q26_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           CASE WHEN len(t) >= 3
+                                THEN list_distinct([t[i:i+2] for i in range(1, len(t) - 1)])
+                                ELSE [t] END AS grams
+                    FROM n),
+              pairs AS (SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents WHERE doc_id < 50)
+         SELECT p.id1, p.id2,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+                  AS ngram_jaccard
+         FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
+         ORDER BY p.id1""",
     "q18_quality" ->
       """WITH t AS (
            SELECT doc_id,

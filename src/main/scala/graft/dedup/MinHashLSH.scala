@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection:
+  * shingle → minhash signature → band → bucket-join → exact-Jaccard verify.
+  *
+  * Scale design (the 100 TB path):
+  *  - Shingling and signatures are narrow per-row expressions (no UDF, no
+  *    shuffle); signature width is `numHashes` longs per doc regardless of
+  *    document size, so the shuffled candidate-generation payload is tiny.
+  *  - Banding explodes each doc into `bands` rows keyed by (band index,
+  *    band hash) — the ONLY shuffle before verification, and it is keyed by
+  *    a hash, so it distributes uniformly.
+  *  - Buckets above `maxBucketSize` are dropped (they are degenerate — e.g.
+  *    boilerplate shingles) rather than allowed to explode the pair join
+  *    quadratically; dropped-bucket counts should be monitored at scale.
+  *  - Only candidate pairs (same bucket) pay the exact-Jaccard verification,
+  *    which re-joins the shingle sets by doc id — two hash joins, no
+  *    cartesian anywhere.
+  */
+object MinHashLSH {
+
+  /** Word n-gram shingles of the text (n=`shingleSize`); documents shorter
+    * than one shingle contribute their whole text as a single shingle.
+    */
+  def shingles(text: Column, shingleSize: Int = 3): Column = {
+    val toks = split(trim(text), " +")
+    val n = size(toks)
+    val idx = sequence(lit(0), n - shingleSize) // inclusive bounds
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until shingleSize).map(o => element_at(toks, i + o + 1)): _*))
+    when(n >= shingleSize, array_distinct(grams))
+      .otherwise(array(trim(text)))
+  }
+
+  /** MinHash signature: element s = min over shingles of a seeded 64-bit
+    * hash. Seeding is by prepending the seed to the hashed tuple (xxhash64's
+    * own seed is fixed); `array_min` keeps everything codegen'd.
+    */
+  def signature(shingleCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(shingleCol, x => xxhash64(lit(s), x)))
+    }: _*)
+
+  /** (bandIdx, bandHash) array for banded LSH: `bands` groups of `rowsPerBand`
+    * signature entries, hashed together.
+    */
+  def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }: _*)
+
+  /** Docs → (id, shingles, signature). */
+  def signatures(documents: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id", numHashes: Int = 32,
+                 shingleSize: Int = 3): DataFrame =
+    documents
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("shingles"))
+      .withColumn("sig", signature(col("shingles"), numHashes))
+
+  /** Candidate near-dup pairs (id1 < id2) from banded LSH, with bucket-size
+    * cap. Pure DataFrame: explode → self-join on (band, bandHash).
+    */
+  def candidatePairs(sigs: DataFrame, bands: Int = 8, rowsPerBand: Int = 4,
+                     maxBucketSize: Int = 64): DataFrame = {
+    val banded = sigs
+      .select(col("id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // cap pathological buckets before the pair join
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val l = sized.select(col("band"), col("bh"), col("id").as("id1"))
+    val r = sized.select(col("band"), col("bh"), col("id").as("id2"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity over the shingle sets for given (id1, id2)
+    * pairs — two hash joins against the shingle table, then set arithmetic.
+    */
+  def verifyPairs(pairs: DataFrame, sigs: DataFrame): DataFrame = {
+    val s1 = sigs.select(col("id").as("id1"), col("shingles").as("sh1"))
+    val s2 = sigs.select(col("id").as("id2"), col("shingles").as("sh2"))
+    pairs.join(s1, "id1").join(s2, "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .select(col("id1"), col("id2"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+  }
+
+  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold. */
+  def nearDuplicates(documents: DataFrame, threshold: Double = 0.7,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     numHashes: Int = 32, bands: Int = 8,
+                     shingleSize: Int = 3): DataFrame = {
+    val sigs = signatures(documents, textCol, idCol, numHashes, shingleSize)
+      .persist()
+    val out = verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+    out
+  }
+}

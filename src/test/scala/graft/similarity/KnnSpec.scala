@@ -1,0 +1,64 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tinyVecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),   // closest to 2
+    (4L, Array(-1.0f, 0.0f, 0.0f))   // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForce: hand-checkable neighbors and cosine values") {
+    val q = tinyVecs.filter($"vec_id" === 0L)
+    val got = Knn.bruteForce(tinyVecs, q, k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L))
+    val expCos1 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(got(0)._2 - expCos1) < 1e-6) // inputs are float32
+
+    assert(got.map(_._3).toSeq === Seq(1, 2))
+  }
+
+  test("bruteForce excludes self-matches") {
+    val got = Knn.bruteForce(tinyVecs, tinyVecs, k = 4)
+    assert(got.filter($"query_id" === $"neighbor_id").count() === 0)
+  }
+
+  test("ivf achieves high recall vs bruteForce on real embeddings (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001")).persist()
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
+    val approx = Knn.ivf(emb, queries, cents, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall too low (${exact.size} exact, ${approx.size} approx)")
+    emb.unpersist()
+    ()
+  }
+
+  test("ivf probes fewer vectors than brute force") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
+    val corpus = emb.withColumn("list_id",
+      Knn.assignList($"embedding".cast("array<double>"), cents))
+    val sizes = corpus.groupBy("list_id").count().collect().map(_.getLong(1))
+    assert(sizes.length === 8)            // all lists non-empty
+    assert(sizes.sum === emb.count())     // partition of the corpus
+  }
+
+  test("bruteForce is deterministic on real embeddings (sf0.001)") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter($"vec_id" < 20)
+    def run() = Knn.bruteForce(emb, queries, k = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(run() === run())
+  }
+}
