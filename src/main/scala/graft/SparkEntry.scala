@@ -153,6 +153,21 @@ object SparkEntry {
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    // --- multimodal plumbing (rows-only: stub codec, no SQL equivalent) ---
+    "q28_media_features" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.extractFeatures(
+          Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))
+        .orderBy(col("media_id"))
+    }),
+    "q29_frame_samples" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(Tables.documents(s, dir)), nFrames = 4)
+        .select(col("media_id"), col("frame_idx"), col("frame_checksum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
     // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
     "q40_kmeans_full" -> ((s, dir) => {
       val pts = eventPoints(s, dir)
@@ -377,7 +392,7 @@ object SparkEntry {
   /** SQL mirror of [[TextFunctions.langId]] with the default lexicons. */
   private def langIdSql: String = {
     def hits(words: Seq[String]): String =
-      words.map(w => s"len(regexp_extract_all(lower(text), '\\b$w\\b'))").mkString(" + ")
+      s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
     val scores = TextFunctions.defaultLexicons.map { case (lang, ws) => (lang, hits(ws)) }
     val cols = scores.map { case (lang, e) => s"CAST($e AS INTEGER) AS ${lang}_h" }.mkString(", ")
     val best = s"GREATEST(${scores.map(s => s"${s._1}_h").mkString(", ")})"

@@ -13,30 +13,60 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** Distinct character n-grams of lowercased text (whitespace collapsed). */
-  def charNgrams(text: Column, n: Int = 3): Column = {
-    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+  /** Whitespace-collapsed lowercased text — materialize this as its OWN
+    * projected column before calling the n-gram builders: an expression
+    * inlined into a `transform` lambda is re-evaluated per array element
+    * (regex-per-ngram instead of regex-per-row — an order-of-magnitude trap).
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** All character n-grams of a pre-normalized text column, with
+    * duplicates. `norm` should be a plain column reference (see
+    * [[normalized]]).
+    */
+  def rawCharNgrams(norm: Column, n: Int = 3): Column = {
     val len = length(norm)
     when(len >= n,
-      array_distinct(transform(sequence(lit(1), len - n + 1),
-        i => norm.substr(i, lit(n)))))
+      transform(sequence(lit(1), len - n + 1), i => norm.substr(i, lit(n))))
       .otherwise(array(norm))
   }
 
-  /** Jaccard of two n-gram arrays. */
+  /** Distinct character n-grams. */
+  def charNgrams(norm: Column, n: Int = 3): Column =
+    array_distinct(rawCharNgrams(norm, n))
+
+  /** Distinct 64-bit hashes of the n-grams. Set arithmetic over longs is
+    * ~an order of magnitude cheaper than over UTF8 strings (array_distinct /
+    * array_intersect are quadratic scans, so element-compare cost dominates);
+    * at 64 bits the collision probability for ~10³-gram documents is
+    * negligible, so Jaccard over hashes equals Jaccard over strings.
+    */
+  def charNgramHashes(norm: Column, n: Int = 3): Column =
+    array_distinct(transform(rawCharNgrams(norm, n), g => xxhash64(g)))
+
+  /** Jaccard of two n-gram(-hash) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
-  /** Exact n-gram Jaccard for given (id1, id2) pairs against the corpus. */
+  /** Exact n-gram Jaccard for given (id1, id2) pairs against the corpus.
+    * Gram sets are computed ONLY for documents referenced by a pair (semi
+    * join first), normalization is a separate projection (per-row, not
+    * per-element), and the two pair-joins are plain hash joins.
+    */
   def forPairs(pairs: DataFrame, documents: DataFrame, n: Int = 3,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val grams = documents.select(col(idCol).as("id"),
-      charNgrams(col(textCol), n).as("grams"))
-    val g1 = grams.select(col("id").as("id1"), col("grams").as("g1"))
-    val g2 = grams.select(col("id").as("id2"), col("grams").as("g2"))
+    val ids = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    val grams = documents
+      .join(broadcast(ids), col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), normalized(col(textCol)).as("t"))
+      .select(col("id"), charNgramHashes(col("t"), n).as("grams"))
+    val g1 = grams.select(col("id").as("id1"), col("grams").as("gr1"))
+    val g2 = grams.select(col("id").as("id2"), col("grams").as("gr2"))
     pairs.join(g1, "id1").join(g2, "id2")
-      .select(col("id1"), col("id2"), jaccard(col("g1"), col("g2")).as("ngram_jaccard"))
+      .select(col("id1"), col("id2"), jaccard(col("gr1"), col("gr2")).as("ngram_jaccard"))
   }
 
   /** Near-dups: MinHash-LSH candidates verified by char-n-gram Jaccard. */

@@ -38,9 +38,12 @@ object TextFunctions {
   def wordOccurrences(text: Column, word: String): Column =
     regexp_count(text, lit(s"\\b$word\\b"))
 
-  /** Stopword hits: total occurrences of the given word list. */
+  /** Stopword hits: total occurrences of the given word list, as ONE
+    * alternation regex (word-boundary matches cannot overlap, so the
+    * alternation count equals the per-word sum at a fraction of the scans).
+    */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
-    stopwords.map(w => wordOccurrences(text, w)).reduce(_ + _)
+    regexp_count(text, lit(s"\\b(${stopwords.mkString("|")})\\b"))
 
   /** Heuristic language score table: per-language stopword hit counts.
     * Language ID = argmax over languages (ties → first language listed).

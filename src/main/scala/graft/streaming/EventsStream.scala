@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape: file-source
+  * read, watermarked tumbling-window aggregation, and custom sessionization
+  * state via mapGroupsWithState.
+  *
+  * The reference has no streaming (SURVEY §2.8) — this is the §7 extension
+  * path. Scale notes: the windowed aggregate is keyed state bounded by the
+  * watermark (late data beyond 10 minutes is dropped, state for closed
+  * windows is evicted); sessionization state is per-user and O(1) per key.
+  */
+object EventsStream {
+
+  /** events schema as scanned with nanosAsLong (ts arrives as Long nanos). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream from a directory of events parquet files, with the
+    * same nanos→micros conversion the batch path uses (Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Watermarked tumbling-window aggregation: per (1-minute window,
+    * event_type) counts and value sums.
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 minute",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
+  final case class SessionState(n: Long, total: Double)
+
+  /** Custom stateful op: running per-user session totals via
+    * mapGroupsWithState (the KeyValueGroupedDataset state API).
+    */
+  def sessionTotals(events: DataFrame): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[SessionState]) =>
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          state.update(SessionState(n, tot))
+          SessionUpdate(user, n, tot)
+      }
+  }
+
+  /** Run a streaming query to a named in-memory sink and process everything
+    * currently available (the synchronous local smoke path).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+
+class EventsStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Stage the batch events parquet as a stream-source directory. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+      .repartition(3) // several files → several micro-batch splits
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts over the stream equal the batch groupBy") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.windowedCounts(stream), "win_counts", OutputMode.Complete())
+    try {
+      val streamed = spark.table("win_counts")
+        .select("window_start", "event_type", "n_events")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = graft.Tables.events(spark, sf("sf0.001"))
+        .groupBy(date_trunc("minute", $"ts").as("window_start"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("sessionTotals maintains per-user running state across micro-batches") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionTotals(stream).toDF(), "sessions", OutputMode.Update())
+    try {
+      // the memory sink holds one row per (user, micro-batch) update;
+      // the LAST update per user must equal the batch totals
+      val batch = graft.Tables.events(spark, sf("sf0.001"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val finals = spark.table("sessions")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"), max($"total_value").as("tv"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(finals.keySet === batch.keySet)
+      finals.foreach { case (u, (n, tv)) =>
+        assert(n === batch(u)._1, s"user $u count")
+        assert(math.abs(tv - batch(u)._2) < 1e-6, s"user $u total")
+      }
+    } finally q.stop()
+  }
+
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    // append-mode with watermark only emits finalized windows; a query on a
+    // bounded file source emits nothing until watermark advances past window
+    // end — assert the query runs and the sink table exists (plumbing check)
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.runToMemory(
+      EventsStream.windowedCounts(stream), "win_append", OutputMode.Append())
+    try {
+      assert(spark.table("win_append").columns.toSeq ===
+        Seq("window_start", "window_end", "event_type", "n_events", "sum_value"))
+    } finally q.stop()
+  }
+}
