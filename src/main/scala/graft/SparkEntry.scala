@@ -147,6 +147,11 @@ object SparkEntry {
       NgramJaccard.forPairs(pairs, docs)
         .orderBy(col("id1"))
     }),
+    "q30_knn_topk_agg" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Knn.bruteForceAgg(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .withColumn("cosine", round(col("cosine"), 6))
+    }),
     "q27_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
@@ -304,21 +309,8 @@ object SparkEntry {
                 COUNT(*) AS n_copies
          FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_id""",
     "q17_lang_id" -> langIdSql,
-    "q24_knn_bruteforce" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
-              scored AS (
-                SELECT q.qid, e.vec_id nid,
-                       list_sum([e.v[i] * q.qv[i] for i in range(1, len(e.v) + 1)])
-                         / (sqrt(list_sum([x * x for x in e.v]))
-                            * sqrt(list_sum([x * x for x in q.qv]))) AS cos
-                FROM e, q WHERE e.vec_id <> q.qid)
-         SELECT qid AS query_id, nid AS neighbor_id,
-                round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rank
-         FROM (SELECT qid, nid, cos,
-                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
-               FROM scored) t
-         WHERE rk <= 3 ORDER BY query_id, rank""",
+    "q24_knn_bruteforce" -> knnOracleSql,
+    "q30_knn_topk_agg" -> knnOracleSql,
     "q26_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
                     FROM documents),
@@ -351,6 +343,25 @@ object SparkEntry {
                   AS mean_tok_len
          FROM t ORDER BY doc_id"""
   )
+
+  /** Shared oracle for the two exact-kNN forms (window and bounded-agg
+    * implementations have the identical output contract).
+    */
+  private val knnOracleSql: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              scored AS (
+                SELECT q.qid, e.vec_id nid,
+                       list_sum([e.v[i] * q.qv[i] for i in range(1, len(e.v) + 1)])
+                         / (sqrt(list_sum([x * x for x in e.v]))
+                            * sqrt(list_sum([x * x for x in q.qv]))) AS cos
+                FROM e, q WHERE e.vec_id <> q.qid)
+         SELECT qid AS query_id, nid AS neighbor_id,
+                round(cos, 6) AS cosine, CAST(rk AS INTEGER) AS rank
+         FROM (SELECT qid, nid, cos,
+                      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
+               FROM scored) t
+         WHERE rk <= 3 ORDER BY query_id, rank"""
 
   /** SQL mirror of [[KMeansMR.assignExpr]] over the shared integral
     * centroids: same first-index-wins CASE WHEN argmin, same arithmetic.

@@ -62,6 +62,27 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact top-k neighbors via the bounded [[TopKAggregator]] instead of a
+    * ranking window: map-side partial top-k means the shuffle carries at
+    * most k rows per query per upstream partition (vs every scored row for
+    * the window form). Same output contract as [[bruteForce]].
+    */
+  def bruteForceAgg(embeddings: DataFrame, queries: DataFrame, k: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = prepared(embeddings, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol)
+      .select(col("nn_id").as("query_id"), col("nn_vec").as("q_vec"), col("nn_norm").as("q_norm"))
+    val scored = corpus.join(broadcast(q), col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", dot(col("nn_vec"), col("q_vec")) / (col("nn_norm") * col("q_norm")))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("nn_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Squared L2 distance of a vector column to a constant centroid. */
   private def sqDistToCentroid(vec: Column, c: Array[Double]): Column =
     aggregate(zip_with(vec, typedLit(c), (x, y) => (x - y) * (x - y)),

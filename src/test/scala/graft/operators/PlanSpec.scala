@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the scale-critical properties (scan pruning,
+  * filter pushdown, broadcast joins, map-side partial aggregation, top-k
+  * instead of global sort) must hold, not just produce correct rows. These
+  * are the properties that decide whether the plan survives a 100 TB input.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+  private def formatted(df: DataFrame): String = {
+    val w = new java.io.ByteArrayOutputStream()
+    Console.withOut(w) { df.explain("formatted") }
+    w.toString
+  }
+
+  test("q11: filters AND projection are pushed into the parquet scan") {
+    val df = Relational.highValueEarlyLines(Tables.lineitem(spark, sf("sf0.001")))
+    val fmt = formatted(df)
+    assert(fmt.contains("PushedFilters"), fmt)
+    assert(fmt.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(l_extendedprice.*"), fmt)
+    assert(fmt.matches("(?s).*PushedFilters: \\[.*EqualTo\\(l_returnflag,R\\).*"), fmt)
+    // scan schema pruned to the 4 referenced columns, not all 11
+    val readSchema = fmt.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q01: aggregation is partial (map-side) then final — one shuffle of tiny rows") {
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sf("sf0.001")))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"), plan)
+    // exactly one exchange below the sort (group-by), none extra
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"too many exchanges ($exchanges):\n$plan") // agg + final sort + AQE reads
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val dir = sf("sf0.001")
+    val df = Relational.revenueByNation(Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir), Tables.nation(spark, dir))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // nation + customer broadcast → at least 2 broadcast exchanges
+    assert(plan.linesIterator.count(_.contains("BroadcastExchange")) >= 2, plan)
+  }
+
+  test("q02: sort+limit plans as TakeOrderedAndProject (top-k), not a global sort") {
+    val df = Relational.topKOrders(Tables.orders(spark, sf("sf0.001")), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("O2 sampling: orderBy(rand).limit(k) is also top-k, not a full sort") {
+    import graft.segmentation.Sampling
+    val df = Sampling.randomRows(Tables.orders(spark, sf("sf0.001")), 5, seed = 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("kNN brute force: queries are broadcast; corpus is never shuffled before scoring") {
+    import graft.similarity.Knn
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val df = Knn.bruteForce(emb, emb.filter(emb("vec_id") < 3), k = 2)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("K-means update step: assignment+partial agg in one codegen stage before the k-row shuffle") {
+    import graft.segmentation.KMeansMR
+    import org.apache.spark.sql.functions._
+    val pts = Tables.events(spark, sf("sf0.001"))
+      .select(hour(col("ts")).cast("double").as("h"),
+        dayofweek(col("ts")).cast("double").as("d"))
+    val cents = Array(Array(3.0, 1.0), Array(15.0, 4.0))
+    val agg = pts.groupBy(KMeansMR.assignExpr(Seq(col("h"), col("d")), cents).as("cluster"))
+      .agg(count(lit(1)), sum(col("h")), sum(col("d")))
+    agg.collect()
+    val plan = planOf(agg)
+    assert(plan.contains("partial_"), plan)      // map-side combine
+    val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, plan)                  // partial + final
+  }
+}

@@ -54,6 +54,28 @@ class KnnSpec extends SparkSpec {
     assert(sizes.sum === emb.count())     // partition of the corpus
   }
 
+  test("bruteForceAgg (bounded top-k aggregate) equals the window-based bruteForce") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter($"vec_id" < 10)
+    val win = Knn.bruteForce(emb, queries, k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    val agg = Knn.bruteForceAgg(emb, queries, k = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSeq
+    assert(agg === win)
+  }
+
+  test("TopKAggregator keeps O(k) state with deterministic tie-breaks") {
+    val items = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.1), (5L, 0.7))
+      .map { case (i, s) => ScoredId(i, s) }
+    val a = new TopKAggregator(3)
+    val full = items.foldLeft(a.zero)(a.reduce)
+    assert(a.finish(full).toSeq === Seq(ScoredId(2L, 0.9), ScoredId(3L, 0.9), ScoredId(5L, 0.7)))
+    // merge in any split order gives the same answer
+    val (l, r) = items.splitAt(2)
+    val merged = a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+    assert(a.finish(merged).toSeq === a.finish(full).toSeq)
+  }
+
   test("bruteForce is deterministic on real embeddings (sf0.001)") {
     val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter($"vec_id" < 20)
