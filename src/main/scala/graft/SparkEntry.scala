@@ -154,7 +154,10 @@ object SparkEntry {
     }),
     "q27_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
+      // coarse quantizer trained on a sample: centroid quality needs only
+      // a sketch of the distribution, not the full corpus
+      val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L,
+        sampleFraction = 0.3)
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),

@@ -26,21 +26,38 @@ object Elbow {
 
   /** MLlib KMeans sweep over `ks` on the given input columns.
     * (reference: VectorAssembler at codeText.txt:132-133, fits at 139-141).
+    *
+    * The per-k fits are independent Spark jobs, so they are submitted
+    * CONCURRENTLY (bounded thread pool): on a many-core local run or a real
+    * cluster the scheduler interleaves their stages instead of serializing
+    * ten small jobs end-to-end. The input is assembled + persisted once.
     */
-  def sweep(df: DataFrame, dims: Seq[String], ks: Seq[Int], seed: Long = 1L): Seq[SweepPoint] = {
+  def sweep(df: DataFrame, dims: Seq[String], ks: Seq[Int], seed: Long = 1L,
+            maxConcurrent: Int = 4): Seq[SweepPoint] = {
     val casted = dims.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("double")))
       .filter(dims.map(c => col(c).isNotNull).reduce(_ && _))
     val assembled = new VectorAssembler()
       .setInputCols(dims.toArray).setOutputCol("features")
       .transform(casted)
       .persist()
+    assembled.count() // materialize once before the concurrent fits
     try {
-      ks.map { k =>
-        val model = new KMeans().setK(k).setSeed(seed).fit(assembled)
-        val centroids = model.clusterCenters.map(_.toArray)
-        val w = KMeansMR.wcss(casted, dims, centroids)
-        SweepPoint(k, w, model.summary.trainingCost, centroids)
-      }
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(math.min(maxConcurrent, ks.length))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futures = ks.map { k =>
+          Future {
+            val model = new KMeans().setK(k).setSeed(seed).fit(assembled)
+            val centroids = model.clusterCenters.map(_.toArray)
+            val w = KMeansMR.wcss(casted, dims, centroids)
+            SweepPoint(k, w, model.summary.trainingCost, centroids)
+          }
+        }
+        futures.map(f => Await.result(f, Duration.Inf))
+      } finally pool.shutdown()
     } finally { assembled.unpersist(); () }
   }
 
