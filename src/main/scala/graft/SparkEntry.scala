@@ -161,6 +161,18 @@ object SparkEntry {
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    // --- explicit skew handling (oracle = the unsalted equivalent) ---
+    "q31_salted_distinct" -> ((s, dir) =>
+      operators.Skew.saltedDistinctCount(
+          Tables.lineitem(s, dir), "l_returnflag", "l_partkey", nSalts = 8)
+        .orderBy(col("l_returnflag"))),
+    "q32_salted_join" -> ((s, dir) =>
+      operators.Skew.saltedJoin(
+          Tables.lineitem(s, dir), Tables.supplier(s, dir).withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", nSalts = 4)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("s_name"))),
     // --- multimodal plumbing (rows-only: stub codec, no SQL equivalent) ---
     "q28_media_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal
@@ -180,6 +192,15 @@ object SparkEntry {
     "q40_kmeans_full" -> ((s, dir) => {
       val pts = eventPoints(s, dir)
       val res = KMeansMR.fit(pts, Seq("hour", "dow"), kmCentroids, maxIter = 10)
+      import s.implicits._
+      res.centroids.zipWithIndex
+        .map { case (c, i) => (i, c(0), c(1), res.iterations, res.converged) }
+        .toSeq.toDF("cluster", "hour", "dow", "iterations", "converged")
+    }),
+    "q43_kmeans_rdd" -> ((s, dir) => {
+      // the reference's literal MapReduce form; must agree with q40
+      val pts = eventPoints(s, dir)
+      val res = graft.segmentation.KMeansRDD.fit(pts, Seq("hour", "dow"), kmCentroids, maxIter = 10)
       import s.implicits._
       res.centroids.zipWithIndex
         .map { case (c, i) => (i, c(0), c(1), res.iterations, res.converged) }
@@ -329,6 +350,13 @@ object SparkEntry {
                   AS ngram_jaccard
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q31_salted_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q32_salted_join" ->
+      """SELECT s_name, COUNT(*) AS n_items, SUM(l_quantity) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_name ORDER BY s_name""",
     "q18_quality" ->
       """WITH t AS (
            SELECT doc_id,

@@ -65,6 +65,20 @@ class KMeansSpec extends SparkSpec {
       }
   }
 
+  test("RDD MapReduce form converges to the same centroids as the DataFrame form") {
+    val rnd = new scala.util.Random(21)
+    val pts = Seq.fill(500)((rnd.nextInt(24).toDouble, rnd.nextInt(7).toDouble))
+    val df = pts.toDF("x", "y")
+    val init = Array(Array(4.0, 1.0), Array(12.0, 3.0), Array(20.0, 6.0))
+    val a = KMeansMR.fit(df, Seq("x", "y"), init, maxIter = 25)
+    val b = KMeansRDD.fit(df, Seq("x", "y"), init, maxIter = 25)
+    assert(a.centroids.length === b.centroids.length)
+    a.centroids.zip(b.centroids).foreach { case (ca, cb) =>
+      assert(math.abs(ca(0) - cb(0)) < 1e-9 && math.abs(ca(1) - cb(1)) < 1e-9,
+        s"${ca.toSeq} vs ${cb.toSeq}")
+    }
+  }
+
   test("duplicate initial centroids → empty cluster drops, k shrinks (codeText.txt:783)") {
     // all mass near (6,4); duplicate init at index 0 and 2 — index 2 starves
     val df = Seq((6, 4), (6, 5), (7, 4), (5, 4), (0, 19), (1, 18)).toDF("x", "y")
