@@ -161,6 +161,24 @@ object SparkEntry {
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    // --- semi-structured / calendar / grouping-sets / pivot / as-of ---
+    "q33_json_extract" -> ((s, dir) =>
+      Relational.eventPropsProfile(Tables.events(s, dir))),
+    "q34_calendar" -> ((s, dir) =>
+      Relational.ordersByCalendar(Tables.orders(s, dir))),
+    "q35_rollup" -> ((s, dir) =>
+      Relational.lineitemRollup(Tables.lineitem(s, dir))),
+    "q37_pivot" -> ((s, dir) =>
+      Relational.ordersStatusPivot(Tables.orders(s, dir))),
+    "q36_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      operators.AsOfJoin.asof(ev, Tables.orders(s, dir),
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightTieBreak = "o_orderkey", broadcastRight = true)
+        .select(col("event_id"), col("asof_o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
     // --- explicit skew handling (oracle = the unsalted equivalent) ---
     "q31_salted_distinct" -> ((s, dir) =>
       operators.Skew.saltedDistinctCount(
@@ -350,6 +368,36 @@ object SparkEntry {
                   AS ngram_jaccard
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q33_json_extract" ->
+      """WITH t AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+                    FROM events)
+         SELECT CAST(FLOOR(k_val / 10) AS INTEGER) AS k_bucket,
+                COUNT(*) AS n, MIN(k_val) AS k_min, MAX(k_val) AS k_max
+         FROM t GROUP BY 1 ORDER BY k_bucket""",
+    "q34_calendar" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                CAST(month(o_orderdate) AS INTEGER) AS o_month,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""",
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q37_pivot" ->
+      """SELECT CAST(o_custkey % 10 AS INTEGER) AS cust_bucket,
+                COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1 ORDER BY cust_bucket""",
+    "q36_asof_join" ->
+      """SELECT event_id, asof_o_orderkey
+         FROM (SELECT e.event_id, o.o_orderkey AS asof_o_orderkey,
+                      ROW_NUMBER() OVER (PARTITION BY e.event_id
+                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+               FROM events e JOIN orders o
+                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) t
+         WHERE rk = 1 ORDER BY event_id""",
     "q31_salted_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
          FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",

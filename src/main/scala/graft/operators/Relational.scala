@@ -177,6 +177,52 @@ object Relational {
         max(col("value")).as("max_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** JSON field extraction from the events `props` column (semi-structured
+    * surface): parse once per row, group on the extracted value.
+    */
+  def eventPropsProfile(events: DataFrame): DataFrame =
+    events
+      .withColumn("k_val", get_json_object(col("props"), "$.k").cast("int"))
+      // floor, not cast-truncation: DuckDB CAST(double AS INT) rounds while
+      // Spark truncates — floor() agrees in both engines
+      .groupBy(floor(col("k_val") / 10).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("k_val")).as("k_min"),
+        max(col("k_val")).as("k_max"))
+      .orderBy(col("k_bucket"))
+
+  /** Calendar decomposition of order dates: year/month/dow grouping. */
+  def ordersByCalendar(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_year"), col("o_month"))
+
+  /** ROLLUP aggregation: per (returnflag, linestatus), per returnflag
+    * subtotals, and a grand total in one pass (grouping-sets surface).
+    */
+  def lineitemRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: order counts per (custkey-bucket × orderstatus) — fixed pivot
+    * values so the output schema is static and oracle-comparable.
+    */
+  def ordersStatusPivot(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("cust_bucket", (col("o_custkey") % 10).cast("int"))
+      .groupBy(col("cust_bucket"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("cust_bucket"))
+
   /** Day-of-week recode pipeline over events — the reference's P3/P4 CASE
     * WHEN surface applied to a derived dow (SURVEY §2.2).
     */
