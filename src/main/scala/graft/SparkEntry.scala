@@ -161,6 +161,10 @@ object SparkEntry {
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    "q38_percentiles" -> ((s, dir) =>
+      Relational.quantityPercentiles(Tables.lineitem(s, dir))),
+    "q39_string_funcs" -> ((s, dir) =>
+      Relational.partNameProfile(Tables.part(s, dir))),
     // --- semi-structured / calendar / grouping-sets / pivot / as-of ---
     "q33_json_extract" -> ((s, dir) =>
       Relational.eventPropsProfile(Tables.events(s, dir))),
@@ -368,6 +372,20 @@ object SparkEntry {
                   AS ngram_jaccard
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_quantity, 0.5) AS p50,
+                quantile_cont(l_quantity, 0.9) AS p90,
+                MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q39_string_funcs" ->
+      """SELECT p_partkey,
+                upper(p_brand) AS brand_upper,
+                substr(p_type, 1, 6) AS type_prefix,
+                concat_ws('/', p_brand, p_type) AS brand_type,
+                replace(p_name, ' ', '_') AS name_snake,
+                CAST(length(p_name) AS INTEGER) AS name_len
+         FROM part ORDER BY p_partkey""",
     "q33_json_extract" ->
       """WITH t AS (SELECT TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
                     FROM events)

@@ -223,6 +223,33 @@ object Relational {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy(col("cust_bucket"))
 
+  /** Exact interpolated percentiles of quantity per flag (Spark `percentile`
+    * and DuckDB `quantile_cont` share the linear-interpolation definition;
+    * exact, not sketch-based, so cross-engine comparable).
+    */
+  def quantityPercentiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"))
+      .orderBy(col("l_returnflag"))
+
+  /** String-function surface: upper/substr/concat/replace/length over part
+    * names (SURVEY §2.2 notes the reference has none — extension surface).
+    */
+  def partNameProfile(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      substring(col("p_type"), 1, 6).as("type_prefix"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
   /** Day-of-week recode pipeline over events — the reference's P3/P4 CASE
     * WHEN surface applied to a derived dow (SURVEY §2.2).
     */
