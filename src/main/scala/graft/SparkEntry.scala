@@ -154,13 +154,23 @@ object SparkEntry {
     }),
     "q27_knn_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      // coarse quantizer trained on a sample: centroid quality needs only
-      // a sketch of the distribution, not the full corpus
-      val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L,
-        sampleFraction = 0.3)
+      // coarse quantizer trained on a sample with the engine's own array
+      // K-means: centroid quality needs only a sketch of the distribution
+      val cents = Knn.trainCentroidsNative(emb, nLists = 8, seed = 1L,
+        maxIter = 4, sampleFraction = 0.3)
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    "q45_hll_distinct" -> ((s, dir) =>
+      // rows-only: HLL estimate alongside the exact count it approximates
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
+          graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
+        .orderBy(col("l_returnflag"))),
+    // --- streaming (bounded drain of the structured-streaming pipeline) ---
+    "q44_stream_windows" -> ((s, dir) =>
+      graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
     "q38_percentiles" -> ((s, dir) =>
       Relational.quantityPercentiles(Tables.lineitem(s, dir))),
     "q39_string_funcs" -> ((s, dir) =>
@@ -372,6 +382,12 @@ object SparkEntry {
                   AS ngram_jaccard
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q44_stream_windows" ->
+      """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+                CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
+                event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
     "q38_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50,

@@ -1,0 +1,67 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Lloyd's K-means over an `array<double>` embedding column — the engine's
+  * own d-dimensional K-means (the segmentation module's column-wise form
+  * covers low-d; this covers vector columns without MLlib's Vector boxing).
+  *
+  * Per-iteration dataflow, all built-ins:
+  *   assign (codegen'd argmin over constant centroids, [[Knn.assignList]])
+  *   → posexplode the vector → groupBy (list, dim) partial-sum
+  *   → k·d tiny rows to the driver → next centroids.
+  * The shuffle payload is k·d rows per partition independent of corpus size
+  * (same partial-agg shape as the 2-D K-means), so the update step scales
+  * like an aggregation, not like the data.
+  */
+object ArrayKMeans {
+
+  /** Seeded init: k distinct vectors sampled via seeded top-k. */
+  def sampleInit(df: DataFrame, vecCol: String, k: Int, seed: Long): Array[Array[Double]] =
+    df.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .dropDuplicates("v")
+      .orderBy(rand(seed)).limit(k)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  def fit(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10,
+          seed: Long = 1L, tol: Double = 1e-6): Array[Array[Double]] = {
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = sampleInit(vecs, "v", k, seed)
+      val d = centroids.head.length
+      var iter = 0
+      var done = false
+      while (iter < maxIter && !done) {
+        val agg = vecs
+          .withColumn("list_id", Knn.assignList(col("v"), centroids))
+          .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("list_id"), col("dim"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val sums = Array.fill(centroids.length)(new Array[Double](d))
+        val counts = new Array[Long](centroids.length)
+        agg.foreach { r =>
+          val l = r.getInt(0); val dim = r.getInt(1)
+          sums(l)(dim) = r.getDouble(2)
+          counts(l) = r.getLong(3)
+        }
+        val updated = sums.indices.filter(counts(_) > 0)
+          .map(l => sums(l).map(_ / counts(l)))
+          .toArray
+        done = updated.length == centroids.length &&
+          centroids.zip(updated).forall { case (a, b) =>
+            a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
+          }
+        centroids = updated
+        iter += 1
+      }
+      centroids
+    } finally { vecs.unpersist(); () }
+  }
+}

@@ -102,6 +102,18 @@ object Knn {
     }
   }
 
+  /** Train coarse IVF centroids with the engine's own array K-means
+    * ([[ArrayKMeans]]) — no MLlib Vector conversion, same dataflow shape as
+    * the rest of the engine. `sampleFraction` bounds the training cost.
+    */
+  def trainCentroidsNative(embeddings: DataFrame, nLists: Int, seed: Long = 1L,
+                           vecCol: String = "embedding", maxIter: Int = 5,
+                           sampleFraction: Double = 1.0): Array[Array[Double]] = {
+    val src = if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    ArrayKMeans.fit(src, vecCol, nLists, maxIter, seed)
+  }
+
   /** Train coarse centroids for IVF via MLlib k-means on a sample. */
   def trainCentroids(embeddings: DataFrame, nLists: Int, seed: Long = 1L,
                      vecCol: String = "embedding",

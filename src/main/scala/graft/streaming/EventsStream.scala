@@ -35,17 +35,41 @@ object EventsStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** Watermarked tumbling-window aggregation: per (1-minute window,
-    * event_type) counts and value sums.
+    * event_type) counts and value sums. The value sum goes through
+    * DECIMAL(18,2) so micro-batch arrival order cannot perturb the double
+    * result (same cross-engine parity rule as the batch operators).
     */
   def windowedCounts(events: DataFrame, window_ : String = "1 minute",
                      watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Batch-stage + stream + drain: copy the sf dir's events parquet into a
+    * temp stream-source directory (several files → several micro-batches),
+    * run [[windowedCounts]] through a memory sink to completion, and return
+    * the final result as a DataFrame. This is the bounded-input form the
+    * correctness harness can oracle-check against a plain batch GROUP BY.
+    */
+  def windowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(dir)
+    val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(windowedCounts(readEvents(spark, dir)), name,
+      OutputMode.Complete())
+    q.stop()
+    spark.table(name)
+      .orderBy(col("window_start"), col("event_type"))
+  }
 
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
   final case class SessionState(n: Long, total: Double)

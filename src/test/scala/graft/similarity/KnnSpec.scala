@@ -44,6 +44,22 @@ class KnnSpec extends SparkSpec {
     ()
   }
 
+  test("native ArrayKMeans centroids give IVF recall comparable to MLlib's") {
+    val emb = graft.Tables.embeddings(spark, sf("sf0.001")).persist()
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Knn.bruteForce(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Knn.trainCentroidsNative(emb, nLists = 8, seed = 1L, maxIter = 5)
+    assert(cents.length === 8)
+    assert(cents.forall(_.length === 64))
+    val approx = Knn.ivf(emb, queries, cents, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"native-centroid IVF recall $recall")
+    emb.unpersist()
+    ()
+  }
+
   test("ivf probes fewer vectors than brute force") {
     val emb = graft.Tables.embeddings(spark, sf("sf0.001"))
     val cents = Knn.trainCentroids(emb, nLists = 8, seed = 1L)
