@@ -60,7 +60,7 @@ object SparkEntry {
       Relational.topKOrders(Tables.orders(s, dir), 10)),
     // --- aggregations (§2.5) ---
     "q01_pricing_summary" -> ((s, dir) =>
-      Relational.pricingSummary(Tables.lineitem(s, dir))),
+      Relational.pricingSummary(Parallelize.ensure(Tables.lineitem(s, dir)))),
     "q10_hist2d" -> ((s, dir) =>
       Relational.lineitemHistogram2d(Tables.lineitem(s, dir))),
     "q12_distinct_counts" -> ((s, dir) =>
@@ -102,13 +102,13 @@ object SparkEntry {
     }),
     // --- text analysis (north-star extensions, SURVEY §7 slice 5) ---
     "q15_doc_stats" -> ((s, dir) =>
-      TextFunctions.docStats(Tables.documents(s, dir))),
+      TextFunctions.docStats(Parallelize.ensure(Tables.documents(s, dir)))),
     "q16_exact_dedup" -> ((s, dir) =>
       ExactDedup.summary(Tables.documents(s, dir))),
     "q21_dedup_groups" -> ((s, dir) =>
       ExactDedup.duplicateGroups(Tables.documents(s, dir))),
     "q17_lang_id" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Parallelize.ensure(Tables.documents(s, dir))
       val lowered = lower(col("text"))
       d.select(
         col("doc_id"),
@@ -117,7 +117,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q18_quality" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Parallelize.ensure(Tables.documents(s, dir))
       d.select(
         col("doc_id"),
         TextFunctions.lexicalDiversity(col("text")).as("lex_div"),
@@ -126,16 +126,16 @@ object SparkEntry {
     }),
     // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
     "q22_minhash_neardups" -> ((s, dir) =>
-      MinHashLSH.nearDuplicates(Tables.documents(s, dir), threshold = 0.3)),
+      MinHashLSH.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), threshold = 0.3)),
     "q23_simhash_neardups" -> ((s, dir) =>
-      SimHashDedup.nearDuplicates(Tables.documents(s, dir), maxHamming = 10)),
+      SimHashDedup.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), maxHamming = 10)),
     "q24_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
     "q25_fingerprints" -> ((s, dir) =>
-      Tables.documents(s, dir)
+      Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"), HashExprs.fingerprint(col("text")).as("fp"),
           HashExprs.simhash64(col("text")).as("sim"))
         .orderBy(col("doc_id"))),
