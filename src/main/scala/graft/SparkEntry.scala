@@ -161,6 +161,29 @@ object SparkEntry {
       Knn.ivf(emb, emb.filter(col("vec_id") < 5), cents, k = 3, nProbe = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    "q46_embedding_clusters" -> ((s, dir) => {
+      // end-to-end vector clustering with the engine's own array K-means
+      val emb = Tables.embeddings(s, dir)
+      val cents = graft.similarity.ArrayKMeans.fit(emb, "embedding", k = 5, maxIter = 5, seed = 1L)
+      emb.withColumn("cluster",
+          Knn.assignList(col("embedding").cast("array<double>"), cents))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy(col("cluster"))
+    }),
+    "q47_corpus_pipeline" -> ((s, dir) => {
+      // the training-data prep flow: exact-dedup -> quality gate -> per-lang stats
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val deduped = ExactDedup.deduplicate(docs)
+      val gated = deduped
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 10 && col("n_chars") >= 50)
+      gated.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("bigint")).as("total_tokens"),
+          (sum(col("n_tokens")).cast("double") / count(lit(1))).as("mean_tokens"))
+        .orderBy(col("lang"))
+    }),
     "q45_hll_distinct" -> ((s, dir) =>
       // rows-only: HLL estimate alongside the exact count it approximates
       Tables.lineitem(s, dir)
@@ -382,6 +405,22 @@ object SparkEntry {
                   AS ngram_jaccard
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q47_corpus_pipeline" ->
+      """WITH canon AS (
+           SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM documents GROUP BY 1),
+           deduped AS (
+             SELECT d.* FROM documents d JOIN canon c ON d.doc_id = c.keep_id),
+           gated AS (
+             SELECT lang,
+                    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), ' +')) END AS INTEGER) AS n_tokens,
+                    n_chars
+             FROM deduped)
+         SELECT lang, COUNT(*) AS n_docs,
+                SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+                CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
+         FROM gated WHERE n_tokens >= 10 AND n_chars >= 50
+         GROUP BY lang ORDER BY lang""",
     "q44_stream_windows" ->
       """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
                 CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
