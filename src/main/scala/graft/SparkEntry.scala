@@ -276,6 +276,9 @@ object SparkEntry {
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
+  // integer-cents fast path (see Relational.cents): exact long sums
+  private val centsPrice = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+  private val centsDisc = "CAST(round(l_discount * 100) AS BIGINT)"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -307,9 +310,9 @@ object SparkEntry {
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
                  SUM(l_quantity) AS sum_qty,
-                 CAST(SUM($decPrice) AS DOUBLE) AS sum_base_price,
-                 CAST(SUM($decPrice * (CAST(1 AS DECIMAL(18,2)) - $decDisc)) AS DOUBLE) AS sum_disc_price,
-                 CAST(SUM($decPrice) AS DOUBLE) / COUNT(*) AS avg_price,
+                 SUM($centsPrice) / 100.0 AS sum_base_price,
+                 SUM($centsPrice * (100 - $centsDisc)) / 10000.0 AS sum_disc_price,
+                 SUM($centsPrice) / 100.0 / COUNT(*) AS avg_price,
                  SUM(l_quantity) / COUNT(*) AS avg_qty,
                  COUNT(*) AS count_order
           FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""",
@@ -332,7 +335,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
     "q03_revenue_by_nation" ->
       s"""SELECT n_name,
-                 CAST(SUM($decPrice * (CAST(1 AS DECIMAL(18,2)) - $decDisc)) AS DOUBLE) AS revenue,
+                 SUM($centsPrice * (100 - $centsDisc)) / 10000.0 AS revenue,
                  COUNT(*) AS n_items
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey

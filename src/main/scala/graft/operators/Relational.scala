@@ -27,6 +27,14 @@ object Relational {
   /** Exact money: double → DECIMAL(18,2) (values are 2-decimal by contract). */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Exact money, fast path: 2-decimal dollars → integer cents. Long sums
+    * are exact and order-independent like decimal sums but run as plain
+    * 64-bit adds in codegen (no Decimal boxing). round() first — the raw
+    * double×100 can sit a hair BELOW the integer (90181.999…) and a bare
+    * cast would truncate it wrong.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
   /** TPC-H Q1-shaped pricing summary over lineitem: grouped sums/averages of
     * quantity, base price, discounted price, charge. Group-by is a single
     * hash aggregate with map-side partials; the shuffle carries only
@@ -37,10 +45,12 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).cast("double").as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0)).as("sum_base_price"),
+        // price_cents × (100 - disc_cents) has unit 10⁻⁴ dollars — one long
+        // multiply-add per row, summed exactly, scaled once at the end
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          / lit(10000.0)).as("sum_disc_price"),
+        (sum(cents(col("l_extendedprice"))) / lit(100.0) / count(lit(1))).as("avg_price"),
         (sum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -67,8 +77,8 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
-          .cast("double").as("revenue"),
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          / lit(10000.0)).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
 
