@@ -205,6 +205,10 @@ object SparkEntry {
       Relational.ordersByCalendar(Tables.orders(s, dir))),
     "q35_rollup" -> ((s, dir) =>
       Relational.lineitemRollup(Tables.lineitem(s, dir))),
+    "q48_cube" -> ((s, dir) =>
+      Relational.lineitemCube(Tables.lineitem(s, dir))),
+    "q49_token_freq" -> ((s, dir) =>
+      Relational.tokenFrequency(Parallelize.ensure(Tables.documents(s, dir)), 25)),
     "q37_pivot" -> ((s, dir) =>
       Relational.ordersStatusPivot(Tables.orders(s, dir))),
     "q36_asof_join" -> ((s, dir) => {
@@ -460,6 +464,16 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q48_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q49_token_freq" ->
+      """SELECT token, COUNT(*) AS n
+         FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+               FROM documents) t
+         WHERE length(token) > 0
+         GROUP BY token ORDER BY n DESC, token LIMIT 25""",
     "q37_pivot" ->
       """SELECT CAST(o_custkey % 10 AS INTEGER) AS cust_bucket,
                 COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

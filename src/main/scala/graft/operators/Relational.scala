@@ -221,6 +221,27 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus). */
+  def lineitemCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Corpus token frequency: explode whitespace tokens, count, top-k with a
+    * deterministic tie-break — the word-frequency op of a text pipeline.
+    * Scale shape: explode is narrow; the groupBy shuffles (token, partial
+    * count) pairs with map-side combine; top-k is TakeOrderedAndProject.
+    */
+  def tokenFrequency(documents: DataFrame, k: Int): DataFrame =
+    documents
+      .select(explode(split(trim(col("text")), " +")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Pivot: order counts per (custkey-bucket × orderstatus) — fixed pivot
     * values so the output schema is static and oracle-comparable.
     */
