@@ -205,6 +205,16 @@ object SparkEntry {
       Relational.ordersByCalendar(Tables.orders(s, dir))),
     "q35_rollup" -> ((s, dir) =>
       Relational.lineitemRollup(Tables.lineitem(s, dir))),
+    "q50_global_sort" -> ((s, dir) =>
+      // full ORDER BY with no limit: range-partitioned exchange + sort
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+    "q51_cross_join" -> ((s, dir) =>
+      // cartesian of two tiny dims — the one join shape where crossJoin is legal
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))),
     "q48_cube" -> ((s, dir) =>
       Relational.lineitemCube(Tables.lineitem(s, dir))),
     "q49_token_freq" -> ((s, dir) =>
@@ -464,6 +474,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q50_global_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey""",
+    "q51_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
     "q48_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
