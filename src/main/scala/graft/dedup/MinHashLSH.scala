@@ -117,16 +117,24 @@ object MinHashLSH {
         (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
   }
 
-  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold. */
+  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.
+    * The signature table is persisted for its three uses (banding + both
+    * verify joins), the result is materialized, and the intermediate cache
+    * is released before returning — no persisted state outlives the call.
+    */
   def nearDuplicates(documents: DataFrame, threshold: Double = 0.7,
                      textCol: String = "text", idCol: String = "doc_id",
                      numHashes: Int = 32, bands: Int = 8,
                      shingleSize: Int = 3): DataFrame = {
     val sigs = signatures(documents, textCol, idCol, numHashes, shingleSize)
       .persist()
-    val out = verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
-      .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
-    out
+    try {
+      val out = verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
+        .filter(col("jaccard") >= threshold)
+        .orderBy(col("id1"), col("id2"))
+        .persist()
+      out.count() // materialize before the input cache is dropped
+      out
+    } finally { sigs.unpersist(); () }
   }
 }

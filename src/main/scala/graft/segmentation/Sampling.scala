@@ -30,7 +30,12 @@ object Sampling {
     */
   def initialCentroids(df: DataFrame, dims: Seq[String], k: Int, seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.functions.col
-    randomRows(df.select(dims.map(c => col(c).cast("double")): _*), k, seed)
+    val casted = df.select(dims.map(c => col(c).cast("double")): _*)
+    // a sampled dirty row (NULL after permissive cast) must not NPE the
+    // collect — K-means operates on the non-null point set (KMeansMR.fit
+    // filters identically)
+    val clean = casted.filter(dims.indices.map(i => casted(casted.columns(i)).isNotNull).reduce(_ && _))
+    randomRows(clean, k, seed)
       .collect()
       .map(r => dims.indices.map(i => r.getDouble(i)).toArray)
   }

@@ -84,6 +84,18 @@ class ReferenceParitySpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq !== c3.map(_.toSeq).toSeq)
   }
 
+  test("U2 sampling never yields a null centroid even on dirty-heavy data") {
+    import spark.implicits._
+    // half the rows have a NULL dimension — any sampled centroid must be clean
+    val df = (1 to 200).map(i =>
+      (if (i % 2 == 0) Some(i % 24) else None, i % 7)).toDF("h", "d")
+    for (seed <- 1L to 20L) {
+      val cents = Sampling.initialCentroids(df, Seq("h", "d"), 3, seed)
+      assert(cents.length === 3)
+      assert(cents.forall(c => !c.exists(_.isNaN)))
+    }
+  }
+
   test("U4 golden: report K=4 (hour, dow) init converges; centroids = means of members") {
     // BASELINE.md K=4 (A): init (9,6),(7,1),(9,3),(16,3)
     val init = Array(Array(9.0, 6.0), Array(7.0, 1.0), Array(9.0, 3.0), Array(16.0, 3.0))
