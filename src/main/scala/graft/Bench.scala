@@ -5,6 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  * The same line is also written to `BENCH.json` in the working directory so
+  * the driver never has to scrape it out of sbt log noise, and per-query
+  * timings are listed to stderr sorted by cost descending.
+  *
+  * Optional args are substring filters on query names (e.g. `q17`) — handy
+  * for timing one query while iterating without paying for the whole suite.
   *
   * Each query is fully materialized through the `noop` sink (every row is
   * produced and discarded executor-side — nothing collected, no count()
@@ -28,7 +34,10 @@ object Bench {
 
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warm-up
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
+      args.isEmpty || args.exists(name.contains)
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable =>
@@ -39,7 +48,15 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    results.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"[bench] $v%8.3f s  $k")
+    }
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // File copy of the same line: the driver's parser reads this, not stdout.
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

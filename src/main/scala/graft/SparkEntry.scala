@@ -109,11 +109,14 @@ object SparkEntry {
       ExactDedup.duplicateGroups(Tables.documents(s, dir))),
     "q17_lang_id" -> ((s, dir) => {
       val d = Parallelize.ensure(Tables.documents(s, dir))
-      val lowered = lower(col("text"))
-      d.select(
-        col("doc_id"),
-        TextFunctions.stopwordHits(lowered, TextFunctions.defaultLexicons.head._2).as("en_hits"),
-        TextFunctions.langId(col("text")).as("lang_guess"))
+      // Staged form: one regexp scan per (row, language), argmax over plain
+      // attribute refs — the single-Column langId re-embeds every score in
+      // every CASE branch (O(langs²) scans; 26s at sf0.1 before this fix).
+      TextFunctions.withLangScores(d, "text")
+        .select(
+          col("doc_id"),
+          col(TextFunctions.langScoreCol("en")).as("en_hits"),
+          TextFunctions.langIdFromScores().as("lang_guess"))
         .orderBy(col("doc_id"))
     }),
     "q18_quality" -> ((s, dir) => {
@@ -434,7 +437,10 @@ object SparkEntry {
                     n_chars
              FROM deduped)
          SELECT lang, COUNT(*) AS n_docs,
-                SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+                -- DuckDB SUM(BIGINT) yields HUGEINT; the driver's hash is
+                -- type-sensitive, so pin the width back to BIGINT (parity
+                -- rule: counts/sizes cast to the same width on both sides).
+                CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
                 CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
          FROM gated WHERE n_tokens >= 10 AND n_chars >= 50
          GROUP BY lang ORDER BY lang""",

@@ -118,23 +118,24 @@ object MinHashLSH {
   }
 
   /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.
-    * The signature table is persisted for its three uses (banding + both
-    * verify joins), the result is materialized, and the intermediate cache
-    * is released before returning — no persisted state outlives the call.
+    *
+    * The signature table has three consumers (banding + both verify joins).
+    * Instead of caching it (a leak-prone fixed-memory cost that cannot fit at
+    * 100 TB), it is routed through ONE hash-partition exchange shared by all
+    * three plan branches: Catalyst's exchange reuse (ReusedExchange, AQE-aware)
+    * computes the shingle/signature subtree once and replays the shuffle
+    * output for the other two consumers — same single-computation guarantee as
+    * persist(), but spill-backed, and with zero persisted state outliving the
+    * call (the returned plan is pure; re-executing it re-runs the shuffle).
     */
   def nearDuplicates(documents: DataFrame, threshold: Double = 0.7,
                      textCol: String = "text", idCol: String = "doc_id",
                      numHashes: Int = 32, bands: Int = 8,
                      shingleSize: Int = 3): DataFrame = {
     val sigs = signatures(documents, textCol, idCol, numHashes, shingleSize)
-      .persist()
-    try {
-      val out = verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
-        .filter(col("jaccard") >= threshold)
-        .orderBy(col("id1"), col("id2"))
-        .persist()
-      out.count() // materialize before the input cache is dropped
-      out
-    } finally { sigs.unpersist(); () }
+      .repartition(col("id"))
+    verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
   }
 }

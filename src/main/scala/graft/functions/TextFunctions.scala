@@ -56,10 +56,56 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "de", "et", "les"))
 
-  /** Best-scoring language (first wins ties; "und" = undetermined if all 0). */
+  /** Best-scoring language (first wins ties; "und" = undetermined if all 0).
+    *
+    * NOTE: as a single Column the argmax re-embeds every per-language
+    * regexp_count inside each CASE branch (the `best` subtree appears once per
+    * language, and conditional branches defeat subexpression elimination), so
+    * the codegen'd tree runs O(langs²) regex scans per row. Fine for tests /
+    * tiny lexicon counts; for the hot path use [[withLangId]], which stages
+    * each score as a materialized projection column first.
+    */
   def langId(text: Column, lexicons: Seq[(String, Seq[String])] = defaultLexicons): Column = {
     val lowered = lower(text)
     val scores = lexicons.map { case (lang, words) => (lang, stopwordHits(lowered, words)) }
+    argmaxLang(scores)
+  }
+
+  /** Column name used for a staged per-language score. */
+  def langScoreCol(lang: String): String = s"lang_hits_$lang"
+
+  /** Stage per-language stopword-hit counts as real projection columns — ONE
+    * regexp scan per (row, language). Downstream argmax then references plain
+    * attribute refs. Catalyst's CollapseProject will NOT inline these back into
+    * the consumer (each staged column is non-cheap and referenced several
+    * times), so the two-projection shape survives optimization — this is what
+    * keeps language-ID linear in the lexicon count at 100 TB.
+    */
+  def withLangScores(df: DataFrame,
+                     textCol: String,
+                     lexicons: Seq[(String, Seq[String])] = defaultLexicons): DataFrame = {
+    val lowered = lower(col(textCol))
+    val scoreCols = lexicons.map { case (lang, words) =>
+      stopwordHits(lowered, words).as(langScoreCol(lang))
+    }
+    df.select(col("*") +: scoreCols: _*)
+  }
+
+  /** Argmax over already-staged score columns (see [[withLangScores]]). */
+  def langIdFromScores(lexicons: Seq[(String, Seq[String])] = defaultLexicons): Column =
+    argmaxLang(lexicons.map { case (lang, _) => (lang, col(langScoreCol(lang))) })
+
+  /** Stage scores, compute the language ID into `out`, drop the helpers. */
+  def withLangId(df: DataFrame,
+                 textCol: String,
+                 out: String,
+                 lexicons: Seq[(String, Seq[String])] = defaultLexicons): DataFrame =
+    withLangScores(df, textCol, lexicons)
+      .withColumn(out, langIdFromScores(lexicons))
+      .drop(lexicons.map(l => langScoreCol(l._1)): _*)
+
+  /** First-wins-ties argmax over (language, score) pairs; "und" if all 0. */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
       when(s === best && s > 0, lit(lang)).otherwise(els)

