@@ -194,6 +194,12 @@ object SparkEntry {
         .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
           graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
         .orderBy(col("l_returnflag"))),
+    "q52_exact_distinct" -> ((s, dir) =>
+      // the oracle-able half of q45: exact distinct counts, no sketch column
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+        .orderBy(col("l_returnflag"))),
     // --- streaming (bounded drain of the structured-streaming pipeline) ---
     "q44_stream_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
@@ -444,6 +450,46 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_tokens
          FROM gated WHERE n_tokens >= 10 AND n_chars >= 50
          GROUP BY lang ORDER BY lang""",
+    "q52_exact_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
+    "q42_segmentation_pipeline" ->
+      // ordersFeatures recodes: DuckDB dayofweek(ts) == Spark dayofweek(ts)-1
+      """WITH f AS (SELECT CAST(dayofweek(ts) AS INTEGER) AS order_dow FROM events),
+              r AS (SELECT
+                      CASE order_dow
+                        WHEN 0 THEN 'Monday' WHEN 1 THEN 'Tuesday'
+                        WHEN 2 THEN 'Wednesday' WHEN 3 THEN 'Thursday'
+                        WHEN 4 THEN 'Friday' WHEN 5 THEN 'Saturday'
+                        WHEN 6 THEN 'Sunday' ELSE 'None' END AS days,
+                      CAST(CASE WHEN order_dow IN (0, 1) THEN 0
+                                WHEN order_dow IN (2, 3, 4) THEN 1
+                                ELSE 2 END AS INTEGER) AS order_dow_updated
+                    FROM f)
+         SELECT days, order_dow_updated, COUNT(*) AS n
+         FROM r GROUP BY 1, 2 ORDER BY days""",
+    "q22_minhash_neardups" ->
+      // all-pairs ground truth: q22's jaccard is EXACT Jaccard over word
+      // 3-gram shingle sets (LSH only generates candidates), so DuckDB can
+      // verify it by brute force at sf0.01 — same tokenization (split on
+      // ' +'), same short-doc fallback (whole text as one shingle)
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                                for i in range(1, len(tk) - 1)])
+                            ELSE [array_to_string(tk, ' ')] END AS shingles
+                     FROM toks),
+              pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                                   AS DOUBLE) AS jaccard
+                        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
+         ORDER BY id1, id2""",
+    "q40_kmeans_full" -> kmLloydSql(),
+    "q43_kmeans_rdd" -> kmLloydSql(),
     "q44_stream_windows" ->
       """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
                 CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
@@ -589,6 +635,54 @@ object SparkEntry {
     s"""WITH pts AS ($kmPointsSql)
         SELECT SUM(LEAST(${ds.mkString(", ")})) AS wcss, COUNT(*) AS n_points
         FROM pts"""
+  }
+
+  /** DuckDB mirror of the full Lloyd's loop (q40/q43): `maxIter` unrolled
+    * assign→update stages over weighted (hour, dow) cells (≤ 24·7 rows per
+    * stage). Bit-exact vs the Spark side because every summed value is an
+    * integral double (exact regardless of summation order), so each centroid
+    * is the same exact-integer-sum / count in both engines, and the argmin
+    * comparisons then see identical doubles. Assignment ties break
+    * first-index-wins via ORDER BY (dist, cluster) — mirrors
+    * [[KMeansMR.assignExpr]]'s `<=` CASE. `iterations`/`converged` replicate
+    * KMeansMR.fit's exact-equality convergence: iterations = first stage
+    * whose centroids equal the previous stage's (monotone once true), else
+    * maxIter; converged = equality held by the last stage.
+    */
+  private def kmLloydSql(maxIter: Int = 10): String = {
+    val k = kmCentroids.length
+    val init = kmCentroids.zipWithIndex.map { case (c, i) =>
+      s"($i, CAST(${c(0)} AS DOUBLE), CAST(${c(1)} AS DOUBLE))"
+    }.mkString(", ")
+    val stages = (1 to maxIter).map { i =>
+      s"""a$i AS (
+            SELECT h, d, n, cluster FROM (
+              SELECT w.h, w.d, w.n, c.cluster,
+                     ROW_NUMBER() OVER (PARTITION BY w.h, w.d
+                       ORDER BY (w.h - c.ch) * (w.h - c.ch)
+                              + (w.d - c.cd) * (w.d - c.cd) ASC,
+                              c.cluster ASC) AS rk
+              FROM w CROSS JOIN c${i - 1} c) WHERE rk = 1),
+          c$i AS (SELECT cluster,
+                         SUM(h * n) / SUM(n) AS ch,
+                         SUM(d * n) / SUM(n) AS cd
+                  FROM a$i GROUP BY cluster),
+          e$i AS (SELECT (SELECT COUNT(*) FROM c$i x JOIN c${i - 1} y
+                          ON x.cluster = y.cluster AND x.ch = y.ch AND x.cd = y.cd)
+                         = $k AS same)"""
+    }.mkString(",\n")
+    val firstSame = (1 to maxIter)
+      .map(i => s"WHEN (SELECT same FROM e$i) THEN $i").mkString(" ")
+    s"""WITH w AS (SELECT CAST(hour(ts) AS DOUBLE) AS h,
+                          CAST(dayofweek(ts) AS DOUBLE) AS d,
+                          COUNT(*) AS n
+                   FROM events GROUP BY 1, 2),
+            c0(cluster, ch, cd) AS (VALUES $init),
+            $stages
+        SELECT CAST(c.cluster AS INTEGER) AS cluster, c.ch AS hour, c.cd AS dow,
+               CAST(CASE $firstSame ELSE $maxIter END AS INTEGER) AS iterations,
+               (SELECT same FROM e$maxIter) AS converged
+        FROM c$maxIter c ORDER BY cluster"""
   }
 
   /** SQL mirror of [[TextFunctions.langId]] with the default lexicons. */
