@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.operators.Relational
 import graft.functions.{HashExprs, TextFunctions}
 import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
-import graft.segmentation.{Elbow, KMeansMR, Pipelines}
+import graft.segmentation.{Elbow, Ingest, KMeansMR, Pipelines, Recode}
 import graft.similarity.Knn
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -294,8 +294,51 @@ object SparkEntry {
       val feats = Pipelines.ordersFeatures(s, dir)
       feats.groupBy(col("days"), col("order_dow_updated"))
         .agg(count(lit(1)).as("n")).orderBy(col("days"))
+    }),
+    // --- CSV source parity (S1 + P1-P7 end-to-end on an Instacart-shaped
+    //     fixture staged FROM the parquet, so the oracle can mirror it) ---
+    "q53_csv_ingest" -> ((s, dir) => {
+      val raw = Ingest.csv(s, stagedInstacartCsv(s, dir)) // S1: header, all-string
+      val typed = Ingest.castInt(Ingest.canonicalProjection(raw), // P1+P2
+        "order_id", "user_id", "order_dow", "order_hour_of_day",
+        "department_id") // P6: permissive casts; planted "NA" rows -> NULL
+      val rec = Recode.copyColumn( // P5
+        Recode.withDayName(Recode.withDowBucket(typed)), // P3 + P4
+        "department", "dept_alias")
+      rec.filter(col("department_id").isin(1, 2, 3, 4, 5)) // P7
+        .groupBy(col("days"), col("order_dow_updated"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("order_hour_of_day")).cast("bigint").as("sum_hour"))
+        .orderBy(col("days"))
     })
   )
+
+  /** Stage an Instacart-shaped CSV fixture derived deterministically from the
+    * sf dir's events parquet (header row, every value stringified — the
+    * reference's S1 source shape). Every 97th event's hour is corrupted to
+    * "NA" so the permissive string→int cast contract (dirty → NULL, ANSI off)
+    * is exercised END-TO-END from a real CSV scan. Deterministic path +
+    * _SUCCESS guard: staged once, reused across calls and JVMs.
+    */
+  private def stagedInstacartCsv(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_csv_orders_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val dept = (pmod(col("user_id"), lit(21)) + lit(1)).cast("int")
+      Tables.events(s, dir).select(
+        col("event_id").as("order_id"),
+        col("user_id"),
+        (dayofweek(col("ts")) - lit(1)).cast("int").as("order_dow"),
+        when(col("event_id") % 97 === 0, lit("NA"))
+          .otherwise(hour(col("ts")).cast("string")).as("order_hour_of_day"),
+        dept.as("department_id"),
+        concat(lit("dept_"), dept).as("department"),
+        col("event_type").as("product_name"))
+        .write.mode("overwrite").option("header", "true").csv(out.toString)
+    }
+    out.toString
+  }
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
@@ -488,6 +531,29 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q53_csv_ingest" ->
+      // mirror of the staged CSV fixture derivation + recodes over the same
+      // events parquet (dayofweek offset parity; 97th-event hour -> NULL)
+      """WITH f AS (SELECT CAST(dayofweek(ts) AS INTEGER) AS order_dow,
+                           CASE WHEN event_id % 97 = 0 THEN NULL
+                                ELSE CAST(hour(ts) AS INTEGER) END AS order_hour_of_day,
+                           CAST(user_id % 21 + 1 AS INTEGER) AS department_id
+                    FROM events),
+              r AS (SELECT
+                      CASE order_dow
+                        WHEN 0 THEN 'Monday' WHEN 1 THEN 'Tuesday'
+                        WHEN 2 THEN 'Wednesday' WHEN 3 THEN 'Thursday'
+                        WHEN 4 THEN 'Friday' WHEN 5 THEN 'Saturday'
+                        WHEN 6 THEN 'Sunday' ELSE 'None' END AS days,
+                      CAST(CASE WHEN order_dow IN (0, 1) THEN 0
+                                WHEN order_dow IN (2, 3, 4) THEN 1
+                                ELSE 2 END AS INTEGER) AS order_dow_updated,
+                      order_hour_of_day, department_id
+                    FROM f)
+         SELECT days, order_dow_updated, COUNT(*) AS n,
+                CAST(SUM(order_hour_of_day) AS BIGINT) AS sum_hour
+         FROM r WHERE department_id IN (1, 2, 3, 4, 5)
+         GROUP BY 1, 2 ORDER BY days""",
     "q40_kmeans_full" -> kmLloydSql(),
     "q43_kmeans_rdd" -> kmLloydSql(),
     "q44_stream_windows" ->
