@@ -125,6 +125,58 @@ class ReferenceParitySpec extends SparkSpec {
     assert(res.centroids.length < 5, "duplicate initial centroid must starve and drop")
   }
 
+  test("U4 golden replay: K=3 (A) report inits land on the Conclusion-table finals") {
+    // Fixture shaped so Lloyd's from the report's EXACT K=3 (A) inits
+    // (BASELINE.md row 1) converges to the report's final centroids: three
+    // 2-point blobs whose means are the goldens, each wholly inside one
+    // init's Voronoi cell (bijective capture -> one update + confirmation).
+    val pts = Seq(
+      (18.59, 2.78), (17.99, 2.78), // mean (18.29, 2.78)
+      (13.46, 2.49), (12.86, 2.49), // mean (13.16, 2.49)
+      (8.91, 2.98), (8.31, 2.98)    // mean (8.61, 2.98)
+    ).toDF("hour", "dow")
+    val init = Array(Array(17.0, 0.0), Array(13.0, 0.0), Array(8.0, 3.0))
+    val golden = Seq((8.61, 2.98), (13.16, 2.49), (18.29, 2.78))
+    val res = KMeansMR.fit(pts, Seq("hour", "dow"), init, maxIter = 10)
+    assert(res.converged && res.iterations <= 10)
+    val got = res.centroids.map(c => (c(0), c(1))).sortBy(_._1).toSeq
+    got.zip(golden).foreach { case ((gx, gy), (ex, ey)) =>
+      assert(math.abs(gx - ex) < 1e-2 && math.abs(gy - ey) < 1e-2,
+        s"centroid ($gx,$gy) drifted from golden ($ex,$ey): $got")
+    }
+  }
+
+  test("U4 golden replay: K=4 (A) report inits split jointly-captured mass and land on finals") {
+    // Harder dynamics pinned on purpose: under the report's K=4 (A) inits
+    // (BASELINE.md row 3) the (16,3) seed captures BOTH the A and D golden
+    // clusters and the (9,3) seed captures only one D outrider, so
+    // convergence REQUIRES the migration step (the (9,3) centroid walks
+    // right and takes the D mass from (16,3) on iteration 2). Weights are
+    // engineered: 10 A-points dominate the shared cell's mean so the D
+    // points are closer to the migrating centroid than to it. A fixture
+    // that merely plants blobs at the goldens cannot pass this test — it
+    // fails if the argmin tie-break, the mean update, or the convergence
+    // comparison drift from the reference contract.
+    val a = Seq.fill(5)((19.26, 3.266)) ++ Seq.fill(5)((18.66, 3.266)) // mean (18.96, 3.266)
+    val b = Seq((8.82, 1.12), (8.22, 1.72))                           // mean (8.52, 1.42)
+    val c = Seq((11.27, 4.91), (10.67, 4.91))                         // mean (10.97, 4.91)
+    val d = Seq((12.45, 1.68), (15.39, 1.68), (15.39, 1.68))          // mean (14.41, 1.68)
+    val pts = (a ++ b ++ c ++ d).toDF("hour", "dow")
+    val init = Array(Array(9.0, 6.0), Array(7.0, 1.0), Array(9.0, 3.0), Array(16.0, 3.0))
+    val golden = Seq((8.52, 1.42), (10.97, 4.91), (14.41, 1.68), (18.96, 3.266))
+    val res = KMeansMR.fit(pts, Seq("hour", "dow"), init, maxIter = 10)
+    assert(res.converged, s"did not converge: ${res.centroids.map(_.toSeq).toSeq}")
+    assert(res.centroids.length === 4, "no cluster may starve in this fixture")
+    val got = res.centroids.map(cc => (cc(0), cc(1))).sortBy(_._1).toSeq
+    got.zip(golden).foreach { case ((gx, gy), (ex, ey)) =>
+      assert(math.abs(gx - ex) < 1e-2 && math.abs(gy - ey) < 1e-2,
+        s"centroid ($gx,$gy) drifted from golden ($ex,$ey): $got")
+    }
+    // same fixture through the RDD MapReduce form must agree exactly
+    val rdd = KMeansRDD.fit(pts, Seq("hour", "dow"), init, maxIter = 10)
+    assert(rdd.centroids.map(_.toSeq).toSeq === res.centroids.map(_.toSeq).toSeq)
+  }
+
   test("U5: full elbow sweep on the fixture returns k in [2,12) and WCSS==trainingCost") {
     val sweep = Elbow.sweep(preprocessed, Seq("order_hour_of_day"), ks = 2 until 12)
     sweep.foreach(p => assert(
