@@ -295,6 +295,41 @@ object SparkEntry {
       feats.groupBy(col("days"), col("order_dow_updated"))
         .agg(count(lit(1)).as("n")).orderBy(col("days"))
     }),
+    "q56_bpe_tokens" -> ((s, dir) =>
+      Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+    // --- embedding-cosine near-dup (sign-LSH; planted exact copies make the
+    //     recall deterministic: identical vectors get identical signatures) ---
+    "q55_cosine_neardups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.similarity.CosineLSH.nearDuplicates(
+        emb.unionByName(planted), threshold = 0.99)
+    }),
+    // --- bucketed co-located join (the 100 TB repeated-join layout): both
+    //     sides written bucketed on the join key once per (dir, JVM), then
+    //     the join itself plans with ZERO exchanges (PlanSpec asserts it) ---
+    "q54_bucketed_join" -> ((s, dir) => {
+      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val (lt, rt) = (s"graft_bkt_orders_$key", s"graft_bkt_customer_$key")
+      if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(rt)) {
+        graft.sources.Bucketing.writeBucketed(
+          Tables.orders(s, dir).select(col("o_custkey").as("custkey"),
+            col("o_orderkey"), col("o_totalprice")), lt, "custkey", 8)
+        graft.sources.Bucketing.writeBucketed(
+          Tables.customer(s, dir).select(col("c_custkey").as("custkey"),
+            col("c_name"), col("c_acctbal")), rt, "custkey", 8)
+      }
+      graft.sources.Bucketing.joinBucketed(s, lt, rt, "custkey")
+        .groupBy((col("custkey") % 10).as("cust_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("cust_bucket"))
+    }),
     // --- CSV source parity (S1 + P1-P7 end-to-end on an Instacart-shaped
     //     fixture staged FROM the parquet, so the oracle can mirror it) ---
     "q53_csv_ingest" -> ((s, dir) => {
@@ -531,6 +566,32 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q56_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INTEGER)
+                  AS n_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q55_cosine_neardups" ->
+      // brute-force all-pairs ground truth over the same planted-copy corpus
+      // (LSH only generates candidates; the output gate is the exact cosine,
+      // rounded to 6 decimals on both sides before thresholding)
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id < 20),
+              p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                      round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                        / (sqrt(list_sum([x * x for x in a.v]))
+                           * sqrt(list_sum([x * x for x in b.v]))), 6) AS cosine
+                    FROM c a JOIN c b ON a.vec_id < b.vec_id)
+         SELECT id1, id2, cosine FROM p WHERE cosine >= 0.99 ORDER BY id1, id2""",
+    "q54_bucketed_join" ->
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY cust_bucket""",
     "q53_csv_ingest" ->
       // mirror of the staged CSV fixture derivation + recodes over the same
       // events parquet (dayofweek offset parity; 97th-event hour -> NULL)

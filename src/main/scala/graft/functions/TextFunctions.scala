@@ -32,6 +32,17 @@ object TextFunctions {
         (length(trim(text)) - (tokenCount(text) - 1)).cast("double")
           / tokenCount(text).cast("double"))
 
+  /** BPE-ish pre-tokenizer count: GPT-2-style segmentation (optional leading
+    * space + letter run / digit run / punctuation run), simplified to an
+    * RE2-compatible form (no lookahead) so the SAME pattern runs in Spark
+    * (java.util.regex) and the DuckDB oracle (RE2). Pure whitespace runs are
+    * not tokens. A narrow codegen'd per-row expression — zero shuffle.
+    */
+  val bpeTokenPattern: String = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
   /** Occurrences of a literal word at word boundaries. `\b` behaves the same
     * in Java regex (Spark) and RE2 (DuckDB), keeping the oracle comparable.
     */

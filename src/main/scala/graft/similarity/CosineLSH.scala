@@ -1,0 +1,78 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Random-hyperplane (sign) LSH for embedding-cosine near-duplicate
+  * detection — the vector-space sibling of the MinHash text pipeline:
+  * signature → band → bucket-join candidates → exact-cosine verify.
+  *
+  * Each signature bit is the sign of a dot product with a fixed seeded
+  * Gaussian hyperplane (P[bit collision] = 1 − θ/π for angle θ), so
+  * near-identical vectors agree on whole bands with overwhelming
+  * probability while random pairs land in a given 8-bit band bucket with
+  * p ≈ 2⁻⁸ — candidate generation is a uniform hash-keyed shuffle, never
+  * an all-pairs join.
+  *
+  * Scale notes (100 TB path, same shape as [[graft.dedup.MinHashLSH]]):
+  * signatures are narrow per-row codegen'd expressions (bands·bits dot
+  * products per row, zero shuffle); the only pre-verify shuffle is keyed by
+  * (band, bucket-hash); degenerate buckets are size-capped; the exact
+  * verify touches candidate pairs only. The vector table feeds three plan
+  * branches through ONE shared repartition exchange (ReusedExchange — no
+  * persisted state outlives the call).
+  */
+object CosineLSH {
+
+  /** Deterministic Gaussian hyperplanes: nPlanes × dim, seeded. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** One band's signature: `bits` sign bits packed into a long. */
+  def bandSignature(vec: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, j) =>
+      when(Knn.dot(vec, typedLit(w)) > 0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Near-duplicate pairs (id1 < id2) with exact cosine ≥ `threshold`
+    * (compared on the 6-decimal-rounded value so an SQL oracle can mirror
+    * the gate bit-for-bit).
+    */
+  def nearDuplicates(embeddings: DataFrame, threshold: Double = 0.99,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
+                     maxBucketSize: Int = 64): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val prepped = embeddings
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("id")) // one exchange shared by banding + both verifies
+    val banded = prepped.select(col("id"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          bandSignature(col("v"),
+            (0 until bitsPerBand).map(j => planes(b * bitsPerBand + j))).as("sig"))
+      }: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val pairs = sized.select(col("band"), col("sig"), col("id").as("id1"))
+      .join(sized.select(col("band"), col("sig"), col("id").as("id2")), Seq("band", "sig"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    val v1 = prepped.select(col("id").as("id1"), col("v").as("v1"))
+    val v2 = prepped.select(col("id").as("id2"), col("v").as("v2"))
+    pairs.join(v1, "id1").join(v2, "id2")
+      .withColumn("cosine",
+        round(Knn.dot(col("v1"), col("v2")) / (Knn.norm(col("v1")) * Knn.norm(col("v2"))), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+}
