@@ -188,7 +188,10 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
     "q45_hll_distinct" -> ((s, dir) =>
-      // rows-only: HLL estimate alongside the exact count it approximates
+      // rows-only: HLL estimate alongside the exact count it approximates.
+      // Deliberately NOT Parallelize.ensure'd: the countDistinct rewrite
+      // expands every row, so a pre-agg repartition shuffles 2x the input
+      // for no map-side win (measured 2.5x slower with it).
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
@@ -295,6 +298,8 @@ object SparkEntry {
       feats.groupBy(col("days"), col("order_dow_updated"))
         .agg(count(lit(1)).as("n")).orderBy(col("days"))
     }),
+    "q57_session_windows" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionWindows(Tables.events(s, dir))),
     "q56_bpe_tokens" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -566,6 +571,24 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q57_session_windows" ->
+      // gap-island mirror of session_window: a session break is a >30min gap
+      // since the previous event of the same user; window end = last + gap
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              flagged AS (SELECT user_id, ts,
+                            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                      > INTERVAL 30 MINUTE
+                                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 THEN 1 ELSE 0 END AS new_session
+                          FROM e),
+              sess AS (SELECT user_id, ts,
+                         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                       FROM flagged)
+         SELECT user_id, MIN(ts) AS session_start,
+                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                COUNT(*) AS n_events
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q56_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text,

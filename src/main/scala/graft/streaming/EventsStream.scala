@@ -86,6 +86,22 @@ object EventsStream {
     dir.toString
   }
 
+  /** Gap-based session windows per user — the built-in `session_window`
+    * operator (the same expression drives streaming sessionization with a
+    * watermark; here in batch form so the correctness harness can oracle it
+    * against SQL island detection). Window end = last event + gap. One
+    * shuffle keyed by (user, session), merge-sorted state per key.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   final case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
   final case class SessionState(n: Long, total: Double)
 
