@@ -165,9 +165,15 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 6))
     }),
     "q46_embedding_clusters" -> ((s, dir) => {
-      // end-to-end vector clustering with the engine's own array K-means
+      // end-to-end vector clustering with the engine's own array K-means.
+      // Deterministic first-k-by-id init so the DuckDB oracle can replay the
+      // whole loop (cluster COUNTS are ULP-robust: centroid drift between
+      // engines never flips an assignment with real margins).
       val emb = Tables.embeddings(s, dir)
-      val cents = graft.similarity.ArrayKMeans.fit(emb, "embedding", k = 5, maxIter = 5, seed = 1L)
+      val init = emb.filter(col("vec_id") < 5).orderBy(col("vec_id"))
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val cents = graft.similarity.ArrayKMeans.fitFrom(emb, "embedding", init, maxIter = 5)
       emb.withColumn("cluster",
           Knn.assignList(col("embedding").cast("array<double>"), cents))
         .groupBy(col("cluster"))
@@ -640,6 +646,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY days""",
     "q40_kmeans_full" -> kmLloydSql(),
     "q43_kmeans_rdd" -> kmLloydSql(),
+    "q46_embedding_clusters" -> arrayKmSql(),
     "q44_stream_windows" ->
       """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
                 CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
@@ -833,6 +840,37 @@ object SparkEntry {
                CAST(CASE $firstSame ELSE $maxIter END AS INTEGER) AS iterations,
                (SELECT same FROM e$maxIter) AS converged
         FROM c$maxIter c ORDER BY cluster"""
+  }
+
+  /** DuckDB mirror of the q46 array K-means (fixed first-k-by-id init,
+    * `maxIter` unrolled iterations over 64-dim vectors). Centroids drift at
+    * ULP between engines (non-integral double sums), but the compared output
+    * is cluster COUNTS, which only change if an assignment flips — margins
+    * are real, so the counts are deterministic across engines.
+    */
+  private def arrayKmSql(k: Int = 5, maxIter: Int = 5, dim: Int = 64): String = {
+    def assign(prev: String, out: String) =
+      s"""$out AS (SELECT vec_id, v, cluster FROM (
+            SELECT e.vec_id, e.v, c.cluster,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                     list_sum([(e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                               for i in range(1, ${dim + 1})]) ASC,
+                     c.cluster ASC) AS rk
+            FROM e CROSS JOIN $prev c) WHERE rk = 1)"""
+    def update(a: String, out: String) =
+      s"""$out AS (SELECT cluster, list(mn ORDER BY dim) AS cv FROM (
+            SELECT cluster, i AS dim, SUM(v[i]) / COUNT(*) AS mn
+            FROM $a, range(1, ${dim + 1}) t(i) GROUP BY 1, 2) GROUP BY cluster)"""
+    val stages = (1 to maxIter)
+      .map(i => s"${assign(s"c${i - 1}", s"a$i")},\n${update(s"a$i", s"c$i")}")
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cv
+                   FROM e WHERE vec_id < $k),
+            $stages,
+            ${assign(s"c$maxIter", "fin")}
+        SELECT CAST(cluster AS INTEGER) AS cluster, COUNT(*) AS n_vectors
+        FROM fin GROUP BY 1 ORDER BY cluster"""
   }
 
   /** SQL mirror of [[TextFunctions.langId]] with the default lexicons. */

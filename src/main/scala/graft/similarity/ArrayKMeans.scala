@@ -43,12 +43,21 @@ object ArrayKMeans {
   }
 
   def fit(df: DataFrame, vecCol: String, k: Int, maxIter: Int = 10,
-          seed: Long = 1L, tol: Double = 1e-6): Array[Array[Double]] = {
+          seed: Long = 1L, tol: Double = 1e-6): Array[Array[Double]] =
+    fitFrom(df, vecCol, null, k, maxIter, seed, tol)
+
+  /** Lloyd's from an EXPLICIT initial centroid set (deterministic path — an
+    * SQL oracle can replay it; `fit` falls back to the seeded sample init
+    * when `init` is null).
+    */
+  def fitFrom(df: DataFrame, vecCol: String, init: Array[Array[Double]],
+              k: Int = 0, maxIter: Int = 10, seed: Long = 1L,
+              tol: Double = 1e-6): Array[Array[Double]] = {
     val vecs = df.select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var centroids = sampleInit(vecs, "v", k, seed)
+      var centroids = if (init != null) init else sampleInit(vecs, "v", k, seed)
       val d = centroids.head.length
       var iter = 0
       var done = false
