@@ -56,6 +56,25 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows over the stream equal the batch session_window") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+      .withWatermark("ts", "10 minutes")
+    val streamedSessions = stream
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val q = EventsStream.runToMemory(streamedSessions, "sess_win", OutputMode.Complete())
+    try {
+      val streamed = spark.table("sess_win")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      val batch = EventsStream.sessionWindows(
+          graft.Tables.events(spark, sf("sf0.001")))
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     // append-mode with watermark only emits finalized windows; a query on a
     // bounded file source emits nothing until watermark advances past window
