@@ -306,6 +306,32 @@ object SparkEntry {
     }),
     "q57_session_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(Tables.events(s, dir))),
+    // --- reproducible split + quality gating (training-data pipeline ops) ---
+    "q58_train_val_split" -> ((s, dir) =>
+      // deterministic mod-split: the reproducible train/val/test assignment a
+      // pipeline needs (same row -> same split on every run and every engine)
+      Parallelize.ensure(Tables.documents(s, dir))
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(10)) < 8, "train")
+            .when(pmod(col("doc_id"), lit(10)) === 8, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("split"), col("lang"))),
+    "q59_quality_topk" -> ((s, dir) => {
+      // quality filtering: keep the top-5 docs per language by heuristic
+      // quality score (rounded before ranking so the oracle ranks the same
+      // values; ties break by doc_id)
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
+      d.select(col("doc_id"), col("lang"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 5)
+        .orderBy(col("lang"), col("rank"))
+    }),
     "q56_bpe_tokens" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -577,6 +603,43 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q58_train_val_split" ->
+      """WITH d AS (SELECT
+                      CASE WHEN doc_id % 10 < 8 THEN 'train'
+                           WHEN doc_id % 10 = 8 THEN 'val'
+                           ELSE 'test' END AS split,
+                      lang,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+                    FROM documents)
+         SELECT split, lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         FROM d GROUP BY 1, 2 ORDER BY split, lang""",
+    "q59_quality_topk" ->
+      // op-for-op mirror of TextFunctions.qualityScore (same association
+      // order, rounded to 6 before ranking), ties by doc_id
+      """WITH t AS (SELECT doc_id, lang, text, length(text) AS lc,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END AS nt,
+                      CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(list_distinct(string_split_regex(trim(text), ' +'))) END AS nu
+                    FROM documents),
+              s AS (SELECT doc_id, lang,
+                      round(
+                        LEAST(CAST(lc AS DOUBLE) / 400.0, 1.0) * 0.4
+                        + (CASE WHEN nt = 0 THEN 0.0
+                                ELSE CAST(nu AS DOUBLE) / CAST(nt AS DOUBLE) END) * 0.4
+                        + (CASE WHEN nt = 0 THEN 0.5
+                                WHEN (CAST(length(trim(text)) - (nt - 1) AS DOUBLE)
+                                      / CAST(nt AS DOUBLE)) BETWEEN 3 AND 10 THEN 1.0
+                                ELSE 0.5 END) * 0.2, 6) AS quality
+                    FROM t)
+         SELECT doc_id, lang, quality, CAST(rk AS INTEGER) AS rank
+         FROM (SELECT doc_id, lang, quality,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY quality DESC, doc_id) AS rk
+               FROM s) z
+         WHERE rk <= 5 ORDER BY lang, rank""",
     "q57_session_windows" ->
       // gap-island mirror of session_window: a session break is a >30min gap
       // since the previous event of the same user; window end = last + gap
