@@ -26,12 +26,14 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Σ aᵢ·bᵢ as a codegen'd fold. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ as ONE codegen'd static-kernel call ([[graft.functions.VecKernels]]).
+    * (The earlier `aggregate(zip_with(...))` fold interpreted its lambda per
+    * element and dominated every vector query; the kernel form is
+    * bit-identical — same fold order — at JIT-loop speed.)
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotVec(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = graft.functions.VectorExprs.normVec(a)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
@@ -83,24 +85,19 @@ object Knn {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Squared L2 distance of a vector column to a constant centroid. */
+  /** Squared L2 distance of a vector column to a constant centroid — one
+    * codegen'd kernel call; the centroid ships as a plan-referenced object.
+    */
   private def sqDistToCentroid(vec: Column, c: Array[Double]): Column =
-    aggregate(zip_with(vec, typedLit(c), (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorExprs.sqDistConst(vec, c)
 
   /** Nearest-centroid index over a constant centroid set (first-index wins
-    * ties — same contract as the segmentation K-means).
+    * ties — same contract as the segmentation K-means). All k distances are
+    * fused into a single kernel loop instead of a k-branch CASE over k
+    * separate folds.
     */
-  def assignList(vec: Column, centroids: Array[Array[Double]]): Column = {
-    val d = centroids.map(c => sqDistToCentroid(vec, c))
-    val n = d.length
-    if (n == 1) lit(0)
-    else (0 until n - 1).foldRight(lit(n - 1): Column) { (j, els) =>
-      val rest = (j + 1 until n).map(d)
-      val minRest = if (rest.length == 1) rest.head else least(rest: _*)
-      when(d(j) <= minRest, lit(j)).otherwise(els)
-    }
-  }
+  def assignList(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.VectorExprs.argminConst(vec, centroids)
 
   /** Train coarse IVF centroids with the engine's own array K-means
     * ([[ArrayKMeans]]) — no MLlib Vector conversion, same dataflow shape as
