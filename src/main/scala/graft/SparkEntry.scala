@@ -322,14 +322,18 @@ object SparkEntry {
     "q59_quality_topk" -> ((s, dir) => {
       // quality filtering: keep the top-5 docs per language by heuristic
       // quality score (rounded before ranking so the oracle ranks the same
-      // values; ties break by doc_id)
+      // values; ties break by doc_id). Uses the bounded top-k AGGREGATE, not
+      // a ranking window: lang has a handful of values, so a window would
+      // sort a few giant partitions at scale — the algebraic aggregate
+      // reduces every map partition to k rows before the exchange.
       val d = Parallelize.ensure(Tables.documents(s, dir))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("quality").desc, col("doc_id"))
       d.select(col("doc_id"), col("lang"),
           TextFunctions.qualityScore(col("text")).as("quality"))
-        .withColumn("rank", row_number().over(w).cast("int"))
-        .filter(col("rank") <= 5)
+        .groupBy(col("lang"))
+        .agg(graft.similarity.TopKAggregator.topK(5)(col("doc_id"), col("quality")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("s.id").as("doc_id"), col("lang"),
+          col("s.score").as("quality"), (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("lang"), col("rank"))
     }),
     "q56_bpe_tokens" -> ((s, dir) =>
