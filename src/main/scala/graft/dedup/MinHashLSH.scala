@@ -22,42 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Word n-gram shingles from a pre-split token-array column
-    * (n=`shingleSize`); documents shorter than one shingle contribute their
-    * joined tokens as a single shingle. `toks` must be a plain column
-    * reference — an inlined `split(...)` would be re-executed once per
-    * shingle inside the transform lambda.
-    */
-  def shinglesFromTokens(toks: Column, shingleSize: Int = 3): Column = {
-    val n = size(toks)
-    val idx = sequence(lit(0), n - shingleSize) // inclusive bounds
-    val grams = transform(idx, i =>
-      concat_ws(" ", (0 until shingleSize).map(o => element_at(toks, i + o + 1)): _*))
-    when(n >= shingleSize, array_distinct(grams))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
-
-  /** MinHash signature: element s = min over shingles of the s-th universal
-    * hash. Each shingle string is hashed ONCE (xxhash64); the per-seed
-    * family is an affine mix over that 64-bit value (multiply-add with odd
-    * constants, wrapping like Java longs), so signature width costs
-    * O(shingles + shingles·numHashes) long ops instead of numHashes string
-    * hashes per shingle.
-    */
-  def signature(baseHashCol: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { s =>
-      val a = 0x9E3779B97F4A7C15L * (2 * s + 1) // odd ⇒ bijective mod 2^64
-      val b = 0xC2B2AE3D27D4EB4FL * s
-      array_min(transform(baseHashCol, h => h * lit(a) + lit(b)))
-    }: _*)
-
-  /** One 64-bit hash per shingle — materialize as its own column so the
-    * `numHashes` signature transforms reuse it instead of re-hashing the
-    * strings per seed.
-    */
-  def baseHashes(shingleCol: Column): Column =
-    transform(shingleCol, x => xxhash64(x))
-
   /** (bandIdx, bandHash) array for banded LSH: `bands` groups of `rowsPerBand`
     * signature entries, hashed together.
     */
@@ -67,20 +31,22 @@ object MinHashLSH {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }: _*)
 
-  /** Docs → (id, shingles, signature). Each derived array is its own
-    * projection step: tokens → shingles → per-shingle hash → signature.
-    * Multi-referenced non-cheap aliases survive CollapseProject, so each
-    * stage is evaluated once per row.
+  /** Docs → (id, sh_hash, sig): 64-bit shingle hashes + minhash signature,
+    * each stage ONE codegen'd kernel call ([[MinHashKernels]] — the old
+    * transform-lambda pipeline interpreted per shingle). Shingle hashes,
+    * not shingle strings, flow downstream: set arithmetic over longs is
+    * cheaper than over strings and the shuffled payload shrinks, while
+    * Jaccard values are unchanged absent 64-bit collisions (the same
+    * equivalence [[NgramJaccard]]'s oracle verifies).
     */
   def signatures(documents: DataFrame, textCol: String = "text",
                  idCol: String = "doc_id", numHashes: Int = 32,
                  shingleSize: Int = 3): DataFrame =
     documents
       .select(col(idCol).as("id"), split(trim(col(textCol)), " +").as("toks"))
-      .select(col("id"), shinglesFromTokens(col("toks"), shingleSize).as("shingles"))
-      .withColumn("sh_hash", baseHashes(col("shingles")))
-      .withColumn("sig", signature(col("sh_hash"), numHashes))
-      .drop("sh_hash")
+      .select(col("id"), MinHashExprs.shingleHashes(col("toks"), shingleSize).as("sh_hash"))
+      .select(col("id"), col("sh_hash"),
+        MinHashExprs.minhashSig(col("sh_hash"), numHashes).as("sig"))
 
   /** Candidate near-dup pairs (id1 < id2) from banded LSH, with bucket-size
     * cap. Pure DataFrame: explode → self-join on (band, bandHash).
@@ -104,12 +70,13 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact Jaccard similarity over the shingle sets for given (id1, id2)
-    * pairs — two hash joins against the shingle table, then set arithmetic.
+  /** Exact Jaccard similarity over the (hashed) shingle sets for given
+    * (id1, id2) pairs — two hash joins against the shingle table, then set
+    * arithmetic over 64-bit values.
     */
   def verifyPairs(pairs: DataFrame, sigs: DataFrame): DataFrame = {
-    val s1 = sigs.select(col("id").as("id1"), col("shingles").as("sh1"))
-    val s2 = sigs.select(col("id").as("id2"), col("shingles").as("sh2"))
+    val s1 = sigs.select(col("id").as("id1"), col("sh_hash").as("sh1"))
+    val s2 = sigs.select(col("id").as("id2"), col("sh_hash").as("sh2"))
     pairs.join(s1, "id1").join(s2, "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
