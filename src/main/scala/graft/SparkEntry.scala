@@ -371,6 +371,29 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("cust_bucket"))
     }),
+    // --- JSONL source (schema-on-read over the staged corpus wire format;
+    //     JSON string escaping must round-trip text losslessly for the
+    //     length sum to match the parquet-side oracle) ---
+    "q60_jsonl_ingest" -> ((s, dir) =>
+      s.read.schema("doc_id BIGINT, lang STRING, n_chars INT, text STRING")
+        .json(stagedJsonlDocs(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"),
+          sum(length(col("text")).cast("bigint")).as("sum_text_len"))
+        .orderBy(col("lang"))),
+    // --- partitioned parquet sink + partition-pruned scan (the 100 TB
+    //     layout: lang=... directories; the filter prunes at the FILE level
+    //     before any row is read — PlanSpec asserts PartitionFilters) ---
+    "q61_partitioned_scan" -> ((s, dir) => {
+      val path = stagedLangPartitionedDocs(s, dir)
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
     // --- CSV source parity (S1 + P1-P7 end-to-end on an Instacart-shaped
     //     fixture staged FROM the parquet, so the oracle can mirror it) ---
     "q53_csv_ingest" -> ((s, dir) => {
@@ -388,6 +411,37 @@ object SparkEntry {
         .orderBy(col("days"))
     })
   )
+
+  /** Stage documents as a lang-partitioned parquet layout (`lang=en/...`
+    * directories) — the partitioned-sink half of q61; staged once per dir.
+    */
+  private def stagedLangPartitionedDocs(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_part_docs_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  /** Stage the documents table as JSONL (the training-corpus wire format) at
+    * a deterministic temp path — staged once per (dir, tmp lifetime), like
+    * the CSV and stream fixtures.
+    */
+  private def stagedJsonlDocs(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_jsonl_docs_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .write.mode("overwrite").json(out.toString)
+    }
+    out.toString
+  }
 
   /** Stage an Instacart-shaped CSV fixture derived deterministically from the
     * sf dir's events parquet (header row, every value stringified — the
@@ -682,6 +736,16 @@ object SparkEntry {
                            * sqrt(list_sum([x * x for x in b.v]))), 6) AS cosine
                     FROM c a JOIN c b ON a.vec_id < b.vec_id)
          SELECT id1, id2, cosine FROM p WHERE cosine >= 0.99 ORDER BY id1, id2""",
+    "q61_partitioned_scan" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+         FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1 ORDER BY lang""",
+    "q60_jsonl_ingest" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+                CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_text_len
+         FROM documents GROUP BY 1 ORDER BY lang""",
     "q54_bucketed_join" ->
       """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
                 COUNT(*) AS n,

@@ -93,4 +93,20 @@ class PlanSpec extends SparkSpec {
     val hashAggs = plan.linesIterator.count(_.contains("HashAggregate"))
     assert(hashAggs >= 2, plan)                  // partial + final
   }
+
+  test("q61: a lang filter over the partitioned layout prunes at the partition level") {
+    // stage a lang-partitioned copy of documents, then scan with a lang filter
+    val dir = java.nio.file.Files.createTempDirectory("graft_part_spec").toString
+    Tables.documents(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"),
+        org.apache.spark.sql.functions.col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+    val fmt = formatted(df)
+    assert(fmt.contains("PartitionFilters"), fmt)
+    assert(fmt.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang filter did not reach the partition level:\n$fmt")
+  }
 }
