@@ -19,6 +19,7 @@ object Sql {
     // events view with the ns→µs conversion applied (matches Tables.events)
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
     graft.functions.HashExprs.register(spark)
+    graft.functions.VectorExprs.register(spark)
   }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {

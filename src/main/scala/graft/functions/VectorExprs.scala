@@ -140,4 +140,15 @@ object VectorExprs {
     column(SqDistConstExpr(expression(a), c))
   def argminConst(a: Column, centroids: Array[Array[Double]]): Column =
     column(ArgminConstExpr(expression(a), centroids.flatten, centroids.length))
+
+  /** Register `vec_dot` / `vec_norm` for spark.sql(...) use (the
+    * constant-centroid forms have no SQL-literal spelling and stay
+    * Column-API-only).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_dot",
+      exprs => DotVecExpr(exprs(0), exprs(1)))
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "vec_norm",
+      exprs => NormVecExpr(exprs.head))
+  }
 }
