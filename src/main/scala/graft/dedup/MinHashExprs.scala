@@ -38,31 +38,35 @@ object MinHashKernels {
     if (cnt >= n) {
       var i = 0
       while (i + n <= cnt) {
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(i + j).toString)
-          j += 1
-        }
-        out.add(hash(sb.toString))
+        out.add(hash(joined(toks, i, i + n)))
         i += 1
       }
     } else {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < cnt) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(j).toString)
-        j += 1
-      }
-      out.add(hash(sb.toString))
+      out.add(hash(joined(toks, 0, cnt)))
     }
     val arr = new Array[Long](out.size())
     val it = out.iterator()
     var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
+  }
+
+  /** " "-join of tokens [from, until) with concat_ws semantics: NULL tokens
+    * are skipped entirely (no separator emitted for them).
+    */
+  private def joined(toks: ArrayData, from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var emitted = false
+    var j = from
+    while (j < until) {
+      if (!toks.isNullAt(j)) {
+        if (emitted) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        emitted = true
+      }
+      j += 1
+    }
+    sb.toString
   }
 
   private def hash(s: String): Long =

@@ -24,6 +24,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
   * golden-test drift.
   */
 object VecKernels {
+  // PRECONDITION for every kernel: array ELEMENTS are non-null (a null
+  // ARRAY is handled by the expressions' null-safe wrappers). All engine
+  // call sites cast from parquet float vectors and filter null arrays; a
+  // null element would read as an unspecified primitive here, where the
+  // old fold propagated null. Don't feed these expressions arrays with
+  // null elements.
 
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

@@ -44,7 +44,18 @@ object CosineLSH {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
                      maxBucketSize: Int = 64): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = embeddings.select(size(col(vecCol))).limit(1).collect()
+    if (dimRow.isEmpty) { // empty corpus -> empty result, not a crash
+      val idT = embeddings.schema(idCol).dataType
+      return embeddings.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id1", idT),
+          org.apache.spark.sql.types.StructField("id2", idT),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    val dim = dimRow(0).getInt(0)
     val planes = hyperplanes(bands * bitsPerBand, dim, seed)
     val prepped = embeddings
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
