@@ -212,6 +212,8 @@ object SparkEntry {
     // --- streaming (bounded drain of the structured-streaming pipeline) ---
     "q44_stream_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
+    "q62_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupedWindowedCountsBounded(s, dir)),
     "q38_percentiles" -> ((s, dir) =>
       Relational.quantityPercentiles(Tables.lineitem(s, dir))),
     "q39_string_funcs" -> ((s, dir) =>
@@ -469,6 +471,16 @@ object SparkEntry {
     }
     out.toString
   }
+
+  /** Shared by q44 (plain stream) and q62 (duplicated stream + exactly-once
+    * dedup): both must land on the batch windows over single-copy events.
+    */
+  private val streamWindowsSql: String =
+    """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+              CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
+              event_type, COUNT(*) AS n_events,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+       FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type"""
 
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
@@ -778,12 +790,10 @@ object SparkEntry {
     "q40_kmeans_full" -> kmLloydSql(),
     "q43_kmeans_rdd" -> kmLloydSql(),
     "q46_embedding_clusters" -> arrayKmSql(),
-    "q44_stream_windows" ->
-      """SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
-                CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS window_end,
-                event_type, COUNT(*) AS n_events,
-                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
+    "q44_stream_windows" -> streamWindowsSql,
+    // the dedup stream replays every event twice; after exactly-once
+    // ingestion the windows must equal the batch over SINGLE-copy events
+    "q62_stream_dedup" -> streamWindowsSql,
     "q38_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50,

@@ -41,8 +41,14 @@ object EventsStream {
     */
   def windowedCounts(events: DataFrame, window_ : String = "1 minute",
                      watermark: String = "10 minutes"): DataFrame =
+    windowedAgg(events.withWatermark("ts", watermark), window_)
+
+  /** The windowed aggregation alone — for inputs that already carry a
+    * watermark (e.g. downstream of dropDuplicatesWithinWatermark, where
+    * re-declaring one is disallowed).
+    */
+  def windowedAgg(events: DataFrame, window_ : String = "1 minute"): DataFrame =
     events
-      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
@@ -64,6 +70,49 @@ object EventsStream {
     q.stop()
     spark.table(name)
       .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Exactly-once streaming ingestion: every input row arrives TWICE (the
+    * staged copy duplicates the events), `dropDuplicatesWithinWatermark`
+    * keyed by event_id removes the replays with watermark-bounded state,
+    * and the windowed aggregation downstream must equal the batch GROUP BY
+    * over the original single-copy events — which is exactly how the
+    * harness oracle-checks it (same SQL as the q44 windows).
+    *
+    * The bounded drain processes one batch (events are not time-ordered
+    * across files, so a multi-batch read would hit watermark late-drops and
+    * make the result depend on file order — same reason q44 drains in one
+    * batch); the dedup state API and eviction contract are identical either
+    * way.
+    */
+  def dedupedWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedDuplicatedEventsDir(spark, sfDir)
+    val deduped = readEvents(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val name = "stream_dq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(windowedAgg(deduped), name, OutputMode.Complete())
+    q.stop()
+    spark.table(name)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Events staged with every row duplicated (4 round-robin files).
+    * Deterministic path + _SUCCESS guard like the other fixtures.
+    */
+  private def stagedDuplicatedEventsDir(spark: SparkSession, sfDir: String): String = {
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_dup_events_$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      val base = graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      base.unionByName(base)
+        .repartition(4)
+        .write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
   }
 
   /** Stage the sf dir's single-file events parquet as a 3-file stream-source
