@@ -214,6 +214,22 @@ object SparkEntry {
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
     "q62_stream_dedup" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupedWindowedCountsBounded(s, dir)),
+    // --- analytic windows: running aggregate + lag over a high-cardinality
+    //     partition key (user) — shuffles once by user, sorts within ---
+    "q63_running_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .filter(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("running_sum",
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("running_sum"), col("prev_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
     "q38_percentiles" -> ((s, dir) =>
       Relational.quantityPercentiles(Tables.lineitem(s, dir))),
     "q39_string_funcs" -> ((s, dir) =>
@@ -790,6 +806,18 @@ object SparkEntry {
     "q40_kmeans_full" -> kmLloydSql(),
     "q43_kmeans_rdd" -> kmLloydSql(),
     "q46_embedding_clusters" -> arrayKmSql(),
+    "q63_running_window" ->
+      // ORDER BY casts ts to µs so ns-granularity ties break by event_id on
+      // both sides exactly like the Spark (µs) ordering
+      """SELECT user_id, event_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                       OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+                LAG(value, 1) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value
+         FROM events WHERE user_id < 100
+         ORDER BY user_id, event_id""",
     "q44_stream_windows" -> streamWindowsSql,
     // the dedup stream replays every event twice; after exactly-once
     // ingestion the windows must equal the batch over SINGLE-copy events
