@@ -214,6 +214,16 @@ object SparkEntry {
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
     "q62_stream_dedup" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupedWindowedCountsBounded(s, dir)),
+    // --- set operations: INTERSECT / EXCEPT (distinct set semantics) ---
+    "q64_set_ops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      f.intersect(p).withColumn("tag", lit("both"))
+        .unionByName(f.except(p).withColumn("tag", lit("f_only")))
+        .groupBy(col("tag")).agg(count(lit(1)).as("n_custs"))
+        .orderBy(col("tag"))
+    }),
     // --- analytic windows: running aggregate + lag over a high-cardinality
     //     partition key (user) — shuffles once by user, sorts within ---
     "q63_running_window" -> ((s, dir) => {
@@ -806,6 +816,15 @@ object SparkEntry {
     "q40_kmeans_full" -> kmLloydSql(),
     "q43_kmeans_rdd" -> kmLloydSql(),
     "q46_embedding_clusters" -> arrayKmSql(),
+    "q64_set_ops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+              p AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'),
+              b AS (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM p),
+              fo AS (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM p)
+         SELECT tag, COUNT(*) AS n_custs
+         FROM (SELECT 'both' AS tag, o_custkey FROM b
+               UNION ALL SELECT 'f_only' AS tag, o_custkey FROM fo)
+         GROUP BY tag ORDER BY tag""",
     "q63_running_window" ->
       // ORDER BY casts ts to µs so ns-granularity ties break by event_id on
       // both sides exactly like the Spark (µs) ordering
