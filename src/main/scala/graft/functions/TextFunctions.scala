@@ -49,12 +49,15 @@ object TextFunctions {
   def wordOccurrences(text: Column, word: String): Column =
     regexp_count(text, lit(s"\\b$word\\b"))
 
-  /** Stopword hits: total occurrences of the given word list, as ONE
-    * alternation regex (word-boundary matches cannot overlap, so the
-    * alternation count equals the per-word sum at a fraction of the scans).
+  /** Stopword hits: total occurrences of the given word list at word
+    * boundaries — semantically `regexp_count(text, "\\b(w1|...|wn)\\b")`, but
+    * computed by the count-only codegen'd [[TextKernels.stopwordCount]] scan.
+    * The regex form plans as `size(regexp_extract_all(...))`, materializing
+    * every match as a UTF8String array just to count it (this was ~12% of the
+    * whole bench suite); the kernel is one allocation-free pass per row.
     */
   def stopwordHits(text: Column, stopwords: Seq[String]): Column =
-    regexp_count(text, lit(s"\\b(${stopwords.mkString("|")})\\b"))
+    TextExprs.stopwordCount(text, stopwords)
 
   /** Heuristic language score table: per-language stopword hit counts.
     * Language ID = argmax over languages (ties → first language listed).
