@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   * produced and discarded executor-side — nothing collected, no count()
   * shortcuts that could skip projection work). A small warm-up action runs
   * first so JVM/codegen startup is not billed to the first query.
+  *
+  * Every query runs SPARK_GRAFT_BENCH_RUNS times (default 5) and the
+  * reported number is the per-query MEDIAN: single runs at this scale swing
+  * 2-4x on identical plans (round-3 finding), so medians are the only
+  * timings worth comparing across rounds. `value` is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,13 +44,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       args.isEmpty || args.exists(name.contains)
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> median(times)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -54,7 +67,7 @@ object Bench {
       System.err.println(f"[bench] $v%8.3f s  $k")
     }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // File copy of the same line: the driver's parser reads this, not stdout.
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),

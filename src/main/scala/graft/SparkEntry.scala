@@ -194,14 +194,16 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
     "q45_hll_distinct" -> ((s, dir) =>
-      // rows-only: HLL estimate alongside the exact count it approximates.
-      // Deliberately NOT Parallelize.ensure'd: the countDistinct rewrite
-      // expands every row, so a pre-agg repartition shuffles 2x the input
-      // for no map-side win (measured 2.5x slower with it).
+      // rows-only: the HLL sketch estimate per group. Sketch-ONLY on purpose:
+      // mixing countDistinct with a regular aggregate makes Spark rewrite via
+      // Expand (every input row duplicated per aggregate group) — a 2x
+      // input-row multiplier that only grows at 100 TB. The exact half is its
+      // own oracle-green query (q52); accuracy is gated by HyperLogLogSpec's
+      // tolerance tests. Median bench at sf0.1 (n=5): combined-Expand 2.20s
+      // vs sketch-only 0.59s.
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
-          graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
+        .agg(graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
         .orderBy(col("l_returnflag"))),
     "q52_exact_distinct" -> ((s, dir) =>
       // the oracle-able half of q45: exact distinct counts, no sketch column

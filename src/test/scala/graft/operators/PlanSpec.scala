@@ -109,4 +109,16 @@ class PlanSpec extends SparkSpec {
     assert(fmt.matches("(?s).*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
       s"lang filter did not reach the partition level:\n$fmt")
   }
+
+  test("q45: sketch-only HLL aggregate plans without Expand") {
+    // Mixing countDistinct with a regular aggregate triggers the Expand
+    // rewrite (every input row duplicated per aggregate group) — a structural
+    // 2x row multiplier at 100 TB. The sketch-only form must stay Expand-free
+    // and keep map-side partial aggregation of the 4 KiB registers.
+    val df = graft.SparkEntry.queries("q45_hll_distinct")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"), s"q45 plan contains Expand:\n$plan")
+    assert(plan.contains("partial_hll_distinct") || plan.contains("HashAggregate"),
+      s"q45 lost partial aggregation:\n$plan")
+  }
 }
