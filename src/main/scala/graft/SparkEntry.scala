@@ -130,6 +130,15 @@ object SparkEntry {
     // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
     "q22_minhash_neardups" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), threshold = 0.3)),
+    "q65_neardup_components" -> ((s, dir) => {
+      // group resolution over the q22 pair graph: connected components by
+      // min-label propagation → one canonical id per near-dup'd document
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
+        .orderBy(col("doc_id"))
+    }),
     "q23_simhash_neardups" -> ((s, dir) =>
       SimHashDedup.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), maxHamming = 10)),
     "q24_knn_bruteforce" -> ((s, dir) => {
@@ -701,6 +710,32 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q65_neardup_components" ->
+      // connected components over the same brute-force pair graph as q22's
+      // oracle, via recursive transitive closure; canonical = min reachable
+      // id (LEAST covers the component-minimum vertex itself)
+      """WITH RECURSIVE
+              toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                                for i in range(1, len(tk) - 1)])
+                            ELSE [array_to_string(tk, ' ')] END AS shingles
+                     FROM toks),
+              pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                                   AS DOUBLE) >= 0.3),
+              edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              walk(id, reach) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
+         SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
+         FROM walk GROUP BY id ORDER BY doc_id""",
     "q58_train_val_split" ->
       """WITH d AS (SELECT
                       CASE WHEN doc_id % 10 < 8 THEN 'train'

@@ -1,0 +1,85 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate GROUP resolution: the LSH stages (MinHashLSH, CosineLSH,
+  * SimHashDedup) emit verified PAIRS; a dedup pipeline needs one canonical id
+  * per document — i.e. connected components over the pair graph, labelled by
+  * the component's minimum id (the same min-id-wins canonical rule as
+  * [[ExactDedup.groups]]).
+  *
+  * Algorithm: iterative min-label propagation. Every vertex starts with its
+  * own id as label; each round every vertex takes the min of its label and
+  * its neighbours' labels; fixpoint = components. Convergence is
+  * O(component diameter) rounds — near-dup clusters are small and dense
+  * (members are all pairwise-similar versions of one document), so diameter
+  * is in practice 1-2 and the loop runs 2-3 rounds. For adversarial
+  * long-chain graphs the alternating large-star/small-star scheme (Kiveris
+  * et al., "Connected Components in MapReduce and Beyond", SoCC'14) drops to
+  * O(log² n) rounds; not needed for dedup-shaped graphs.
+  *
+  * Scale design: per round, ONE shuffle-join of the (symmetric) edge table
+  * against the label table on vertex id plus ONE min-aggregation — both keyed
+  * on uniformly-distributed ids, state O(1) per vertex. `localCheckpoint`
+  * truncates the iterative lineage (same pattern as the Lloyd's loop in
+  * `segmentation/KMeansMR`); the only driver-side values are the per-round
+  * changed-count and the loop counter.
+  */
+object ConnectedComponents {
+
+  /** (id, component) for every vertex of `pairs`; component = min id reachable.
+    *
+    * @param pairs undirected edge list; self-loops and duplicate/reversed
+    *              pairs are tolerated.
+    */
+  def components(pairs: DataFrame, src: String = "id1", dst: String = "id2",
+                 maxIter: Int = 50): DataFrame = {
+    val half = pairs.select(col(src).cast("long").as("s"), col(dst).cast("long").as("d"))
+    // symmetric closure; distinct caps repeated pairs from banded LSH output
+    val edges = half.union(half.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct().persist()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // neighbour labels flow along edges; each vertex keeps the min of
+      // (own label, incoming labels)
+      val incoming = edges.join(labels, col("s") === col("id"))
+        .select(col("d").as("id"), col("label"))
+      val next = labels.union(incoming)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.select(col("id"), col("label").as("prev")), "id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** (doc_id, canonical_id) for every doc in `pairs`, canonical = min id of
+    * its near-dup component — the near-dup analogue of [[ExactDedup.groups]].
+    */
+  def canonicalAssignments(pairs: DataFrame, src: String = "id1",
+                           dst: String = "id2"): DataFrame =
+    components(pairs, src, dst)
+      .select(col("id").as("doc_id"), col("label").as("canonical_id"))
+
+  /** Drop every non-canonical member of a near-dup component from `documents`
+    * — the near-dup analogue of [[ExactDedup.deduplicate]]. Docs that appear
+    * in no pair are kept (they are their own canonical).
+    */
+  def deduplicate(documents: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id", src: String = "id1",
+                  dst: String = "id2"): DataFrame = {
+    val losers = canonicalAssignments(pairs, src, dst)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id").as(idCol))
+    documents.join(losers, Seq(idCol), "left_anti")
+  }
+}
