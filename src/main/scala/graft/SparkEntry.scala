@@ -40,6 +40,20 @@ object SparkEntry {
   private val kmCentroids: Array[Array[Double]] =
     Array(Array(17.0, 0.0), Array(13.0, 0.0), Array(8.0, 3.0)) // BASELINE.md K=3 (A) init
 
+  /** Fixed elbow-sweep centroids for q41: MLlib KMeans(seed=1) fits on
+    * events.hour at sf0.01 (k=2..7), exported once and quantized to integers
+    * — integral centroids over integral hours make every squared distance an
+    * integral double, so the WCSS sums are order-independent and bit-exact vs
+    * the DuckDB oracle (same parity rule as [[kmCentroids]]).
+    */
+  private val sweepCentroids: Seq[(Int, Array[Array[Double]])] = Seq(
+    2 -> Array(Array(5.0), Array(17.0)),
+    3 -> Array(Array(11.0), Array(19.0), Array(3.0)),
+    4 -> Array(Array(10.0), Array(16.0), Array(21.0), Array(3.0)),
+    5 -> Array(Array(8.0), Array(18.0), Array(22.0), Array(3.0), Array(14.0)),
+    6 -> Array(Array(8.0), Array(18.0), Array(22.0), Array(3.0), Array(20.0), Array(14.0)),
+    7 -> Array(Array(9.0), Array(18.0), Array(5.0), Array(22.0), Array(1.0), Array(14.0), Array(20.0)))
+
   private def eventPoints(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(
@@ -333,10 +347,25 @@ object SparkEntry {
         .toSeq.toDF("cluster", "hour", "dow", "iterations", "converged")
     }),
     "q41_elbow_sweep" -> ((s, dir) => {
+      // WCSS-per-k + elbow pick over FIXED exported centroids (see
+      // [[sweepCentroids]]) — the oracle-able recomputation half of the elbow
+      // method. All six per-k WCSS sums run as ONE single-pass aggregate (6
+      // codegen'd min-sq-dist sums, no per-k jobs); the collect is one row of
+      // six doubles, and the diff2/argmin arithmetic reuses Elbow.elbowK.
+      // The MLlib fit half (centroid training) stays covered by ElbowSpec +
+      // the Pipelines driver — its seed-internal centroids are exactly what
+      // a SQL oracle cannot replay.
       val pts = eventPoints(s, dir)
-      val sweep = Elbow.sweep(pts, Seq("hour"), ks = 2 until 8)
+      val aggs = sweepCentroids.map { case (k, cs) =>
+        sum(KMeansMR.minSqDistExpr(Seq(col("hour")), cs)).as(s"wcss_$k") }
+      val row = pts.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val wcss = sweepCentroids.map { case (k, _) => row.getAs[Double](s"wcss_$k") }
+      val elbow = Elbow.elbowK(wcss)
       import s.implicits._
-      sweep.map(p => (p.k, p.wcss, p.trainingCost)).toDF("k", "wcss", "training_cost")
+      sweepCentroids.map(_._1).zip(wcss)
+        .map { case (k, w) => (k, w, elbow) }
+        .toDF("k", "wcss", "elbow_k")
+        .orderBy(col("k"))
     }),
     "q42_segmentation_pipeline" -> ((s, dir) => {
       val feats = Pipelines.ordersFeatures(s, dir)
@@ -851,6 +880,7 @@ object SparkEntry {
          FROM r WHERE department_id IN (1, 2, 3, 4, 5)
          GROUP BY 1, 2 ORDER BY days""",
     "q40_kmeans_full" -> kmLloydSql(),
+    "q41_elbow_sweep" -> elbowSweepSql,
     "q43_kmeans_rdd" -> kmLloydSql(),
     "q46_embedding_clusters" -> arrayKmSql(),
     "q64_set_ops" ->
@@ -1017,6 +1047,26 @@ object SparkEntry {
     s"""WITH pts AS ($kmPointsSql)
         SELECT SUM(LEAST(${ds.mkString(", ")})) AS wcss, COUNT(*) AS n_points
         FROM pts"""
+  }
+
+  /** DuckDB mirror of q41: per-k WCSS over the fixed [[sweepCentroids]],
+    * then the reference's elbow arithmetic (argmin of the second discrete
+    * difference, first-wins ties → ORDER BY d2, k) in plain SQL.
+    */
+  private def elbowSweepSql: String = {
+    def dist(c: Array[Double]) = s"(hour - ${c(0)}) * (hour - ${c(0)})"
+    val perK = sweepCentroids.map { case (k, cs) =>
+      s"SELECT $k AS k, SUM(LEAST(${cs.map(dist).mkString(", ")})) AS wcss FROM pts"
+    }.mkString(" UNION ALL ")
+    s"""WITH pts AS (SELECT CAST(hour(ts) AS DOUBLE) AS hour FROM events),
+            w AS ($perK),
+            d AS (SELECT k, wcss,
+                         lead(wcss, 1) OVER (ORDER BY k) AS w1,
+                         lead(wcss, 2) OVER (ORDER BY k) AS w2 FROM w),
+            dd AS (SELECT k, wcss - 2 * w1 + w2 AS d2 FROM d WHERE w2 IS NOT NULL),
+            e AS (SELECT k FROM dd ORDER BY d2, k LIMIT 1)
+        SELECT CAST(w.k AS INTEGER) AS k, w.wcss, CAST(e.k AS INTEGER) AS elbow_k
+        FROM w, e ORDER BY w.k"""
   }
 
   /** DuckDB mirror of the full Lloyd's loop (q40/q43): `maxIter` unrolled
