@@ -56,12 +56,14 @@ object MinHashLSH {
     val banded = sigs
       .select(col("id"), explode(bandHashes(col("sig"), bands, rowsPerBand)).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    // cap pathological buckets before the pair join
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+    // cap pathological buckets before the pair join: groupBy().count() +
+    // semi-join instead of count-over-window — same (band, bh) shuffle key
+    // (the exchange is shared via ReusedExchange), but no per-bucket SORT
+    val smallBuckets = banded.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+      .select(col("band"), col("bh"))
+    val sized = banded.join(smallBuckets, Seq("band", "bh"), "left_semi")
     val l = sized.select(col("band"), col("bh"), col("id").as("id1"))
     val r = sized.select(col("band"), col("bh"), col("id").as("id2"))
     l.join(r, Seq("band", "bh"))

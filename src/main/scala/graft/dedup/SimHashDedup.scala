@@ -29,11 +29,13 @@ object SimHashDedup {
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
       }: _*)).as("b"))
       .select(col("id"), col("sim"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
-    val capped = chunked
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("ch"))))
+    // bucket cap via groupBy().count() + semi-join (no per-bucket SORT; the
+    // (chunk, ch) exchange is shared with the pair join via ReusedExchange)
+    val smallBuckets = chunked.groupBy(col("chunk"), col("ch"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+      .select(col("chunk"), col("ch"))
+    val capped = chunked.join(smallBuckets, Seq("chunk", "ch"), "left_semi")
     val l = capped.select(col("chunk"), col("ch"), col("id").as("id1"), col("sim").as("sim1"))
     val r = capped.select(col("chunk"), col("ch"), col("id").as("id2"), col("sim").as("sim2"))
     l.join(r, Seq("chunk", "ch"))

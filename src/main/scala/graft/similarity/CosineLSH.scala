@@ -67,11 +67,13 @@ object CosineLSH {
             (0 until bitsPerBand).map(j => planes(b * bitsPerBand + j))).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("sig"))))
+    // bucket cap via groupBy().count() + semi-join (no per-bucket SORT; the
+    // (band, sig) exchange is shared with the pair join via ReusedExchange)
+    val smallBuckets = banded.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+      .select(col("band"), col("sig"))
+    val sized = banded.join(smallBuckets, Seq("band", "sig"), "left_semi")
     val pairs = sized.select(col("band"), col("sig"), col("id").as("id1"))
       .join(sized.select(col("band"), col("sig"), col("id").as("id2")), Seq("band", "sig"))
       .filter(col("id1") < col("id2"))

@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
       s"lang filter did not reach the partition level:\n$fmt")
   }
 
+  test("LSH bucket caps plan without a Window (groupBy+semi-join form)") {
+    // count-over-window adds a per-bucket SORT the groupBy+semi-join form
+    // avoids; the bucket-key exchange is shared with the pair join instead.
+    for (q <- Seq("q22_minhash_neardups", "q23_simhash_neardups", "q55_cosine_neardups")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf("sf0.001"))
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), s"$q plan contains Window:\n$plan")
+    }
+  }
+
   test("q45: sketch-only HLL aggregate plans without Expand") {
     // Mixing countDistinct with a regular aggregate triggers the Expand
     // rewrite (every input row duplicated per aggregate group) — a structural
