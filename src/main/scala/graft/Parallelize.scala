@@ -19,6 +19,12 @@ object Parallelize {
     val target =
       if (minPartitions > 0) minPartitions
       else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Decide from the FILE layout (public inputFiles API, no job, no
+    // physical planning — the old df.rdd probe forced plan materialization):
+    // fewer files than cores means the scan cannot reach full parallelism
+    // for one-row-group files, so rebalance. Non-file sources (inputFiles
+    // empty) are left alone — local relations already slice to parallelism.
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < target) df.repartition(target) else df
   }
 }

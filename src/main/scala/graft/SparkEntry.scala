@@ -312,7 +312,7 @@ object SparkEntry {
       operators.AsOfJoin.asof(ev, Tables.orders(s, dir),
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
-          rightTieBreak = "o_orderkey", broadcastRight = true)
+          rightTieBreak = "o_orderkey")
         .select(col("event_id"), col("asof_o_orderkey"))
         .orderBy(col("event_id"))
     }),

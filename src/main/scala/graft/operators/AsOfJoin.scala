@@ -38,17 +38,16 @@ object AsOfJoin {
     * Determinism: ties on right-time break by the largest `rightTieBreak`.
     * Inner semantics: left rows with no right row at-or-before are dropped.
     *
-    * `broadcastRight` is retained for API compatibility but unused: the
-    * merge-scan shuffles |L| + |R| rows exactly once, which beats the
-    * broadcast-join form even for small right sides (that form still had to
-    * shuffle every surviving joined row into the dedup window).
+    * No broadcast variant: the merge-scan shuffles |L| + |R| rows exactly
+    * once, which beats the broadcast-join form even for small right sides
+    * (that form still had to shuffle every surviving joined row into the
+    * dedup window).
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTime: String, rightTime: String,
            rightTieBreak: String,
-           rightPrefix: String = "asof_",
-           broadcastRight: Boolean = false): DataFrame = {
+           rightPrefix: String = "asof_"): DataFrame = {
     val kType = widen(left.schema(leftKey).dataType, right.schema(rightKey).dataType)
     val tType = widen(left.schema(leftTime).dataType, right.schema(rightTime).dataType)
     val tbType = right.schema(rightTieBreak).dataType

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -43,7 +43,8 @@ class TopKAggregator(k: Int)
   override def merge(a: List[ScoredId], b: List[ScoredId]): List[ScoredId] =
     b.foldLeft(a)(insert)
   override def finish(buf: List[ScoredId]): Array[ScoredId] = buf.toArray
-  override def bufferEncoder: Encoder[List[ScoredId]] = Encoders.kryo[List[ScoredId]]
+  override def bufferEncoder: Encoder[List[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredId]]()
   override def outputEncoder: Encoder[Array[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredId]]()
 }
