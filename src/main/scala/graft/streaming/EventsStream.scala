@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -56,20 +56,51 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Batch-stage + stream + drain: copy the sf dir's events parquet into a
-    * temp stream-source directory (several files → several micro-batches),
-    * run [[windowedCounts]] through a memory sink to completion, and return
-    * the final result as a DataFrame. This is the bounded-input form the
-    * correctness harness can oracle-check against a plain batch GROUP BY.
+  /** Batch-stage + stream + drain with REAL watermark semantics: the events
+    * are staged time-ordered across three chunk files plus a planted LATE
+    * file and a future FLUSH file (see [[stagedTimeOrderedEventsDir]]), read
+    * one file per micro-batch, and aggregated in APPEND mode — so every
+    * window is emitted exactly once when the watermark passes it and its
+    * state is evicted, exactly the steady-state streaming contract.
+    *
+    *  - >= 5 micro-batches (one per file; [[windowedCountsMultiBatch]]
+    *    exposes the query so tests can assert the batch count);
+    *  - the '__late' row arrives two batches after its window closed and
+    *    MUST be dropped by the watermark: the batch oracle doesn't contain
+    *    it, so if it ever leaks through, the correctness gate fails on row
+    *    count — the late-drop path is asserted end-to-end, not just unit-
+    *    tested;
+    *  - the '__flush' row sits far past the real data so the watermark
+    *    passes every real window (its own never-finalized window is
+    *    filtered out here).
     */
   def windowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = stagedEventsDir(spark, sfDir)
-    val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = runToMemory(windowedCounts(readEvents(spark, dir)), name,
-      OutputMode.Complete())
+    val (df, q) = windowedCountsMultiBatch(spark, sfDir)
     q.stop()
-    spark.table(name)
+    df
+  }
+
+  /** [[windowedCountsBounded]] plus the drained query handle (for tests that
+    * assert the micro-batch count and progress).
+    */
+  def windowedCountsMultiBatch(spark: SparkSession,
+                               sfDir: String): (DataFrame, StreamingQuery) = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(windowedCounts(stream), name, OutputMode.Append())
+    // '__flush' never finalizes (nothing advances the watermark past it) —
+    // filtered defensively. '__late' is deliberately NOT filtered: only the
+    // watermark may remove it, so a broken late-drop path surfaces as an
+    // extra row the batch oracle doesn't have.
+    val df = spark.table(name)
+      .filter(col("event_type") =!= "__flush")
       .orderBy(col("window_start"), col("event_type"))
+    (df, q)
   }
 
   /** Exactly-once streaming ingestion: every input row arrives TWICE (the
@@ -79,11 +110,12 @@ object EventsStream {
     * over the original single-copy events — which is exactly how the
     * harness oracle-checks it (same SQL as the q44 windows).
     *
-    * The bounded drain processes one batch (events are not time-ordered
-    * across files, so a multi-batch read would hit watermark late-drops and
-    * make the result depend on file order — same reason q44 drains in one
-    * batch); the dedup state API and eviction contract are identical either
-    * way.
+    * The bounded drain processes one batch: the duplicated copies are
+    * scattered across files in arbitrary ts order, so a multi-batch read
+    * would hit watermark late-drops and make the result file-order-
+    * dependent. The dedup state API and eviction contract are identical
+    * either way; the multi-batch watermark/eviction path is exercised
+    * end-to-end by q44 ([[windowedCountsMultiBatch]]).
     */
   def dedupedWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedDuplicatedEventsDir(spark, sfDir)
@@ -115,22 +147,62 @@ object EventsStream {
     dir.toString
   }
 
-  /** Stage the sf dir's single-file events parquet as a 3-file stream-source
-    * directory, at a DETERMINISTIC path keyed by the source dir — staged once
-    * and reused by every later call (and every later JVM sharing /tmp), so
-    * repeat q44 runs pay zero staging I/O and /tmp no longer accretes a fresh
-    * copy per call. `_SUCCESS` marks a completed write.
+  /** Stage the sf dir's events as a TIME-ORDERED stream-source directory at a
+    * deterministic path (staged once, `_SUCCESS`-guarded, reused across JVMs
+    * sharing /tmp):
+    *
+    *   chunk_0..chunk_2  the events split into three disjoint ts ranges
+    *                     (tercile boundaries), oldest range first;
+    *   chunk_3_late      ONE planted row ('__late', event_id -1) carrying the
+    *                     corpus-minimum ts — by the time it arrives the
+    *                     watermark sits near the end of chunk_2, so a correct
+    *                     watermark MUST drop it;
+    *   chunk_4_flush     ONE planted row ('__flush', event_id -2) two hours
+    *                     past the corpus maximum — advances the watermark
+    *                     over every real window so append mode finalizes all
+    *                     of them.
+    *
+    * File modification times increase with the chunk index so the file
+    * stream source (which orders by mod time) replays them oldest-first;
+    * `maxFilesPerTrigger=1` then yields one micro-batch per file.
     */
-  private def stagedEventsDir(spark: SparkSession, sfDir: String): String = {
+  private def stagedTimeOrderedEventsDir(spark: SparkSession, sfDir: String): String = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
     val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_events_$key")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_ord_events_$key")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-      graft.Tables.events(spark, sfDir)
+      val base = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
-        .repartition(3)
-        .write.mode("overwrite").parquet(dir.toString)
+      val Row(tsMin: Long, tsMax: Long) =
+        base.agg(min(col("ts")), max(col("ts"))).collect()(0)
+      // tercile split points (ns precision loss in the double quantile is
+      // irrelevant — the chunks only need to be disjoint and time-ordered)
+      val Array(b1, b2) = base.stat
+        .approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.001).map(_.toLong)
+      import spark.implicits._
+      val chunks: Seq[(String, DataFrame)] = Seq(
+        "chunk_0" -> base.filter(col("ts") <= b1),
+        "chunk_1" -> base.filter(col("ts") > b1 && col("ts") <= b2),
+        "chunk_2" -> base.filter(col("ts") > b2),
+        "chunk_3_late" -> Seq((-1L, tsMin, 0L, "__late", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        "chunk_4_flush" -> Seq((-2L, tsMax + 2L * 3600L * 1000000000L, 0L, "__flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      java.nio.file.Files.createDirectories(dir)
+      chunks.zipWithIndex.foreach { case ((fname, df), i) =>
+        val tmp = dir.resolve(s"_stage_$fname")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+        val target = dir.resolve(s"$fname.parquet")
+        java.nio.file.Files.move(part.toPath, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+        tmp.toFile.listFiles().foreach(f => { f.delete(); () })
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+      java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
     }
     dir.toString
   }

@@ -75,6 +75,22 @@ class EventsStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q44 multi-batch: >=5 micro-batches, late row dropped, equals batch") {
+    val (df, q) = EventsStream.windowedCountsMultiBatch(spark, sf("sf0.001"))
+    try {
+      val streamed = df.select("window_start", "event_type", "n_events")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(!streamed.exists(_._2 == "__late"), "planted late row leaked past the watermark")
+      val batch = graft.Tables.events(spark, sf("sf0.001"))
+        .groupBy(date_trunc("minute", $"ts").as("window_start"), $"event_type")
+        .agg(count(lit(1)).as("n_events"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(q.lastProgress.batchId >= 4,
+        s"expected >=5 micro-batches, got batchId ${q.lastProgress.batchId}")
+    } finally q.stop()
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     // append-mode with watermark only emits finalized windows; a query on a
     // bounded file source emits nothing until watermark advances past window
