@@ -160,6 +160,17 @@ object SparkEntry {
       Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 3)
         .withColumn("cosine", round(col("cosine"), 6))
     }),
+    "q66_fingerprint_gate" -> ((s, dir) =>
+      // property gate for the 64-bit fingerprint kernel: collision-free on
+      // this corpus AND invariant to case + whitespace layout. The oracle
+      // predicts both distinct counts from the normalized text itself — a
+      // collision, a case-sensitivity bug, or a whitespace-normalization bug
+      // each break a different column. (simhash64 gets no such gate: it is a
+      // LOCALITY hash — nearby token multisets colliding is the feature.)
+      Parallelize.ensure(Tables.documents(s, dir))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(HashExprs.fingerprint(col("text"))).as("n_distinct_fp"),
+          countDistinct(HashExprs.fingerprint(upper(col("text")))).as("n_distinct_fp_case"))),
     "q25_fingerprints" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"), HashExprs.fingerprint(col("text")).as("fp"),
@@ -687,6 +698,16 @@ object SparkEntry {
       // query's approximate top-3 must recover >= 2/3 of the exact top-3
       """SELECT vec_id AS query_id, TRUE AS meets_floor
          FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
+    "q66_fingerprint_gate" ->
+      // the fingerprint itself is engine-internal; the oracle predicts its
+      // distinct count from the normalization it promises (lower + collapsed
+      // whitespace), for both the raw and the upper-cased input
+      """SELECT COUNT(*) AS n_docs,
+                COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS n_distinct_fp,
+                COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS n_distinct_fp_case
+         FROM documents""",
     "q26_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
                     FROM documents),

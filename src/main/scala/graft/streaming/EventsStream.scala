@@ -118,33 +118,21 @@ object EventsStream {
     * end-to-end by q44 ([[windowedCountsMultiBatch]]).
     */
   def dedupedWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = stagedDuplicatedEventsDir(spark, sfDir)
-    val deduped = readEvents(spark, dir)
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir, duplicated = true)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val deduped = stream
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val name = "stream_dq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = runToMemory(windowedAgg(deduped), name, OutputMode.Complete())
+    val q = runToMemory(windowedAgg(deduped), name, OutputMode.Append())
     q.stop()
     spark.table(name)
+      .filter(col("event_type") =!= "__flush")
       .orderBy(col("window_start"), col("event_type"))
-  }
-
-  /** Events staged with every row duplicated (4 round-robin files).
-    * Deterministic path + _SUCCESS guard like the other fixtures.
-    */
-  private def stagedDuplicatedEventsDir(spark: SparkSession, sfDir: String): String = {
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
-    val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_dup_events_$key")
-    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-      val base = graft.Tables.events(spark, sfDir)
-        .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
-          col("event_type"), col("value"), col("props"))
-      base.unionByName(base)
-        .repartition(4)
-        .write.mode("overwrite").parquet(dir.toString)
-    }
-    dir.toString
   }
 
   /** Stage the sf dir's events as a TIME-ORDERED stream-source directory at a
@@ -166,14 +154,20 @@ object EventsStream {
     * stream source (which orders by mod time) replays them oldest-first;
     * `maxFilesPerTrigger=1` then yields one micro-batch per file.
     */
-  private def stagedTimeOrderedEventsDir(spark: SparkSession, sfDir: String): String = {
+  private def stagedTimeOrderedEventsDir(spark: SparkSession, sfDir: String,
+                                         duplicated: Boolean = false): String = {
     val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val tag = if (duplicated) "orddup" else "ord" // NOT "dup": old fixture paths
     val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_ord_events_$key")
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_${tag}_events_$key")
     if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
-      val base = graft.Tables.events(spark, sfDir)
+      val single = graft.Tables.events(spark, sfDir)
         .select(col("event_id"), col("ts_ns").as("ts"), col("user_id"),
           col("event_type"), col("value"), col("props"))
+      // exactly-once staging: every row appears TWICE in its chunk file, so
+      // the replay copy lands in the same micro-batch as the original and
+      // dropDuplicatesWithinWatermark's keyed state removes it
+      val base = if (duplicated) single.unionByName(single) else single
       val Row(tsMin: Long, tsMax: Long) =
         base.agg(min(col("ts")), max(col("ts"))).collect()(0)
       // tercile split points (ns precision loss in the double quantile is
