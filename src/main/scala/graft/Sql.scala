@@ -18,8 +18,9 @@ object Sql {
     }
     // events view with the ns→µs conversion applied (matches Tables.events)
     Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    graft.functions.HashExprs.register(spark)
-    graft.functions.VectorExprs.register(spark)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, name, builder)
+    }
   }
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {

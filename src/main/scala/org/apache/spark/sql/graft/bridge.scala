@@ -20,4 +20,15 @@ object bridge {
       .createOrReplaceTempFunction(name, builder, "scala_udf")
     ()
   }
+
+  /** Apply a SparkSessionExtensions' injected functions to a live session —
+    * the same `registerFunctions` call the session builder makes when
+    * `spark.sql.extensions` is set (that path is `private[sql]`; tests use
+    * this to exercise an extensions payload against an existing session).
+    */
+  def applyExtensionFunctions(spark: SparkSession,
+                              ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+    ()
+  }
 }
