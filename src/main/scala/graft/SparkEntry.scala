@@ -254,6 +254,25 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
         .orderBy(col("l_returnflag"))),
+    "q67_hll_merge" -> ((s, dir) => {
+      // sketch-rollup gate: per-group sketches merged at query time must
+      // (a) give BIT-IDENTICAL registers to one direct pass (merge = the
+      // same element-wise max as partial aggregation), and (b) land within
+      // 5% of the exact distinct count (p=12 ~ 1.6% se). This is the stored-
+      // sketch pattern that answers 100 TB distinct-count rollups without
+      // rescanning: 4 KiB per (group, day) instead of the raw keys.
+      val lt = Tables.lineitem(s, dir)
+      import graft.functions.HyperLogLog
+      val merged = lt.groupBy(col("l_returnflag"))
+        .agg(HyperLogLog.hllSketch(col("l_partkey")).as("sk"))
+        .agg(HyperLogLog.hllMergeEstimate(col("sk")).as("est"))
+      val direct = lt.agg(HyperLogLog.hllDistinct(col("l_partkey")).as("direct_est"))
+      val exact = lt.agg(countDistinct(col("l_partkey")).as("exact"))
+      merged.crossJoin(direct).crossJoin(exact)
+        .select((col("est") === col("direct_est")).as("merge_consistent"),
+          (abs(col("est").cast("double") / col("exact").cast("double") - 1.0) <= 0.05)
+            .as("within_tolerance"))
+    }),
     "q52_exact_distinct" -> ((s, dir) =>
       // the oracle-able half of q45: exact distinct counts, no sketch column
       Tables.lineitem(s, dir)
@@ -698,6 +717,10 @@ object SparkEntry {
       // query's approximate top-3 must recover >= 2/3 of the exact top-3
       """SELECT vec_id AS query_id, TRUE AS meets_floor
          FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
+    "q67_hll_merge" ->
+      // property oracle: sketch rollup == direct sketch, and both within
+      // the 5% tolerance of exact (the values themselves are engine-internal)
+      "SELECT TRUE AS merge_consistent, TRUE AS within_tolerance",
     "q66_fingerprint_gate" ->
       // the fingerprint itself is engine-internal; the oracle predicts its
       // distinct count from the normalization it promises (lower + collapsed

@@ -37,7 +37,19 @@ class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Byte], Long] {
     a
   }
 
-  override def finish(regs: Array[Byte]): Long = {
+  override def finish(regs: Array[Byte]): Long = HllOps.estimate(regs)
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}
+
+/** Register-array operations shared by the aggregators and the sketch
+  * column functions.
+  */
+object HllOps {
+  /** Standard HLL estimate with the small-range linear-counting correction. */
+  def estimate(regs: Array[Byte]): Long = {
+    val m = regs.length
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -59,6 +71,45 @@ class HllAggregator(p: Int = 12) extends Aggregator[Long, Array[Byte], Long] {
     math.round(est)
   }
 
+  /** Element-wise max merge of `b` into `a` (mutates and returns `a`). */
+  def mergeInto(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length, s"sketch width mismatch: ${a.length} vs ${b.length}")
+    var i = 0
+    while (i < a.length) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+}
+
+/** Like [[HllAggregator]] but FINISHES with the raw registers — a reusable
+  * binary SKETCH column instead of a number. This is the pre-aggregation
+  * pattern that matters at 100 TB: sketch each partition/day/group once,
+  * store 4 KiB per group, and answer any later distinct-count rollup by
+  * merging sketches ([[HllMergeAggregator]]) without rescanning the data.
+  */
+class HllSketchAggregator(p: Int = 12) extends Aggregator[Long, Array[Byte], Array[Byte]] {
+  private val inner = new HllAggregator(p)
+  override def zero: Array[Byte] = inner.zero
+  override def reduce(regs: Array[Byte], hash: Long): Array[Byte] = inner.reduce(regs, hash)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = HllOps.mergeInto(a, b)
+  override def finish(regs: Array[Byte]): Array[Byte] = regs
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Merges already-built sketches (a binary column of equal-width register
+  * arrays) and estimates the distinct count of their union. Merging is the
+  * same element-wise max as in-flight partial aggregation, so rolling up
+  * stored sketches gives BIT-IDENTICAL registers to a single pass over the
+  * union of the raw data.
+  */
+class HllMergeAggregator extends Aggregator[Array[Byte], Array[Byte], Long] {
+  override def zero: Array[Byte] = Array.emptyByteArray
+  override def reduce(acc: Array[Byte], sketch: Array[Byte]): Array[Byte] =
+    if (acc.isEmpty) sketch.clone() else HllOps.mergeInto(acc, sketch)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.isEmpty) b else if (b.isEmpty) a else HllOps.mergeInto(a, b)
+  override def finish(regs: Array[Byte]): Long =
+    if (regs.isEmpty) 0L else HllOps.estimate(regs)
   override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
@@ -69,4 +120,14 @@ object HyperLogLog {
     */
   def hllDistinct(c: Column, p: Int = 12): Column =
     udaf(new HllAggregator(p)).apply(xxhash64(c))
+
+  /** `hll_sketch(col)`: mergeable binary sketch of the column's distinct set. */
+  def hllSketch(c: Column, p: Int = 12): Column =
+    udaf(new HllSketchAggregator(p)).apply(xxhash64(c))
+
+  /** `hll_merge_estimate(sketchCol)`: distinct count of the UNION of the
+    * sets behind the given sketches.
+    */
+  def hllMergeEstimate(sketches: Column): Column =
+    udaf(new HllMergeAggregator).apply(sketches)
 }

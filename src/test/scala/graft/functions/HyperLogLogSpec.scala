@@ -33,6 +33,29 @@ class HyperLogLogSpec extends SparkSpec {
     assert(a.finish(shuffled) === a.finish(whole))
   }
 
+  test("sketch rollup: merged per-group sketches == direct single-pass sketch") {
+    val li = Tables.lineitem(spark, sf("sf0.01"))
+    val rolled = li.groupBy("l_returnflag")
+      .agg(HyperLogLog.hllSketch($"l_partkey").as("sk"))
+      .agg(HyperLogLog.hllMergeEstimate($"sk").as("est"))
+      .collect()(0).getLong(0)
+    val direct = li.agg(HyperLogLog.hllDistinct($"l_partkey").as("est"))
+      .collect()(0).getLong(0)
+    val exact = li.agg(countDistinct($"l_partkey")).collect()(0).getLong(0)
+    assert(rolled === direct, "rollup of stored sketches must be bit-identical")
+    assert(math.abs(rolled.toDouble - exact) / exact < 0.05)
+  }
+
+  test("merging disjoint-set sketches estimates the union") {
+    val a = Seq.range(0L, 3000L).toDF("v")
+      .agg(HyperLogLog.hllSketch($"v").as("sk")).collect()(0).getAs[Array[Byte]](0)
+    val b = Seq.range(2000L, 5000L).toDF("v")
+      .agg(HyperLogLog.hllSketch($"v").as("sk")).collect()(0).getAs[Array[Byte]](0)
+    val unionEst = Seq(a, b).toDF("sk")
+      .agg(HyperLogLog.hllMergeEstimate($"sk")).collect()(0).getLong(0)
+    assert(math.abs(unionEst - 5000.0) / 5000.0 < 0.05, s"unionEst=$unionEst")
+  }
+
   test("HLL small-range linear counting is near-exact for tiny cardinalities") {
     val a = new HllAggregator(12)
     val regs = (1L to 50L).map(i => scala.util.hashing.byteswap64(i))
