@@ -144,6 +144,22 @@ object SparkEntry {
     // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
     "q22_minhash_neardups" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), threshold = 0.3)),
+    "q68_corpus_dedup_pipeline" -> ((s, dir) => {
+      // the full training-data dedup stack in one query: exact dedup (hash
+      // groups, min-id canonical) → MinHash LSH near-dup pairs over the
+      // survivors → connected components → drop non-canonical members →
+      // per-language corpus stats. Every stage is the already-oracled
+      // operator; this gates their COMPOSITION end-to-end.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val exactDeduped = ExactDedup.deduplicate(docs)
+      val pairs = MinHashLSH.nearDuplicates(exactDeduped, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      val cleaned = graft.dedup.ConnectedComponents.deduplicate(exactDeduped, pairs)
+      cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
     "q65_neardup_components" -> ((s, dir) => {
       // group resolution over the q22 pair graph: connected components by
       // min-label propagation → one canonical id per near-dup'd document
@@ -829,6 +845,42 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
+    "q68_corpus_dedup_pipeline" ->
+      // composed chain: exact dedup (min-id per md5) → brute-force jaccard
+      // pairs over survivors → recursive connected components → drop
+      // non-canonical → per-lang stats (q58's token-count form)
+      """WITH RECURSIVE
+              kept AS (SELECT * FROM documents
+                       WHERE doc_id IN (SELECT MIN(doc_id) FROM documents
+                                        GROUP BY md5(text))),
+              toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM kept),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                                for i in range(1, len(tk) - 1)])
+                            ELSE [array_to_string(tk, ' ')] END AS shingles
+                     FROM toks),
+              pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                                   AS DOUBLE) >= 0.3),
+              edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              walk(id, reach) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s),
+              losers AS (SELECT id FROM walk GROUP BY id
+                         HAVING LEAST(id, MIN(reach)) <> id),
+              cleaned AS (SELECT * FROM kept
+                          WHERE doc_id NOT IN (SELECT id FROM losers))
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), ' +')) END
+                         AS BIGINT)) AS BIGINT) AS total_tokens
+         FROM cleaned GROUP BY 1 ORDER BY lang""",
     "q58_train_val_split" ->
       """WITH d AS (SELECT
                       CASE WHEN doc_id % 10 < 8 THEN 'train'
