@@ -42,9 +42,17 @@ object ConnectedComponents {
     var labels = edges.select(col("s").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
 
-    var changed = 1L
+    // convergence via a label-sum checksum: labels only ever decrease, so
+    // the (overflow-proof decimal) sum strictly decreases iff ANY label
+    // changed — one scalar aggregate per round instead of a join + count
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("label").cast("decimal(38,0)"))).collect()(0)
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // neighbour labels flow along edges; each vertex keeps the min of
       // (own label, incoming labels)
       val incoming = edges.join(labels, col("s") === col("id"))
@@ -52,9 +60,9 @@ object ConnectedComponents {
       val next = labels.union(incoming)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.select(col("id"), col("label").as("prev")), "id")
-        .filter(col("label") < col("prev")).count()
+      val curSum = labelSum(next)
+      changed = curSum.compareTo(prevSum) < 0
+      prevSum = curSum
       labels = next
       iter += 1
     }
