@@ -92,7 +92,8 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = runToMemory(windowedCounts(stream), name, OutputMode.Append())
+    val q = runToMemory(windowedCounts(stream), name, OutputMode.Append(),
+      statePartitions = Some(8))
     // '__flush' never finalizes (nothing advances the watermark past it) —
     // filtered defensively. '__late' is deliberately NOT filtered: only the
     // watermark may remove it, so a broken late-drop path surfaces as an
@@ -110,12 +111,12 @@ object EventsStream {
     * over the original single-copy events — which is exactly how the
     * harness oracle-checks it (same SQL as the q44 windows).
     *
-    * The bounded drain processes one batch: the duplicated copies are
-    * scattered across files in arbitrary ts order, so a multi-batch read
-    * would hit watermark late-drops and make the result file-order-
-    * dependent. The dedup state API and eviction contract are identical
-    * either way; the multi-batch watermark/eviction path is exercised
-    * end-to-end by q44 ([[windowedCountsMultiBatch]]).
+    * Multi-batch like q44: the duplicated events are staged TIME-ORDERED
+    * (each row and its replay land in the same chunk file, so the replay
+    * arrives within the dedup state's watermark), read one file per
+    * micro-batch, deduped, and aggregated in APPEND mode — replay removal,
+    * watermark eviction, and window finalization all run batch-by-batch
+    * with the same late/flush scheme as [[windowedCountsMultiBatch]].
     */
   def dedupedWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir, duplicated = true)
@@ -124,11 +125,16 @@ object EventsStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // project BEFORE the stateful ops: dedup state stores the whole row, so
+    // carrying user_id/props (a fat JSON string) through it multiplies the
+    // per-batch state checkpoint I/O for columns the aggregation never reads
     val deduped = stream
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
     val name = "stream_dq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = runToMemory(windowedAgg(deduped), name, OutputMode.Append())
+    val q = runToMemory(windowedAgg(deduped), name, OutputMode.Append(),
+      statePartitions = Some(8))
     q.stop()
     spark.table(name)
       .filter(col("event_type") =!= "__flush")
@@ -242,15 +248,30 @@ object EventsStream {
 
   /** Run a streaming query to a named in-memory sink and process everything
     * currently available (the synchronous local smoke path).
+    *
+    * `statePartitions`: streaming state is partitioned by the session's
+    * shuffle-partition count AT QUERY START and pinned for the query's
+    * lifetime; every micro-batch then writes one state checkpoint delta per
+    * partition per stateful op. Batch-oriented counts (32 here) multiply
+    * that per-batch overhead for no parallelism win on watermark-bounded
+    * state, so streaming drains pin a smaller count — the standard
+    * cluster-side tuning, expressed locally. The session conf is restored
+    * after the drain.
     */
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
-    q.processAllAvailable()
-    q
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode,
+                  statePartitions: Option[Int] = None): StreamingQuery = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable()
+      q
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
