@@ -151,6 +151,13 @@ object SparkEntry {
       // per-language corpus stats. Every stage is the already-oracled
       // operator; this gates their COMPOSITION end-to-end.
       val docs = Parallelize.ensure(Tables.documents(s, dir))
+      // exactDeduped feeds two consumers (LSH pairs + final anti-join) and
+      // is recomputed per branch: column pruning specializes each branch's
+      // subtree (pairs needs doc_id+text, the anti-join needs every output
+      // column), so no shared exchange exists for ReusedExchange to match.
+      // At 100 TB a pipeline stages the exact-deduped corpus to storage
+      // (q61's partitioned sink) between the stages; recompute is the
+      // correct stateless form for the composed one-shot query.
       val exactDeduped = ExactDedup.deduplicate(docs)
       val pairs = MinHashLSH.nearDuplicates(exactDeduped, threshold = 0.3)
         .select(col("id1"), col("id2"))
