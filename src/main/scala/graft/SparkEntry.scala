@@ -144,6 +144,16 @@ object SparkEntry {
     // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
     "q22_minhash_neardups" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), threshold = 0.3)),
+    "q69_corpus_mix" -> ((s, dir) =>
+      // data-mixture stage: per-language target rates (dyadic so the gate
+      // constant is exact in any engine), default rate for the tail
+      operators.Mixing.sampleStrata(Parallelize.ensure(Tables.documents(s, dir)),
+          "lang", Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "zh" -> 0.125),
+          defaultRate = 0.0625)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))),
     "q68_corpus_dedup_pipeline" -> ((s, dir) => {
       // the full training-data dedup stack in one query: exact dedup (hash
       // groups, min-id canonical) → MinHash LSH near-dup pairs over the
@@ -852,6 +862,19 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
+    "q69_corpus_mix" ->
+      // same exact-integer keep-gate, same dyadic rates
+      """WITH kept AS (
+           SELECT * FROM documents
+           WHERE (doc_id * 2654435761) % 4294967296 <
+                 CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                                WHEN 'fr' THEN 0.25 WHEN 'zh' THEN 0.125
+                                ELSE 0.0625 END * 4294967296 AS BIGINT))
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), ' +')) END
+                         AS BIGINT)) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY 1 ORDER BY lang""",
     "q68_corpus_dedup_pipeline" ->
       // composed chain: exact dedup (min-id per md5) → brute-force jaccard
       // pairs over survivors → recursive connected components → drop

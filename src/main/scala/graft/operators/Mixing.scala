@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus mixing / reweighting — the data-mixture stage of a
+  * training pipeline: keep each stratum (language, source, ...) at a target
+  * sampling rate, reproducibly (same row → same verdict on every run and
+  * every engine).
+  *
+  * The keep-gate is a Knuth multiplicative hash in exact BIGINT arithmetic:
+  * `(id * 2654435761) mod 2^32 < rate * 2^32`. No RNG and no engine-specific
+  * hash function — any engine that multiplies integers keeps the SAME rows,
+  * which is what makes the mixture auditable and the oracle exact. Rates
+  * should be dyadic (k/2^n, e.g. 0.5, 0.25, 0.125) so `rate * 2^32` is an
+  * exact integer: engines disagree on double→int cast rounding otherwise.
+  *
+  * Scale: a narrow per-row filter — zero shuffle, pushes past column
+  * pruning; the per-stratum rate is a CASE literal, no join. Valid for ids
+  * up to ~2^31 (id * A must stay inside a signed 64-bit long).
+  */
+object Mixing {
+  val M: Long = 4294967296L // 2^32
+  val A: Long = 2654435761L // Knuth's multiplicative hash constant
+
+  /** keep iff (id * A) mod 2^32 < rate * 2^32 — deterministic in exact
+    * integer arithmetic.
+    */
+  def keepGate(id: Column, rate: Column): Column =
+    pmod(id.cast("long") * lit(A), lit(M)) < (rate * lit(M.toDouble)).cast("long")
+
+  /** Filter `df` to the per-stratum rates; strata missing from `rates` keep
+    * `defaultRate` of their rows.
+    */
+  def sampleStrata(df: DataFrame, strataCol: String, rates: Map[String, Double],
+                   idCol: String = "doc_id", defaultRate: Double = 1.0): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(keepGate(col(idCol), rateCol))
+  }
+}

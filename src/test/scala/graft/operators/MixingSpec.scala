@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gateKeeps(id: Long, rate: Double): Boolean =
+    java.lang.Math.floorMod(id * Mixing.A, Mixing.M) < (rate * Mixing.M).toLong
+
+  test("keepGate matches the reference arithmetic row for row") {
+    val df = (0L until 4096L).map(i => (i, "s")).toDF("doc_id", "lang")
+    val kept = Mixing.sampleStrata(df, "lang", Map("s" -> 0.25))
+      .select("doc_id").as[Long].collect().toSet
+    (0L until 4096L).foreach { i =>
+      assert(kept.contains(i) === gateKeeps(i, 0.25), s"id $i")
+    }
+  }
+
+  test("kept fraction approximates the rate; disjoint strata use their own rates") {
+    val df = (0L until 20000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val kept = Mixing.sampleStrata(df, "lang", Map("a" -> 0.5, "b" -> 0.125))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") / 10000.0 - 0.5) < 0.05, s"a=${kept("a")}")
+    assert(math.abs(kept("b") / 10000.0 - 0.125) < 0.05, s"b=${kept("b")}")
+  }
+
+  test("deterministic across runs; rate 1.0 keeps everything, 0.0 nothing") {
+    val df = (0L until 1000L).map(i => (i, "x")).toDF("doc_id", "lang")
+    val a = Mixing.sampleStrata(df, "lang", Map.empty, defaultRate = 1.0).count()
+    val b = Mixing.sampleStrata(df, "lang", Map("x" -> 0.0)).count()
+    val c1 = Mixing.sampleStrata(df, "lang", Map("x" -> 0.25)).select("doc_id").as[Long].collect().sorted
+    val c2 = Mixing.sampleStrata(df, "lang", Map("x" -> 0.25)).select("doc_id").as[Long].collect().sorted
+    assert(a === 1000L && b === 0L && (c1 sameElements c2))
+  }
+}
