@@ -144,6 +144,23 @@ object SparkEntry {
     // --- near-dup dedup + similarity search (SURVEY §7 slice 5) ---
     "q22_minhash_neardups" -> ((s, dir) =>
       MinHashLSH.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), threshold = 0.3)),
+    "q70_sequence_packing" -> ((s, dir) => {
+      // sequence packing for pretraining: assign docs to ~4096-token shards
+      // by running prefix sum, packed WITHIN language shards (packing is
+      // inherently order-dependent, so production packs per shard — here the
+      // window partitions by lang and the shuffle is one lang-keyed
+      // exchange; a doc lands in the shard where its tokens START)
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("bigint"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      docs.withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("shard", expr("(cum - n_tokens) div 4096"))
+        .groupBy(col("lang"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .orderBy(col("lang"), col("shard"))
+    }),
     "q69_corpus_mix" -> ((s, dir) =>
       // data-mixture stage: per-language target rates (dyadic so the gate
       // constant is exact in any engine), default rate for the tail
@@ -862,6 +879,20 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
+    "q70_sequence_packing" ->
+      // same prefix-sum shard arithmetic (integer division both sides)
+      """WITH d AS (SELECT lang, doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS n_tokens
+                    FROM documents),
+              c AS (SELECT lang, doc_id, n_tokens,
+                      SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM d)
+         SELECT lang, (cum - n_tokens) // 4096 AS shard,
+                COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, shard""",
     "q69_corpus_mix" ->
       // same exact-integer keep-gate, same dyadic rates
       """WITH kept AS (
