@@ -205,6 +205,20 @@ object SparkEntry {
     }),
     "q23_simhash_neardups" -> ((s, dir) =>
       SimHashDedup.nearDuplicates(Parallelize.ensure(Tables.documents(s, dir)), maxHamming = 10)),
+    "q71_simhash_recovery" -> ((s, dir) => {
+      // planted-copy recovery gate for the SimHash path (q55's design, text
+      // flavor): 20 exact copies planted at +1000000 MUST come back through
+      // signature → chunk blocking → hamming verify, at distance 0. The
+      // oracle predicts exactly those pairs; a broken kernel, blocking, or
+      // verify stage loses rows.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      SimHashDedup.nearDuplicates(docs.unionByName(planted), maxHamming = 0)
+        .filter(col("id2") - col("id1") === 1000000)
+        .select(col("id1"), col("id2"), col("hamming"))
+    }),
     "q24_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 3)
@@ -879,6 +893,10 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
+    "q71_simhash_recovery" ->
+      // the oracle predicts exactly the planted pairs at hamming 0
+      """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming
+         FROM documents WHERE doc_id < 20 ORDER BY id1""",
     "q70_sequence_packing" ->
       // same prefix-sum shard arithmetic (integer division both sides)
       """WITH d AS (SELECT lang, doc_id,

@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     assert(found.contains((1L, 2L)))
   }
 
+  test("empty corpus: every dedup path returns empty, no crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(MinHashLSH.nearDuplicates(empty).count() === 0)
+    assert(SimHashDedup.nearDuplicates(empty).count() === 0)
+    assert(ExactDedup.deduplicate(empty).count() === 0)
+    assert(ConnectedComponents.canonicalAssignments(
+      Seq.empty[(Long, Long)].toDF("id1", "id2")).count() === 0)
+  }
+
   test("MinHashLSH on real documents at sf0.001 runs clean") {
     val docs = graft.Tables.documents(spark, sf("sf0.001"))
     val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.8).collect()
