@@ -483,6 +483,8 @@ object SparkEntry {
     }),
     "q57_session_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(Tables.events(s, dir))),
+    "q72_stream_milestones" -> ((s, dir) =>
+      graft.streaming.EventsStream.milestoneCountsBounded(s, dir)),
     // --- reproducible split + quality gating (training-data pipeline ops) ---
     "q58_train_val_split" -> ((s, dir) =>
       // deterministic mod-split: the reproducible train/val/test assignment a
@@ -893,6 +895,15 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
+    "q72_stream_milestones" ->
+      // batch mirror of the streaming milestone emitter: a user crosses
+      // floor(total/100) hundred-dollar marks; each is emitted exactly once
+      """SELECT user_id,
+                CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) AS BIGINT)
+                  AS n_milestones
+         FROM events GROUP BY 1
+         HAVING FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) >= 1
+         ORDER BY user_id""",
     "q71_simhash_recovery" ->
       // the oracle predicts exactly the planted pairs at hamming 0
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming

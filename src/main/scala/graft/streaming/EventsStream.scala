@@ -246,6 +246,60 @@ object EventsStream {
       }
   }
 
+  final case class Milestone(user_id: Long, milestone: Long)
+
+  /** Custom MULTI-output stateful op via flatMapGroupsWithState (the 0..n-
+    * rows-per-group sibling of mapGroupsWithState): emit one row every time
+    * a user's running value total crosses another `stepCents` boundary.
+    * Each crossing is emitted exactly once regardless of micro-batch
+    * boundaries (the state is the exact running cents; milestones are the
+    * integer quotients between its previous and new value).
+    *
+    * Cents accumulate via the same BigDecimal(HALF_UP, scale 2) conversion
+    * Spark's DECIMAL(18,2) cast applies, so the totals — and therefore the
+    * milestone counts — are exact and order-independent, matching a batch
+    * SQL oracle over the same events.
+    */
+  def valueMilestones(events: DataFrame, stepCents: Long = 10000L): Dataset[Milestone] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          var tot = prev
+          rows.foreach { case (_, v) =>
+            tot += java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+          }
+          state.update(tot)
+          ((prev / stepCents + 1) to (tot / stepCents)).iterator
+            .map(Milestone(user, _))
+      }
+  }
+
+  /** Bounded multi-batch drain of [[valueMilestones]] → per-user milestone
+    * counts (users with >= 1). Sentinel fixture rows are excluded before the
+    * stateful op — they are staging artifacts, not events.
+    */
+  def milestoneCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .filter(!col("event_type").startsWith("__"))
+    val name = "stream_ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(valueMilestones(stream).toDF(), name, OutputMode.Update(),
+      statePartitions = Some(8))
+    q.stop()
+    spark.table(name)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_milestones"))
+      .orderBy(col("user_id"))
+  }
+
   /** Run a streaming query to a named in-memory sink and process everything
     * currently available (the synchronous local smoke path).
     *
