@@ -49,7 +49,21 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.map { case (name, fn) =>
+    def jsonLine(results: Seq[(String, Double)]): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).sum
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // BENCH.json is rewritten after EVERY query so a killed run still leaves
+    // the medians measured so far (the driver's parser reads this file).
+    def writeFile(line: String): Unit = {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    selected.foreach { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
@@ -58,20 +72,13 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> median(times)
+      results += (name -> median(times))
+      writeFile(jsonLine(results.toSeq))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     results.sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] $v%8.3f s  $k")
     }
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // File copy of the same line: the driver's parser reads this, not stdout.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(jsonLine(results.toSeq))
     spark.stop()
   }
 }
