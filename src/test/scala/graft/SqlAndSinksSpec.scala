@@ -54,4 +54,15 @@ class SqlAndSinksSpec extends SparkSpec {
     assert(back.count() === 25)
     assert(back.columns.toSeq === Seq("n_nationkey", "n_name", "n_regionkey"))
   }
+
+  test("display sink (S2): show() renders header and rows to the console") {
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      Tables.region(spark, sf("sf0.001")).show(5, truncate = false)
+    }
+    val rendered = buf.toString("UTF-8")
+    assert(rendered.contains("r_name"), rendered)
+    assert(rendered.contains("AFRICA"), rendered)
+    assert(rendered.linesIterator.count(_.startsWith("|")) >= 6) // header + 5 rows
+  }
 }
