@@ -553,6 +553,16 @@ object SparkEntry {
     // --- JSONL source (schema-on-read over the staged corpus wire format;
     //     JSON string escaping must round-trip text losslessly for the
     //     length sum to match the parquet-side oracle) ---
+    "q73_orc_ingest" -> ((s, dir) =>
+      // ORC source/sink round-trip (the second columnar lake format): the
+      // staged ORC copy must re-aggregate to exactly the parquet oracle —
+      // value-preserving write + read, predicate/column pushdown included
+      s.read.orc(stagedOrcDocs(s, dir))
+        .filter(col("n_chars") > 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .orderBy(col("lang"))),
     "q60_jsonl_ingest" -> ((s, dir) =>
       s.read.schema("doc_id BIGINT, lang STRING, n_chars INT, text STRING")
         .json(stagedJsonlDocs(s, dir))
@@ -610,6 +620,18 @@ object SparkEntry {
     * a deterministic temp path — staged once per (dir, tmp lifetime), like
     * the CSV and stream fixtures.
     */
+  private def stagedOrcDocs(s: SparkSession, dir: String): String = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_orc_docs_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .write.mode("overwrite").orc(out.toString)
+    }
+    out.toString
+  }
+
   private def stagedJsonlDocs(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val out = java.nio.file.Paths.get(
@@ -1050,6 +1072,11 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
          FROM documents WHERE lang IN ('en', 'de')
+         GROUP BY 1 ORDER BY lang""",
+    "q73_orc_ingest" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+         FROM documents WHERE n_chars > 100
          GROUP BY 1 ORDER BY lang""",
     "q60_jsonl_ingest" ->
       """SELECT lang, COUNT(*) AS n_docs,

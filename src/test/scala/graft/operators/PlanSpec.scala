@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q73: ORC scan gets filter pushdown and column pruning too") {
+    val df = graft.SparkEntry.queries("q73_orc_ingest")(spark, sf("sf0.001"))
+    val fmt = formatted(df)
+    assert(fmt.contains("PushedFilters"), fmt)
+    assert(fmt.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(n_chars,100\\).*"), fmt)
+    val readSchema = fmt.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), s"ORC scan not pruned: $readSchema")
+  }
+
   test("q45: sketch-only HLL aggregate plans without Expand") {
     // Mixing countDistinct with a regular aggregate triggers the Expand
     // rewrite (every input row duplicated per aggregate group) — a structural
