@@ -318,6 +318,22 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(graft.functions.HyperLogLog.hllDistinct(col("l_partkey")).as("hll_estimate"))
         .orderBy(col("l_returnflag"))),
+    "q74_approx_percentile" -> ((s, dir) => {
+      // quantile-sketch gate (third sketch family beside HLL and bounded
+      // top-k): percentile_approx's p50/p90 must land inside the exact
+      // p45–p55 / p85–p95 bands — the oracle predicts TRUE/TRUE, so sketch
+      // regressions flip the hash. At 100 TB the sketch is the only option:
+      // exact percentiles need a global sort, the sketch one mergeable
+      // aggregation.
+      val lt = Tables.lineitem(s, dir)
+      val approx = lt.agg(percentile_approx(col("l_quantity"),
+        array(lit(0.5), lit(0.9)), lit(10000)).as("ap"))
+      val exact = lt.agg(expr(
+        "percentile(l_quantity, array(0.45, 0.55, 0.85, 0.95))").as("ex"))
+      approx.crossJoin(exact).select(
+        (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).as("p50_in_band"),
+        (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).as("p90_in_band"))
+    }),
     "q67_hll_merge" -> ((s, dir) => {
       // sketch-rollup gate: per-group sketches merged at query time must
       // (a) give BIT-IDENTICAL registers to one direct pass (merge = the
@@ -809,6 +825,10 @@ object SparkEntry {
       // property oracle: sketch rollup == direct sketch, and both within
       // the 5% tolerance of exact (the values themselves are engine-internal)
       "SELECT TRUE AS merge_consistent, TRUE AS within_tolerance",
+    "q74_approx_percentile" ->
+      // property oracle: the sketch's p50/p90 sit inside the exact
+      // p45-p55 / p85-p95 bands
+      "SELECT TRUE AS p50_in_band, TRUE AS p90_in_band",
     "q66_fingerprint_gate" ->
       // the fingerprint itself is engine-internal; the oracle predicts its
       // distinct count from the normalization it promises (lower + collapsed
