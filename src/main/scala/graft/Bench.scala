@@ -49,11 +49,22 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Environment fingerprint: round-4's driver-vs-builder 193s/42s clash was
+    // undiagnosable from the artifact alone because BENCH.json said nothing
+    // about the host it ran on. Stamp enough to tell two runs apart.
+    val benchStartedAt = java.time.Instant.now().toString
+    def envJson: String = {
+      val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+      val os = sys.props.getOrElse("os.name", "?") + " " + sys.props.getOrElse("os.version", "?")
+      s""""env":{"master":"local[$cpus]","availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
+        s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":"$host",""" +
+        s""""os":"$os","java":"${sys.props.getOrElse("java.version", "?")}","startedAt":"$benchStartedAt"}"""
+    }
     def jsonLine(results: Seq[(String, Double)]): String = {
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir",$envJson%s}"""
     }
     // BENCH.json is rewritten after EVERY query so a killed run still leaves
     // the medians measured so far (the driver's parser reads this file).

@@ -141,6 +141,80 @@ object EventsStream {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Exactly-once across a RESTART, not just within one run: the duplicated
+    * stream runs as TWO query incarnations sharing one file checkpoint and
+    * one parquet sink. Incarnation 1 sees only the first two chunk files,
+    * drains, and stops — leaving committed offsets, dedup state, and the
+    * watermark in the checkpoint. The remaining chunks (including the
+    * planted late + flush rows) then "arrive", and incarnation 2 starts
+    * from the SAME checkpoint: it must restore the dedup state store and
+    * watermark, skip the already-committed batches (the parquet sink's
+    * commit log makes replays idempotent), and finalize every window. The
+    * final table must equal the batch oracle over single-copy events — the
+    * same SQL as q44/q62 — so a broken state restore (replayed rows
+    * re-aggregated, watermark reset re-admitting the late row, sink
+    * double-writes) flips row counts or sums.
+    *
+    * Working dirs are fresh per call (the source directory GROWS between
+    * incarnations, so the shared `_SUCCESS`-guarded fixture can't be used
+    * as the source itself — its chunks are copied in two waves).
+    */
+  def dedupedWindowedCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(
+      stagedTimeOrderedEventsDir(spark, sfDir, duplicated = true))
+    val work = java.nio.file.Files.createTempDirectory("graft_restart_")
+    val srcDir = java.nio.file.Files.createDirectory(work.resolve("source"))
+    val ckpt = work.resolve("checkpoint").toString
+    val outDir = work.resolve("out").toString
+
+    // chunk arrival: copy with explicitly increasing mod times so the file
+    // source replays oldest-first in both incarnations
+    def arrive(names: String*): Unit = names.foreach { n =>
+      val target = srcDir.resolve(n)
+      java.nio.file.Files.copy(staged.resolve(n), target)
+      val idx = "\\d+".r.findFirstIn(n).get.toInt
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + idx * 60000L))
+      ()
+    }
+
+    def incarnation(): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = stream
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      windowedAgg(deduped).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      arrive("chunk_0.parquet", "chunk_1.parquet")
+      val q1 = incarnation()
+      q1.processAllAvailable()
+      q1.stop() // "failure": the query dies mid-stream at a durable checkpoint
+      arrive("chunk_2.parquet", "chunk_3_late.parquet", "chunk_4_flush.parquet")
+      val q2 = incarnation()
+      q2.processAllAvailable()
+      q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Stage the sf dir's events as a TIME-ORDERED stream-source directory at a
     * deterministic path (staged once, `_SUCCESS`-guarded, reused across JVMs
     * sharing /tmp):

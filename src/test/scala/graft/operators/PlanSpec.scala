@@ -129,6 +129,34 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("text"), s"ORC scan not pruned: $readSchema")
   }
 
+  test("q36 as-of join: exactly ONE hash-partitioning exchange (merge-scan, not join)") {
+    // the merge-scan's whole selling point: |L| + |R| rows cross the wire
+    // once, keyed by user — no join-then-dedup second exchange. A plan
+    // regression back to the equi+range join form shows up as extra
+    // hash-partitioning exchanges.
+    import org.apache.spark.sql.functions.col
+    val dir = sf("sf0.001")
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val df = AsOfJoin.asof(ev, Tables.orders(spark, dir),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate", rightTieBreak = "o_orderkey")
+    df.collect()
+    val plan = planOf(df)
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 shuffle exchange, got $shuffles:\n$plan")
+  }
+
+  test("q22 on parquet: LSH signature exchange is reused (the subtree q68/q76 share)") {
+    // the signature subtree feeds the bucket-cap semi-join AND the pair
+    // join; on the real parquet input both consumers must read ONE exchange
+    // (ReusedExchange), not recompute the minhash kernel per consumer.
+    val df = graft.SparkEntry.queries("q22_minhash_neardups")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("ReusedExchange"),
+      s"signature subtree not shared via ReusedExchange:\n$plan")
+  }
+
   test("q45: sketch-only HLL aggregate plans without Expand") {
     // Mixing countDistinct with a regular aggregate triggers the Expand
     // rewrite (every input row duplicated per aggregate group) — a structural

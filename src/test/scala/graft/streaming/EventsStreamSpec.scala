@@ -102,6 +102,25 @@ class EventsStreamSpec extends SparkSpec {
     assert(got === batch)
   }
 
+  test("checkpoint restart: dedup state + watermark survive; final windows equal batch") {
+    // the failure-recovery half of exactly-once: incarnation 1 drains two
+    // chunk files and stops at a durable checkpoint; incarnation 2 starts
+    // from it after the remaining chunks (incl. the planted late + flush
+    // rows) arrive. Broken state restore double-counts replayed rows; a
+    // reset watermark re-admits the late row — both flip this equality.
+    val df = EventsStream.dedupedWindowedCountsRestart(spark, sf("sf0.001"))
+    val streamed = df.select("window_start", "event_type", "n_events", "sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(!streamed.exists(_._2 == "__late"),
+      "planted late row leaked past the restarted watermark")
+    val batch = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy(date_trunc("minute", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     // append-mode with watermark only emits finalized windows; a query on a
     // bounded file source emits nothing until watermark advances past window

@@ -29,9 +29,13 @@ def norm(v):
 def rows_of(rel):
     cols = [c.lower() for c in rel.columns]
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # The driver's hash is type-sensitive (HUGEINT != BIGINT even when the
+    # values are integer-equal), so carry the DuckDB type of each column in
+    # column-sorted order and compare it alongside names and values.
+    types = [str(rel.types[i]) for i in order]
     data = rel.fetchall()
     rows = [tuple(norm(r[i]) for i in order) for r in data]
-    return sorted(cols), sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+    return sorted(cols), types, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
 def main():
@@ -51,19 +55,24 @@ def main():
             results.append((name, "EMPTY-OUT", "no parquet written"))
             failed.append(name)
             continue
-        got_cols, got_rows = rows_of(con.sql(
+        got_cols, got_types, got_rows = rows_of(con.sql(
             f"SELECT * FROM read_parquet({files!r})"))
         if name not in oracle:
             results.append((name, "ROWS-ONLY", f"{len(got_rows)} rows"))
             continue
         try:
-            exp_cols, exp_rows = rows_of(con.sql(oracle[name]))
+            exp_cols, exp_types, exp_rows = rows_of(con.sql(oracle[name]))
         except Exception as e:
             results.append((name, "ORACLE-ERR", str(e).splitlines()[0][:100]))
             failed.append(name)
             continue
         if got_cols != exp_cols:
             results.append((name, "FAIL-COLS", f"spark={got_cols} duckdb={exp_cols}"))
+            failed.append(name)
+        elif got_types != exp_types:
+            results.append((name, "FAIL-TYPES",
+                            f"spark={list(zip(got_cols, got_types))} "
+                            f"duckdb={list(zip(exp_cols, exp_types))}"))
             failed.append(name)
         elif len(got_rows) != len(exp_rows):
             results.append((name, "FAIL-COUNT", f"spark={len(got_rows)} duckdb={len(exp_rows)}"))
