@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
 import graft.functions.{HashExprs, TextFunctions}
-import graft.dedup.{ExactDedup, MinHashLSH, NgramJaccard, SimHashDedup}
+import graft.dedup.{ExactDedup, MinHashExprs, MinHashLSH, NgramJaccard, SimHashDedup}
 import graft.segmentation.{Elbow, Ingest, KMeansMR, Pipelines, Recode}
 import graft.similarity.Knn
 
@@ -598,6 +598,86 @@ object SparkEntry {
           col("s.score").as("quality"), (col("pos") + 1).cast("int").as("rank"))
         .orderBy(col("lang"), col("rank"))
     }),
+    "q78_repetition_filter" -> ((s, dir) => {
+      // Gopher-style repetition gate: the fraction of a doc's word 2-grams
+      // that are repeats (1 - distinct/total) flags boilerplate and
+      // degenerate generations. The distinct count rides the codegen'd
+      // shingle kernel (64-bit hashes — collision odds ~(grams²)/2⁶⁴ per
+      // doc, nil at any corpus size); total is just n_tokens - 1. Narrow
+      // per-row compute, one lang-keyed agg: zero extra shuffles at 100 TB.
+      // Both engines compute ratio as the SAME two-int division, so the
+      // double (and the 0.2 threshold verdict) is bit-identical. Every 13th
+      // doc is replaced by a degenerate one-token-repeated text (planted
+      // identically in the oracle) so the >0.2 flag is non-vacuous on a
+      // corpus whose natural docs are all below it.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val text = when(pmod(col("doc_id"), lit(13)) === 0,
+        trim(repeat(concat(lit("rep"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(" ")), 40)))
+        .otherwise(col("text"))
+      val nTok = TextFunctions.tokenCount(text)
+      val toks = split(trim(text), " +")
+      val ratio = when(nTok >= 2,
+        lit(1.0) - size(MinHashExprs.shingleHashes(toks, 2)).cast("double")
+          / (nTok - 1).cast("double"))
+        .otherwise(lit(0.0))
+      d.select(col("lang"), ratio.as("ratio"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("ratio") > 0.2).cast("long")).as("n_flagged"),
+          round(max(col("ratio")), 6).as("max_ratio"))
+        .orderBy(col("lang"))
+    }),
+    "q79_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing pass: count and redact email addresses. Every 5th doc
+      // gets a deterministic planted address (both engines plant the SAME
+      // string) so the gate is non-vacuous regardless of corpus content.
+      // The pattern avoids Java-vs-RE2 divergence (char classes + greedy
+      // quantifiers only). Narrow per-row regex + one lang agg — the scrub
+      // itself is shuffle-free at any scale.
+      val pii = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" contact: user"),
+          col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(col("text"))
+      Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"),
+          regexp_count(planted, lit(pii)).as("n_pii"),
+          (length(planted) - length(regexp_replace(planted, pii, "[EMAIL]")))
+            .as("redacted"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_pii") > 0).cast("long")).as("n_docs_with_pii"),
+          sum(col("n_pii").cast("long")).as("n_matches"),
+          sum(col("redacted").cast("long")).as("chars_redacted"))
+        .orderBy(col("lang"))
+    }),
+    "q80_contamination" -> ((s, dir) => {
+      // benchmark-decontamination check: a "training" doc (doc_id >= 50) is
+      // contaminated if it shares any word 8-gram with the "eval" set
+      // (doc_id < 50) — the standard n-gram-overlap rule. Spark side joins
+      // 64-bit shingle hashes from the codegen kernel (short docs fall back
+      // to the whole joined text, mirroring q22's shingle contract); the
+      // eval side is tiny by nature, so the semi-join BROADCASTS — the scan
+      // of the 100 TB training side never shuffles. The oracle joins the
+      // gram strings themselves; 64-bit collisions across eval×train gram
+      // pairs are ~1e-9 at any tested scale.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val grams = explode(MinHashExprs.shingleHashes(
+        split(trim(col("text")), " +"), 8)).as("g")
+      val evalGrams = d.filter(col("doc_id") < 50).select(grams).distinct()
+      val trainHits = d.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), grams)
+        .join(broadcast(evalGrams), Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("hit", lit(1L))
+      d.filter(col("doc_id") >= 50).select(col("doc_id"), col("lang"))
+        .join(trainHits, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .orderBy(col("lang"))
+    }),
     "q56_bpe_tokens" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -1169,6 +1249,73 @@ object SparkEntry {
                 MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                 COUNT(*) AS n_events
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q78_repetition_filter" ->
+      // identical two-int division on both sides → bit-identical ratio and
+      // threshold verdict; Spark's distinct count is 64-bit-hash-based (the
+      // shingle kernel), the oracle's is string-based — equal short of a
+      // 2⁻⁶⁴ per-doc collision
+      """WITH p AS (SELECT lang,
+                      CASE WHEN doc_id % 13 = 0
+                           THEN trim(repeat('rep' || CAST(doc_id % 5 AS VARCHAR)
+                                            || ' ', 40))
+                           ELSE text END AS text
+                    FROM documents),
+              d AS (SELECT lang, string_split_regex(trim(text), ' +') AS tk
+                    FROM p),
+              s AS (SELECT lang,
+                      CASE WHEN len(tk) >= 2
+                           THEN 1.0 - CAST(len(list_distinct(
+                                    [tk[i] || ' ' || tk[i+1]
+                                     for i in range(1, len(tk))])) AS DOUBLE)
+                                / CAST(len(tk) - 1 AS DOUBLE)
+                           ELSE 0.0 END AS ratio
+                    FROM d)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN ratio > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_flagged,
+                round(MAX(ratio), 6) AS max_ratio
+         FROM s GROUP BY 1 ORDER BY lang""",
+    "q79_pii_scrub" ->
+      // both engines plant the same deterministic address on every 5th doc;
+      // the pattern is Java-regex/RE2-agnostic (char classes + greedy
+      // quantifiers, no alternation/backtracking divergence)
+      """WITH p AS (SELECT lang,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN text || ' contact: user' ||
+                                CAST(doc_id AS VARCHAR) || '@example.com'
+                           ELSE text END AS t
+                    FROM documents),
+              m AS (SELECT lang,
+                      len(regexp_extract_all(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_pii,
+                      length(t) - length(regexp_replace(t,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '[EMAIL]', 'g')) AS redacted
+                    FROM p)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_docs_with_pii,
+                CAST(SUM(n_pii) AS BIGINT) AS n_matches,
+                CAST(SUM(redacted) AS BIGINT) AS chars_redacted
+         FROM m GROUP BY 1 ORDER BY lang""",
+    "q80_contamination" ->
+      // gram-string join ground truth for the hash-join engine path; same
+      // short-doc whole-text fallback as the q22 shingle contract
+      """WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              g AS (SELECT doc_id, lang,
+                      CASE WHEN len(tk) >= 8
+                           THEN [array_to_string(tk[i:i+7], ' ')
+                                 for i in range(1, len(tk) - 6)]
+                           ELSE [array_to_string(tk, ' ')] END AS grams
+                    FROM toks),
+              ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 50),
+              tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 50),
+              hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.gram = ev.gram)
+         SELECT lang, COUNT(*) AS n_train_docs,
+                CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         FROM documents WHERE doc_id >= 50 GROUP BY 1 ORDER BY lang""",
     "q56_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text,

@@ -157,6 +157,17 @@ class PlanSpec extends SparkSpec {
       s"signature subtree not shared via ReusedExchange:\n$plan")
   }
 
+  test("q80 contamination: eval grams broadcast — the training scan joins without a shuffle") {
+    // the eval set is small by nature; its distinct grams must reach the
+    // training side as a broadcast semi-join, never a shuffled one — at
+    // 100 TB the training scan is the whole cost and must stay exchange-free
+    // up to the per-lang aggregate.
+    val df = graft.SparkEntry.queries("q80_contamination")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"eval-gram join not broadcast:\n$plan")
+  }
+
   test("q45: sketch-only HLL aggregate plans without Expand") {
     // Mixing countDistinct with a regular aggregate triggers the Expand
     // rewrite (every input row duplicated per aggregate group) — a structural
