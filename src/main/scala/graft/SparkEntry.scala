@@ -568,6 +568,11 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionWindows(Tables.events(s, dir))),
     "q72_stream_milestones" -> ((s, dir) =>
       graft.streaming.EventsStream.milestoneCountsBounded(s, dir)),
+    "q81_milestones_restart" -> ((s, dir) =>
+      // q75's custom-state sibling: the flatMapGroupsWithState running-cents
+      // state must survive a checkpoint restart — lost state re-emits
+      // crossed milestones, so the per-user counts (q72's oracle) catch it
+      graft.streaming.EventsStream.milestoneCountsRestart(s, dir)),
     // --- reproducible split + quality gating (training-data pipeline ops) ---
     "q58_train_val_split" -> ((s, dir) =>
       // deterministic mod-split: the reproducible train/val/test assignment a
@@ -900,6 +905,18 @@ object SparkEntry {
                        AS BIGINT)) AS BIGINT) AS total_tokens
        FROM cleaned GROUP BY 1 ORDER BY lang"""
 
+  /** Batch mirror of the streaming milestone emitter (q72 and its restart
+    * form q81): a user crosses floor(total/100) hundred-dollar marks; each
+    * is emitted exactly once, within a run and across restarts.
+    */
+  private val milestoneCountsSql: String =
+    """SELECT user_id,
+              CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) AS BIGINT)
+                AS n_milestones
+       FROM events GROUP BY 1
+       HAVING FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) >= 1
+       ORDER BY user_id"""
+
   private val decPrice = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val decDisc = "CAST(l_discount AS DECIMAL(18,2))"
   // integer-cents fast path (see Relational.cents): exact long sums
@@ -1140,15 +1157,10 @@ object SparkEntry {
                 SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
          SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
          FROM walk GROUP BY id ORDER BY doc_id""",
-    "q72_stream_milestones" ->
-      // batch mirror of the streaming milestone emitter: a user crosses
-      // floor(total/100) hundred-dollar marks; each is emitted exactly once
-      """SELECT user_id,
-                CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) AS BIGINT)
-                  AS n_milestones
-         FROM events GROUP BY 1
-         HAVING FLOOR(SUM(CAST(value AS DECIMAL(18,2))) / 100) >= 1
-         ORDER BY user_id""",
+    "q72_stream_milestones" -> milestoneCountsSql,
+    // restart incarnation pair may neither re-emit nor drop crossings —
+    // the running-cents GroupState must restore exactly
+    "q81_milestones_restart" -> milestoneCountsSql,
     "q71_simhash_recovery" ->
       // the oracle predicts exactly the planted pairs at hamming 0
       """SELECT doc_id AS id1, doc_id + 1000000 AS id2, CAST(0 AS INTEGER) AS hamming

@@ -374,6 +374,70 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** [[valueMilestones]] across a checkpoint RESTART — the custom-state
+    * (flatMapGroupsWithState) sibling of [[dedupedWindowedCountsRestart]]:
+    * incarnation 1 drains the first two chunk files into a parquet sink via
+    * foreachBatch and stops at a durable checkpoint; incarnation 2 restarts
+    * after the rest arrive. The running-cents GroupState must RESTORE from
+    * the state store: lost state would re-emit already-crossed milestones
+    * (counts too high), corrupted state would skip crossings (too low) —
+    * either flips the per-user counts away from the batch oracle (q72's).
+    *
+    * foreachBatch + graceful stop: processAllAvailable() returns only after
+    * every drained batch is committed to the checkpoint, so the restart
+    * never replays an appended batch (no double-append in the sink).
+    */
+  def milestoneCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = java.nio.file.Paths.get(stagedTimeOrderedEventsDir(spark, sfDir))
+    val work = java.nio.file.Files.createTempDirectory("graft_ms_restart_")
+    val srcDir = java.nio.file.Files.createDirectory(work.resolve("source"))
+    val ckpt = work.resolve("checkpoint").toString
+    val outDir = work.resolve("out").toString
+
+    def arrive(names: String*): Unit = names.foreach { n =>
+      val target = srcDir.resolve(n)
+      java.nio.file.Files.copy(staged.resolve(n), target)
+      val idx = "\\d+".r.findFirstIn(n).get.toInt
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + idx * 60000L))
+      ()
+    }
+
+    def incarnation(): StreamingQuery = {
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir.toString)
+        .filter(!col("event_type").startsWith("__"))
+      valueMilestones(stream).toDF()
+        .writeStream
+        .outputMode(OutputMode.Update())
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      arrive("chunk_0.parquet", "chunk_1.parquet")
+      val q1 = incarnation()
+      q1.processAllAvailable()
+      q1.stop()
+      arrive("chunk_2.parquet", "chunk_3_late.parquet", "chunk_4_flush.parquet")
+      val q2 = incarnation()
+      q2.processAllAvailable()
+      q2.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    spark.read.parquet(outDir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_milestones"))
+      .orderBy(col("user_id"))
+  }
+
   /** Run a streaming query to a named in-memory sink and process everything
     * currently available (the synchronous local smoke path).
     *

@@ -121,6 +121,17 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("milestone GroupState survives a checkpoint restart: no re-emitted or lost crossings") {
+    val got = EventsStream.milestoneCountsRestart(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy($"user_id")
+      .agg(floor(sum($"value".cast("decimal(18,2)")) / 100).cast("long").as("n"))
+      .filter($"n" >= 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got === batch)
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     // append-mode with watermark only emits finalized windows; a query on a
     // bounded file source emits nothing until watermark advances past window
