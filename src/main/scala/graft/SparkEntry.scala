@@ -683,6 +683,107 @@ object SparkEntry {
           sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
         .orderBy(col("lang"))
     }),
+    "q85_incremental_dedup" -> ((s, dir) => {
+      // incremental ingestion: a new batch (doc_id >= 250 here) lands only
+      // if its content hash is unseen in the already-ingested corpus
+      // (doc_id < 250) and unseen within the batch itself (min-id
+      // canonical). Anti-join on md5 — the O(new-batch) incremental form of
+      // exact dedup: the ingested side ships only its hash column (16
+      // bytes/doc), never its payload, so daily increments against a 100 TB
+      // corpus stay cheap.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val ingested = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("h")).distinct()
+      val batch = ExactDedup.deduplicate(docs.filter(col("doc_id") >= 250))
+        .withColumn("h", md5(col("text")))
+      batch.join(ingested, Seq("h"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q84_anomaly_zscore" -> ((s, dir) => {
+      // per-type outlier gate: an event is anomalous if its value sits more
+      // than 3 sigma from its type's mean. All moments accumulate EXACTLY —
+      // integer cents for the sum, DECIMAL(38,0) for the sum of squares
+      // (long would overflow ~1e18 at 100 TB; DuckDB's HUGEINT matches) —
+      // so both engines derive bit-identical doubles and the 3-sigma verdict
+      // can hash-compare. Shuffle shape: one partial-agg groupBy for the
+      // moments + a broadcast join back onto the scan; no second shuffle.
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("s"),
+          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sq"))
+        .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("sq").cast("double")
+            - col("s").cast("double") * col("s").cast("double") / col("n").cast("double"))
+            / col("n").cast("double"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((abs(col("cents").cast("double") - col("mean"))
+            > lit(3.0) * sqrt(col("variance"))).cast("long")).as("n_outliers"),
+          round(max(col("mean")), 6).as("mean_cents"))
+        .orderBy(col("event_type"))
+    }),
+    "q82_tfidf" -> ((s, dir) => {
+      // TF-IDF keyword extraction: tf = per-(doc, token) count, df = docs
+      // containing the token, idf = ln(N/df), top-3 tokens per doc for the
+      // first 20 docs (tf/df computed over the FULL corpus). Rounded to 6dp
+      // BEFORE ranking (q59's rule) so both engines rank identical values;
+      // ties break by token. Shuffle shape: one (doc,token) agg + one
+      // token agg + a token-keyed join — the per-doc top-k runs on the
+      // 20-doc slice only, after the corpus-wide stats.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val toks = d.select(col("doc_id"),
+          explode(split(trim(col("text")), " +")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val total = d.agg(count(lit(1)).as("n_total"))
+      val scored = tf.filter(col("doc_id") < 20)
+        .join(df_, Seq("token"))
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf", round(col("tf").cast("double")
+          * log(col("n_total").cast("double") / col("df").cast("double")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("tfidf"), col("rk").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+    "q83_doc_chunking" -> ((s, dir) => {
+      // context-window chunking for pretraining: 256-token chunks with a
+      // 32-token overlap (stride 224); a doc yields 1 + ceil((nt-256)/224)
+      // chunks, materialized by exploding a codegen'd sequence() — chunk c
+      // covers tokens [224c, min(224c+256, nt)). Narrow per-row explode +
+      // one lang agg: zero pre-agg shuffles at 100 TB. The oracle uses the
+      // closed form (sum of chunk lengths = nt + 32*(n_chunks-1)), equal by
+      // arithmetic identity.
+      val nt = TextFunctions.tokenCount(col("text")).cast("bigint")
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"), col("doc_id"), nt.as("nt"))
+        .filter(col("nt") > 0)
+        .withColumn("n_chunks",
+          lit(1L) + greatest(lit(0L), expr("(nt - 256 + 223) div 224")))
+      d.select(col("lang"), col("doc_id"), col("nt"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk"))
+        .withColumn("chunk_tokens",
+          least(col("chunk") * 224 + 256, col("nt")) - col("chunk") * 224)
+        .groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_tokens")).as("sum_chunk_tokens"))
+        .orderBy(col("lang"))
+    }),
     "q56_bpe_tokens" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -1328,6 +1429,78 @@ object SparkEntry {
                 CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM hits)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
          FROM documents WHERE doc_id >= 50 GROUP BY 1 ORDER BY lang""",
+    "q85_incremental_dedup" ->
+      // same canonical rule inside the batch (min doc_id per md5), then the
+      // NOT IN mirrors the anti-join against already-ingested hashes
+      """WITH ingested AS (SELECT DISTINCT md5(text) AS h FROM documents
+                           WHERE doc_id < 250),
+              batch AS (SELECT * FROM documents WHERE doc_id >= 250
+                        AND doc_id IN (SELECT MIN(doc_id) FROM documents
+                                       WHERE doc_id >= 250 GROUP BY md5(text))),
+              fresh AS (SELECT * FROM batch
+                        WHERE md5(text) NOT IN (SELECT h FROM ingested))
+         SELECT lang, COUNT(*) AS n_new_docs,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+         FROM fresh GROUP BY 1 ORDER BY lang""",
+    "q84_anomaly_zscore" ->
+      // moments from exact integers (BIGINT cents sum, HUGEINT square sum)
+      // → identical doubles → identical 3-sigma verdicts; formula mirrored
+      // op-for-op including association order
+      """WITH ev AS (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+              st AS (SELECT event_type, COUNT(*) AS n,
+                       SUM(cents) AS s, SUM(cents * cents) AS sq
+                     FROM ev GROUP BY 1),
+              m AS (SELECT event_type, n,
+                      CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      (CAST(sq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS variance
+                    FROM st)
+         SELECT event_type, COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN abs(CAST(cents AS DOUBLE) - mean)
+                                   > 3.0 * sqrt(variance)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                round(MAX(mean), 6) AS mean_cents
+         FROM ev JOIN m USING (event_type)
+         GROUP BY 1 ORDER BY event_type""",
+    "q82_tfidf" ->
+      // same formula op-for-op (tf * ln(N/df)), rounded to 6dp before the
+      // rank on both sides; ln() vs Math.log agree well inside 6dp
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+                       FROM documents),
+              t AS (SELECT doc_id, token FROM toks WHERE length(token) > 0),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+              df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+              n AS (SELECT COUNT(*) AS n_total FROM documents),
+              scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                           round(CAST(tf.tf AS DOUBLE)
+                             * ln(CAST(n.n_total AS DOUBLE) / CAST(df.df AS DOUBLE)),
+                             6) AS tfidf
+                         FROM tf JOIN df USING (token), n
+                         WHERE tf.doc_id < 20),
+              rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, token) AS rk
+                     FROM scored)
+         SELECT doc_id, token, tf, df, tfidf, CAST(rk AS INTEGER) AS rank
+         FROM rk WHERE rk <= 3 ORDER BY doc_id, rank""",
+    "q83_doc_chunking" ->
+      // closed form: only the last chunk truncates, so the exploded chunk-
+      // length sum collapses to nt + 32*(n_chunks-1); the negative-numerator
+      // '//' (floor) vs 'div' (truncate) divergence is clamped by GREATEST
+      """WITH d AS (SELECT lang, doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS nt
+                    FROM documents),
+              c AS (SELECT lang, doc_id, nt,
+                      1 + GREATEST(0, (nt - 256 + 223) // 224) AS n_chunks
+                    FROM d WHERE nt > 0)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+                CAST(SUM(nt + 32 * (n_chunks - 1)) AS BIGINT) AS sum_chunk_tokens
+         FROM c GROUP BY 1 ORDER BY lang""",
     "q56_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text,

@@ -168,6 +168,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval-gram join not broadcast:\n$plan")
   }
 
+  test("q84 z-score: per-type stats broadcast back onto the scan, not shuffled") {
+    // the moments table is |event_type| rows; re-keying the full event scan
+    // to join it would be a pointless 100 TB shuffle — it must broadcast.
+    val df = graft.SparkEntry.queries("q84_anomaly_zscore")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast:\n$plan")
+  }
+
   test("q45: sketch-only HLL aggregate plans without Expand") {
     // Mixing countDistinct with a regular aggregate triggers the Expand
     // rewrite (every input row duplicated per aggregate group) — a structural
