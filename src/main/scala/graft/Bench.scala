@@ -53,12 +53,21 @@ object Bench {
     // undiagnosable from the artifact alone because BENCH.json said nothing
     // about the host it ran on. Stamp enough to tell two runs apart.
     val benchStartedAt = java.time.Instant.now().toString
+    // hostname / os.name are environment-chosen strings: escape them so one
+    // odd character can't break the driver's JSON parse of BENCH.json
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     def envJson: String = {
       val host = try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
       val os = sys.props.getOrElse("os.name", "?") + " " + sys.props.getOrElse("os.version", "?")
       s""""env":{"master":"local[$cpus]","availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
-        s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":"$host",""" +
-        s""""os":"$os","java":"${sys.props.getOrElse("java.version", "?")}","startedAt":"$benchStartedAt"}"""
+        s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":${jstr(host)},""" +
+        s""""os":${jstr(os)},"java":${jstr(sys.props.getOrElse("java.version", "?"))},"startedAt":"$benchStartedAt"}"""
     }
     def jsonLine(results: Seq[(String, Double)]): String = {
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

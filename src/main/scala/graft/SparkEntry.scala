@@ -249,12 +249,15 @@ object SparkEntry {
       // which is exactly what the oracle predicts. SimHashBlockingSpec
       // asserts the gate is non-vacuous (both sides of the <=3 boundary are
       // populated at the tested scales).
-      val docs = Parallelize.ensure(Tables.documents(s, dir))
-        .select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") < 20)
-      val perturbed = base.select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
-      val all = docs.unionByName(perturbed)
+      // the gate corpus is ONLY base ∪ perturbed (40 docs): the pigeonhole
+      // guarantee q77 asserts ("a pair at distance <= 3 is never lost") is
+      // deliberately voided by candidatePairs' degenerate-bucket cap, so
+      // running the gate over the full corpus would let a >256-doc bucket
+      // at a larger sf legally drop a close pair and flip the oracle. The
+      // cap-vs-recall tradeoff is the operator's documented contract; this
+      // query gates the kernel+blocking+verify SEMANTICS.
+      val (base, perturbed) = simhashGateCorpus(Tables.documents(s, dir))
+      val all = base.unionByName(perturbed)
       val sigs = SimHashDedup.signatures(all)
       val direct = base.select(col("doc_id").as("id1"),
           (col("doc_id") + 1000000).as("id2"))
@@ -704,19 +707,23 @@ object SparkEntry {
     }),
     "q84_anomaly_zscore" -> ((s, dir) => {
       // per-type outlier gate: an event is anomalous if its value sits more
-      // than 3 sigma from its type's mean. All moments accumulate EXACTLY —
-      // integer cents for the sum, DECIMAL(38,0) for the sum of squares
-      // (long would overflow ~1e18 at 100 TB; DuckDB's HUGEINT matches) —
+      // than 3 sigma from its type's mean. All moments accumulate EXACTLY
+      // in DECIMAL (sum and sum-of-squares; DuckDB mirrors with HUGEINT) —
       // so both engines derive bit-identical doubles and the 3-sigma verdict
       // can hash-compare. Shuffle shape: one partial-agg groupBy for the
       // moments + a broadcast join back onto the scan; no second shuffle.
       val ev = Tables.events(s, dir)
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("cents"))
+      // the DECIMAL cast must wrap the OPERANDS, not the product: a long
+      // cents*cents already wraps silently past ~3e9 cents with ANSI off,
+      // and the long sum wraps past ~9e18 total — both before any cast
+      // could save them. decimal(19,0)*decimal(19,0) → decimal(38,0) exact.
+      val decCents = col("cents").cast("decimal(19,0)")
       val stats = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("cents")).as("s"),
-          sum((col("cents") * col("cents")).cast("decimal(38,0)")).as("sq"))
+          sum(decCents).as("s"),
+          sum(decCents * decCents).as("sq"))
         .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
         .withColumn("variance",
           (col("sq").cast("double")
@@ -869,6 +876,20 @@ object SparkEntry {
         .orderBy(col("days"))
     })
   )
+
+  /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
+    * spec's non-vacuity checks guard the exact corpus the query gates:
+    * (base = first 20 docs, perturbed = same docs at +1000000 with one
+    * short deterministic token appended — moves signatures 0–6 bits).
+    */
+  private[graft] def simhashGateCorpus(documents: DataFrame): (DataFrame, DataFrame) = {
+    val base = Parallelize.ensure(documents)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 20)
+    val perturbed = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
+    (base, perturbed)
+  }
 
   /** Stage the EXACT-DEDUPED corpus through the lang-partitioned parquet
     * sink (q61's layout) — the between-stages storage hop of the q76 staged
@@ -1450,7 +1471,8 @@ object SparkEntry {
                        CAST(round(value * 100) AS BIGINT) AS cents
                      FROM events),
               st AS (SELECT event_type, COUNT(*) AS n,
-                       SUM(cents) AS s, SUM(cents * cents) AS sq
+                       SUM(cents) AS s,
+                       SUM(CAST(cents AS HUGEINT) * cents) AS sq
                      FROM ev GROUP BY 1),
               m AS (SELECT event_type, n,
                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,

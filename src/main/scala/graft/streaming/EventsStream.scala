@@ -160,11 +160,50 @@ object EventsStream {
     * as the source itself — its chunks are copied in two waves).
     */
   def dedupedWindowedCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runAcrossRestart(spark, sfDir, duplicated = true) { (src, ckpt, outDir) =>
+      val stream = spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val deduped = stream
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+      // the parquet STREAMING sink is replay-idempotent by construction:
+      // its _spark_metadata commit log records which files belong to which
+      // batch, so a re-executed batch replaces rather than duplicates
+      windowedAgg(deduped).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Two-incarnation restart harness shared by the q75/q81 proofs: copy the
+    * first two chunk files of the staged time-ordered fixture into a fresh
+    * per-call source dir, run one query incarnation to a durable checkpoint
+    * and stop it, let the remaining chunks (incl. the planted late + flush
+    * rows) arrive with increasing mod times, and run a second incarnation
+    * from the SAME checkpoint. The bulky per-call state (duplicated-events
+    * source copy + state checkpoint) is deleted before returning so repeated
+    * bench/verify runs don't grow /tmp; only the small sink the caller
+    * reads survives. Returns the sink path.
+    */
+  private def runAcrossRestart(spark: SparkSession, sfDir: String,
+                               duplicated: Boolean)
+                              (start: (String, String, String) => StreamingQuery): String = {
     val staged = java.nio.file.Paths.get(
-      stagedTimeOrderedEventsDir(spark, sfDir, duplicated = true))
+      stagedTimeOrderedEventsDir(spark, sfDir, duplicated))
     val work = java.nio.file.Files.createTempDirectory("graft_restart_")
     val srcDir = java.nio.file.Files.createDirectory(work.resolve("source"))
-    val ckpt = work.resolve("checkpoint").toString
+    val ckpt = work.resolve("checkpoint")
     val outDir = work.resolve("out").toString
 
     // chunk arrival: copy with explicitly increasing mod times so the file
@@ -177,42 +216,30 @@ object EventsStream {
         java.nio.file.attribute.FileTime.fromMillis(1600000000000L + idx * 60000L))
       ()
     }
-
-    def incarnation(): StreamingQuery = {
-      val stream = spark.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val deduped = stream
-        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("event_id")
-      windowedAgg(deduped).writeStream
-        .outputMode(OutputMode.Append())
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.ProcessingTime(0))
-        .start()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        ()
+      }
     }
 
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", 8)
     try {
       arrive("chunk_0.parquet", "chunk_1.parquet")
-      val q1 = incarnation()
+      val q1 = start(srcDir.toString, ckpt.toString, outDir)
       q1.processAllAvailable()
       q1.stop() // "failure": the query dies mid-stream at a durable checkpoint
       arrive("chunk_2.parquet", "chunk_3_late.parquet", "chunk_4_flush.parquet")
-      val q2 = incarnation()
+      val q2 = start(srcDir.toString, ckpt.toString, outDir)
       q2.processAllAvailable()
       q2.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    spark.read.parquet(outDir)
-      .filter(col("event_type") =!= "__flush")
-      .orderBy(col("window_start"), col("event_type"))
+    rmTree(srcDir)
+    rmTree(ckpt)
+    outDir
   }
 
   /** Stage the sf dir's events as a TIME-ORDERED stream-source directory at a
@@ -388,52 +415,27 @@ object EventsStream {
     * never replays an appended batch (no double-append in the sink).
     */
   def milestoneCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
-    val staged = java.nio.file.Paths.get(stagedTimeOrderedEventsDir(spark, sfDir))
-    val work = java.nio.file.Files.createTempDirectory("graft_ms_restart_")
-    val srcDir = java.nio.file.Files.createDirectory(work.resolve("source"))
-    val ckpt = work.resolve("checkpoint").toString
-    val outDir = work.resolve("out").toString
-
-    def arrive(names: String*): Unit = names.foreach { n =>
-      val target = srcDir.resolve(n)
-      java.nio.file.Files.copy(staged.resolve(n), target)
-      val idx = "\\d+".r.findFirstIn(n).get.toInt
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + idx * 60000L))
-      ()
-    }
-
-    def incarnation(): StreamingQuery = {
+    val out = runAcrossRestart(spark, sfDir, duplicated = false) { (src, ckpt, outDir) =>
       val stream = spark.readStream
         .schema(rawSchema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(srcDir.toString)
+        .parquet(src)
         .filter(!col("event_type").startsWith("__"))
       valueMilestones(stream).toDF()
         .writeStream
         .outputMode(OutputMode.Update())
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: Dataset[Row], id: Long) =>
+          // idempotent under batch REPLAY, not just graceful stops: each
+          // micro-batch overwrites its own batch=<id> partition, so a batch
+          // re-executed after a crash between the offsets log and the
+          // commit log lands on the same path instead of appending twice
+          batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0))
         .start()
     }
-
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
-      arrive("chunk_0.parquet", "chunk_1.parquet")
-      val q1 = incarnation()
-      q1.processAllAvailable()
-      q1.stop()
-      arrive("chunk_2.parquet", "chunk_3_late.parquet", "chunk_4_flush.parquet")
-      val q2 = incarnation()
-      q2.processAllAvailable()
-      q2.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    spark.read.parquet(outDir)
+    spark.read.parquet(out)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_milestones"))
       .orderBy(col("user_id"))
   }

@@ -1,26 +1,22 @@
 package graft.dedup
 
-import graft.{Parallelize, SparkSpec, Tables}
-import org.apache.spark.sql.DataFrame
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** End-to-end check that the q77 blocking gate actually exercises the
-  * pigeonhole claim beyond distance 0: the planted perturbation (one short
-  * token appended) must move at least one signature into Hamming [1, 3] —
-  * otherwise the maxHamming=3 recovery gate would be vacuously satisfiable
-  * by a blocker that only finds exact signature matches.
+  * pigeonhole claim beyond distance 0: the planted perturbation must move
+  * at least one signature into Hamming [1, 3] — otherwise the maxHamming=3
+  * recovery gate would be vacuously satisfiable by a blocker that only
+  * finds exact signature matches. Uses the SAME fixture builder as the q77
+  * query ([[graft.SparkEntry.simhashGateCorpus]]) so a fixture tweak there
+  * cannot silently de-fang the gate while this spec keeps passing.
   */
 class SimHashBlockingSpec extends SparkSpec {
 
-  /** Mirror of q77's fixture: 20 base docs + perturbed copies at +1000000,
-    * returning each planted pair's DIRECT signature distance (no blocking).
-    */
+  /** Each planted pair's DIRECT signature distance (no blocking). */
   private def plantedDistances(sfDir: String): Map[Long, Int] = {
-    val docs = Parallelize.ensure(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), col("text"))
-    val base = docs.filter(col("doc_id") < 20)
-    val perturbed = base.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
+    val (base, perturbed) = graft.SparkEntry.simhashGateCorpus(
+      Tables.documents(spark, sfDir))
     val sigs = SimHashDedup.signatures(base.unionByName(perturbed))
     base.select(col("doc_id").as("id1"), (col("doc_id") + 1000000).as("id2"))
       .join(sigs.select(col("id").as("id1"), col("sim").as("s1")), Seq("id1"))
@@ -38,13 +34,9 @@ class SimHashBlockingSpec extends SparkSpec {
   }
 
   test("blocking at maxHamming=3 recovers EXACTLY the pairs at direct distance <= 3") {
-    val docs = Parallelize.ensure(Tables.documents(spark, sf("sf0.001")))
-      .select(col("doc_id"), col("text"))
-    val base = docs.filter(col("doc_id") < 20)
-    val perturbed = base.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text"), lit(" zq"), (col("doc_id") % 7).cast("string")).as("text"))
-    val all: DataFrame = docs.unionByName(perturbed)
-    val recovered = SimHashDedup.nearDuplicates(all, maxHamming = 3)
+    val (base, perturbed) = graft.SparkEntry.simhashGateCorpus(
+      Tables.documents(spark, sf("sf0.001")))
+    val recovered = SimHashDedup.nearDuplicates(base.unionByName(perturbed), maxHamming = 3)
       .filter(col("id2") - col("id1") === 1000000)
       .collect().map(r => r.getLong(0)).toSet
     val expected = plantedDistances(sf("sf0.001")).filter(_._2 <= 3).keySet
