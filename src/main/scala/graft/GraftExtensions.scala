@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.dedup.{MinHashSigExpr, ShingleHashExpr}
 import graft.functions._
 
 /** SparkSessionExtensions entry point — the standard deployment route for
@@ -61,5 +62,17 @@ object GraftExtensions {
           words.toString.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       case _ => throw new IllegalArgumentException(
         "stopword_count expects (text, 'w1,w2,...' literal)")
+    },
+    // shingle_hashes(token_array, n) — n must be an int literal (it sizes
+    // the codegen'd kernel's gram window); same for minhash_sig's k
+    "shingle_hashes" -> {
+      case Seq(toks, Literal(n: Int, IntegerType)) => ShingleHashExpr(toks, n)
+      case _ => throw new IllegalArgumentException(
+        "shingle_hashes expects (array<string>, int literal)")
+    },
+    "minhash_sig" -> {
+      case Seq(hashes, Literal(k: Int, IntegerType)) => MinHashSigExpr(hashes, k)
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig expects (array<bigint>, int literal)")
     })
 }

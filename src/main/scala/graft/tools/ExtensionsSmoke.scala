@@ -23,9 +23,11 @@ object ExtensionsSmoke {
                simhash64('a b c') IS NOT NULL AS sh,
                vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) = 11.0d AS vd,
                vec_norm(array(3.0d, 4.0d)) = 5.0d AS vn,
-               stopword_count('the cat and the hat', 'the,and') = 3 AS sw
+               stopword_count('the cat and the hat', 'the,and') = 3 AS sw,
+               size(shingle_hashes(array('a','b','c','d'), 2)) = 3 AS sh2,
+               size(minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 16)) = 16 AS ms
       """).collect()(0)
-    val ok = (0 until 5).forall(i => row.getBoolean(i))
+    val ok = (0 until 7).forall(i => row.getBoolean(i))
     println(s"[extensions-smoke] ok=$ok row=$row")
     spark.stop()
     if (!ok) sys.exit(1)

@@ -15,12 +15,16 @@ class GraftExtensionsSpec extends SparkSpec {
                 simhash64('a b c') AS sh,
                 vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
                 vec_norm(array(3.0d, 4.0d)) AS n,
-                stopword_count('the cat and the hat', 'the,and') AS sw
+                stopword_count('the cat and the hat', 'the,and') AS sw,
+                size(shingle_hashes(array('a','b','c','d'), 2)) AS nsh,
+                size(minhash_sig(shingle_hashes(array('a','b','c','d'), 2), 16)) AS nsig
       """).collect()(0)
     assert(row.getLong(0) === row.getLong(1)) // fingerprint normalization
     assert(row.getDouble(3) === 11.0)
     assert(row.getDouble(4) === 5.0)
     assert(row.getInt(5) === 3)
+    assert(row.getInt(6) === 3)  // 4 tokens -> 3 distinct 2-gram shingles
+    assert(row.getInt(7) === 16) // signature length = k
   }
 
   test("stopword_count rejects a non-literal word list") {
