@@ -618,16 +618,21 @@ object SparkEntry {
       // doc is replaced by a degenerate one-token-repeated text (planted
       // identically in the oracle) so the >0.2 flag is non-vacuous on a
       // corpus whose natural docs are all below it.
+      // staged projections (ptext/toks/n_tok): each is referenced more than
+      // once downstream, and inlining them would re-evaluate the planted-
+      // text CASE + regex split 4x per row (the round-1 CollapseProject
+      // lesson — multi-referenced non-cheap aliases survive as a Project)
       val d = Parallelize.ensure(Tables.documents(s, dir))
-      val text = when(pmod(col("doc_id"), lit(13)) === 0,
-        trim(repeat(concat(lit("rep"), pmod(col("doc_id"), lit(5)).cast("string"),
-          lit(" ")), 40)))
-        .otherwise(col("text"))
-      val nTok = TextFunctions.tokenCount(text)
-      val toks = split(trim(text), " +")
-      val ratio = when(nTok >= 2,
-        lit(1.0) - size(MinHashExprs.shingleHashes(toks, 2)).cast("double")
-          / (nTok - 1).cast("double"))
+        .withColumn("ptext", when(pmod(col("doc_id"), lit(13)) === 0,
+          trim(repeat(concat(lit("rep"), pmod(col("doc_id"), lit(5)).cast("string"),
+            lit(" ")), 40)))
+          .otherwise(col("text")))
+        .withColumn("toks", split(trim(col("ptext")), " +"))
+        .withColumn("n_tok", when(length(trim(col("ptext"))) === 0, 0)
+          .otherwise(size(col("toks"))))
+      val ratio = when(col("n_tok") >= 2,
+        lit(1.0) - size(MinHashExprs.shingleHashes(col("toks"), 2)).cast("double")
+          / (col("n_tok") - 1).cast("double"))
         .otherwise(lit(0.0))
       d.select(col("lang"), ratio.as("ratio"))
         .groupBy(col("lang"))
