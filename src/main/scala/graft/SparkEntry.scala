@@ -487,6 +487,23 @@ object SparkEntry {
       Relational.tokenFrequency(Parallelize.ensure(Tables.documents(s, dir)), 25)),
     "q37_pivot" -> ((s, dir) =>
       Relational.ordersStatusPivot(Tables.orders(s, dir))),
+    "q86_range_join" -> ((s, dir) => {
+      // interval join with NO equi-key: per-day overlapping 30-hour
+      // campaign windows × the event stream. The bucketed operator turns
+      // the would-be BroadcastNestedLoop theta join into one hash equi-join
+      // on a day bucket (RangeJoinSpec asserts the plan); intervals span
+      // two buckets, so pairs meeting in exactly one bucket is exercised,
+      // and each event matches up to two overlapping windows.
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("value"))
+      val iv = ev.select(date_trunc("day", col("ts")).as("w_start")).distinct()
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 30 HOURS"))
+      operators.RangeJoin.bucketed(ev, iv, "ts", "w_start", "w_end",
+          bucketSeconds = 86400L)
+        .groupBy(col("w_start"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("w_start"))
+    }),
     "q36_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
       operators.AsOfJoin.asof(ev, Tables.orders(s, dir),
@@ -1676,6 +1693,17 @@ object SparkEntry {
                 COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
                 COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
          FROM orders GROUP BY 1 ORDER BY cust_bucket""",
+    "q86_range_join" ->
+      // ground truth is the naive theta join — the oracle can afford
+      // O(|E| * 30 windows); the engine side must not
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+              d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start
+                    FROM e),
+              iv AS (SELECT w_start, w_start + INTERVAL 30 HOUR AS w_end FROM d)
+         SELECT w_start, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM e JOIN iv ON e.ts BETWEEN iv.w_start AND iv.w_end
+         GROUP BY 1 ORDER BY w_start""",
     "q36_asof_join" ->
       """SELECT event_id, asof_o_orderkey
          FROM (SELECT e.event_id, o.o_orderkey AS asof_o_orderkey,
