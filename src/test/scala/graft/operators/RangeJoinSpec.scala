@@ -32,6 +32,41 @@ class RangeJoinSpec extends SparkSpec {
       "fixture never exercises an event matching two overlapping windows")
   }
 
+  test("randomized intervals: equals naive join for zero-length and multi-bucket spans") {
+    // seeded property run (scalacheck is offline-unavailable; seeded Random
+    // loops are this repo's convention): arbitrary interval lengths from 0
+    // seconds to several buckets wide, points scattered across the range —
+    // the bucketed join must agree with the naive theta join exactly.
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val base = 1700000000000000L // µs epoch
+    val points = (1 to 400).map(i =>
+      (i.toLong, base + rnd.nextLong(10L * 86400L * 1000000L))) // 10-day span
+    val intervals = (1 to 60).map { i =>
+      val start = base + rnd.nextLong(10L * 86400L * 1000000L)
+      val lenUs = rnd.nextInt(4) match {
+        case 0 => 0L                                   // zero-length [t, t]
+        case 1 => rnd.nextLong(3600L * 1000000L)       // sub-bucket
+        case 2 => rnd.nextLong(86400L * 1000000L)      // ~one bucket
+        case _ => rnd.nextLong(5L * 86400L * 1000000L) // many buckets
+      }
+      (i.toLong, start, start + lenUs)
+    }
+    val pts = points.toDF("pid", "t_us")
+      .select($"pid", expr("timestamp_micros(t_us)").as("t"))
+    val ivs = intervals.toDF("iid", "s_us", "e_us")
+      .select($"iid", expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val bucketed = RangeJoin.bucketed(pts, ivs, "t", "s", "e", 86400L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    val naive = pts.join(ivs, $"t" >= $"s" && $"t" <= $"e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(bucketed.size === bucketed.distinct.size)
+    assert(bucketed.toSet === naive.toSet)
+    assert(bucketed.size === naive.size)
+    assert(naive.nonEmpty, "fixture produced no matches — property is vacuous")
+  }
+
   test("bucketed range join plans as a hash equi-join, not BroadcastNestedLoop") {
     val (ev, iv) = fixture
     val df = RangeJoin.bucketed(ev, iv, "ts", "w_start", "w_end", 86400L)
