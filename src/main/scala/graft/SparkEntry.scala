@@ -428,6 +428,13 @@ object SparkEntry {
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
     "q62_stream_dedup" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupedWindowedCountsBounded(s, dir)),
+    "q87_stream_stream_join" -> ((s, dir) =>
+      // watermarked stream-stream interval join (click → purchase within
+      // 6h, same user): inner-join state buffered across micro-batches,
+      // evicted by the time-bounded condition; counts equal the batch theta
+      // join. The missing fourth streaming surface beside windows, dedup,
+      // and custom state.
+      graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
     "q75_stream_restart" -> ((s, dir) =>
       // exactly-once across a checkpoint RESTART: the duplicated stream runs
       // as two query incarnations over one file checkpoint + parquet sink
@@ -1641,6 +1648,16 @@ object SparkEntry {
     // restart incarnation pair must land on the same single-copy batch
     // windows — state restore, offset skip, and sink idempotence included
     "q75_stream_restart" -> streamWindowsSql,
+    "q87_stream_stream_join" ->
+      // the batch theta join is the ground truth for the streamed inner
+      // join: every (click, purchase-within-6h) pair exactly once
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events)
+         SELECT c.user_id AS user_id, COUNT(*) AS n_pairs
+         FROM e c JOIN e p ON c.user_id = p.user_id
+           AND c.event_type = 'click' AND p.event_type = 'purchase'
+           AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
+         GROUP BY 1 ORDER BY c.user_id""",
     "q38_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50,

@@ -186,6 +186,47 @@ object EventsStream {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** Stream-stream event-time interval join: each purchase matched to the
+    * same user's clicks in the preceding 6 hours. Both sides carry
+    * watermarks and the join condition bounds event time in both
+    * directions, which is what lets Spark EVICT join state once the
+    * watermark passes a row's matchable band — the only form in which a
+    * stream-stream join is feasible at 100 TB (unbounded-state joins are
+    * rejected by the planner). Self-join of one file-source stream: both
+    * scans advance in lockstep one chunk file per micro-batch, so pairs
+    * that straddle a batch boundary prove the cross-batch state buffering.
+    * Inner-join results emit as soon as both sides arrive (the watermark
+    * governs eviction, not emission); the per-user pair counts are
+    * aggregated batch-side from the drained sink and must equal the batch
+    * theta join the oracle runs.
+    */
+  def clickPurchaseJoinBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    def side(eventType: String, idAs: String, tsAs: String, userAs: String) =
+      spark.readStream
+        .schema(rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(userAs), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, "10 minutes")
+    val clicks = side("click", "click_id", "click_ts", "user_id")
+    val purchases = side("purchase", "buy_id", "buy_ts", "p_user")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+    val name = "stream_ssj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(joined, name, OutputMode.Append(), statePartitions = Some(8))
+    q.stop()
+    spark.table(name)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Two-incarnation restart harness shared by the q75/q81 proofs: copy the
     * first two chunk files of the staged time-ordered fixture into a fresh
     * per-call source dir, run one query incarnation to a durable checkpoint

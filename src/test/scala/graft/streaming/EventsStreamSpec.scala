@@ -121,6 +121,21 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join equals the batch theta join (cross-batch state buffering)") {
+    val got = EventsStream.clickPurchaseJoinBounded(spark, sf("sf0.001"))
+      .as[(Long, Long)].collect().toMap
+    val e = graft.Tables.events(spark, sf("sf0.001"))
+    val c = e.filter($"event_type" === "click").select($"user_id", $"ts".as("cts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val batch = c.join(p, $"user_id" === $"pu" &&
+        $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 6 HOURS"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === batch)
+    assert(batch.values.sum > 0, "fixture produced no pairs — join untested")
+  }
+
   test("milestone GroupState survives a checkpoint restart: no re-emitted or lost crossings") {
     val got = EventsStream.milestoneCountsRestart(spark, sf("sf0.001"))
       .as[(Long, Long)].collect().toMap
