@@ -820,6 +820,25 @@ object SparkEntry {
           sum(col("chunk_tokens")).as("sum_chunk_tokens"))
         .orderBy(col("lang"))
     }),
+    "q88_stratified_take" -> ((s, dir) => {
+      // fixed per-stratum budget: EXACTLY 10 docs per language, chosen
+      // deterministically by Knuth-hash order — "sampling to a budget"
+      // without RNG, so every run and every engine picks the same rows
+      // (q69's mixing gives RATES; this gives exact counts). Rides the
+      // bounded top-k AGGREGATE (O(k) map-side state per partition), not a
+      // ranking window that would sort a few giant language partitions.
+      // The multiplicative hash is bijective (odd multiplier), so there
+      // are no score ties to break.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val hv = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      d.select(col("doc_id"), col("lang"), (-hv.cast("double")).as("score"))
+        .groupBy(col("lang"))
+        .agg(graft.similarity.TopKAggregator.topK(10)(col("doc_id"), col("score")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("s.id").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
     "q56_bpe_tokens" -> ((s, dir) =>
       Parallelize.ensure(Tables.documents(s, dir))
         .select(col("doc_id"),
@@ -1552,6 +1571,17 @@ object SparkEntry {
                 CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
                 CAST(SUM(nt + 32 * (n_chunks - 1)) AS BIGINT) AS sum_chunk_tokens
          FROM c GROUP BY 1 ORDER BY lang""",
+    "q88_stratified_take" ->
+      // smallest hash first == largest negated score; the hash is
+      // collision-free (bijective mod 2^32), so the pick is total-ordered
+      """WITH h AS (SELECT doc_id, lang,
+                      (doc_id * 2654435761) % 4294967296 AS hv
+                    FROM documents)
+         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rank
+         FROM (SELECT doc_id, lang,
+                      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rk
+               FROM h) t
+         WHERE rk <= 10 ORDER BY lang, rank""",
     "q56_bpe_tokens" ->
       """SELECT doc_id,
                 CAST(len(regexp_extract_all(text,
