@@ -428,6 +428,11 @@ object SparkEntry {
       graft.streaming.EventsStream.windowedCountsBounded(s, dir)),
     "q62_stream_dedup" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupedWindowedCountsBounded(s, dir)),
+    "q89_stream_enrichment" -> ((s, dir) =>
+      // stream-static dimension join: per-batch broadcast of the customer
+      // segment table onto the event stream (the stream never shuffles for
+      // the join); complete-mode counts equal the batch join + GROUP BY
+      graft.streaming.EventsStream.enrichedSegmentCountsBounded(s, dir)),
     "q87_stream_stream_join" -> ((s, dir) =>
       // watermarked stream-stream interval join (click → purchase within
       // 6h, same user): inner-join state buffered across micro-batches,
@@ -1678,6 +1683,11 @@ object SparkEntry {
     // restart incarnation pair must land on the same single-copy batch
     // windows — state restore, offset skip, and sink idempotence included
     "q75_stream_restart" -> streamWindowsSql,
+    "q89_stream_enrichment" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2 ORDER BY c_mktsegment, event_type""",
     "q87_stream_stream_join" ->
       // the batch theta join is the ground truth for the streamed inner
       // join: every (click, purchase-within-6h) pair exactly once

@@ -227,6 +227,33 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the event stream
+    * joined to a STATIC dimension table (customer market segment). The
+    * static side broadcasts per batch — the stream is never shuffled for
+    * the join — which is the standard shape for enriching a 100 TB stream
+    * against a reference table. Complete-mode aggregate over the drained
+    * chunks must equal the batch join + GROUP BY exactly.
+    */
+  def enrichedSegmentCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .filter(!col("event_type").startsWith("__"))
+      .select(col("user_id"), col("event_type"), col("value"))
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = stream.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val name = "stream_en_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(agg, name, OutputMode.Complete(), statePartitions = Some(8))
+    q.stop()
+    spark.table(name).orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
   /** Two-incarnation restart harness shared by the q75/q81 proofs: copy the
     * first two chunk files of the staged time-ordered fixture into a fresh
     * per-call source dir, run one query incarnation to a durable checkpoint
