@@ -66,13 +66,13 @@ object GraftExtensions {
     // shingle_hashes(token_array, n) — n must be an int literal (it sizes
     // the codegen'd kernel's gram window); same for minhash_sig's k
     "shingle_hashes" -> {
-      case Seq(toks, Literal(n: Int, IntegerType)) => ShingleHashExpr(toks, n)
+      case Seq(toks, Literal(n: Int, IntegerType)) if n > 0 => ShingleHashExpr(toks, n)
       case _ => throw new IllegalArgumentException(
-        "shingle_hashes expects (array<string>, int literal)")
+        "shingle_hashes expects (array<string>, positive int literal)")
     },
     "minhash_sig" -> {
-      case Seq(hashes, Literal(k: Int, IntegerType)) => MinHashSigExpr(hashes, k)
+      case Seq(hashes, Literal(k: Int, IntegerType)) if k > 0 => MinHashSigExpr(hashes, k)
       case _ => throw new IllegalArgumentException(
-        "minhash_sig expects (array<bigint>, int literal)")
+        "minhash_sig expects (array<bigint>, positive int literal)")
     })
 }

@@ -27,6 +27,8 @@ object RangeJoin {
                leftTime: String, rightStart: String, rightEnd: String,
                bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "inputs must not already carry a __bucket column (it is used internally)")
     val bm = bucketSeconds * 1000000L // bucket width in microseconds
     val l = left.withColumn("__bucket",
       expr(s"unix_micros(`$leftTime`) div ${bm}L"))

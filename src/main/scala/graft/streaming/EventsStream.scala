@@ -34,6 +34,16 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
+  /** One-chunk-per-micro-batch file stream over a staged fixture dir —
+    * the shared scan recipe for every bounded drain (ts stays raw Long
+    * nanos; callers convert or filter as their query needs).
+    */
+  private def chunkedStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
   /** Watermarked tumbling-window aggregation: per (1-minute window,
     * event_type) counts and value sums. The value sum goes through
     * DECIMAL(18,2) so micro-batch arrival order cannot perturb the double
@@ -86,10 +96,7 @@ object EventsStream {
   def windowedCountsMultiBatch(spark: SparkSession,
                                sfDir: String): (DataFrame, StreamingQuery) = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val stream = chunkedStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val name = "stream_q_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = runToMemory(windowedCounts(stream), name, OutputMode.Append(),
@@ -120,10 +127,7 @@ object EventsStream {
     */
   def dedupedWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir, duplicated = true)
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val stream = chunkedStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     // project BEFORE the stateful ops: dedup state stores the whole row, so
     // carrying user_id/props (a fat JSON string) through it multiplies the
@@ -161,10 +165,7 @@ object EventsStream {
     */
   def dedupedWindowedCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
     val out = runAcrossRestart(spark, sfDir, duplicated = true) { (src, ckpt, outDir) =>
-      val stream = spark.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+      val stream = chunkedStream(spark, src)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       val deduped = stream
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
@@ -203,10 +204,7 @@ object EventsStream {
   def clickPurchaseJoinBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
     def side(eventType: String, idAs: String, tsAs: String, userAs: String) =
-      spark.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(dir)
+      chunkedStream(spark, dir)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(userAs), col("event_id").as(idAs),
@@ -236,10 +234,7 @@ object EventsStream {
     */
   def enrichedSegmentCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val stream = chunkedStream(spark, dir)
       .filter(!col("event_type").startsWith("__"))
       .select(col("user_id"), col("event_type"), col("value"))
     val dim = graft.Tables.customer(spark, sfDir)
@@ -455,10 +450,7 @@ object EventsStream {
     */
   def milestoneCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    val stream = chunkedStream(spark, dir)
       .filter(!col("event_type").startsWith("__"))
     val name = "stream_ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = runToMemory(valueMilestones(stream).toDF(), name, OutputMode.Update(),
@@ -484,10 +476,7 @@ object EventsStream {
     */
   def milestoneCountsRestart(spark: SparkSession, sfDir: String): DataFrame = {
     val out = runAcrossRestart(spark, sfDir, duplicated = false) { (src, ckpt, outDir) =>
-      val stream = spark.readStream
-        .schema(rawSchema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+      val stream = chunkedStream(spark, src)
         .filter(!col("event_type").startsWith("__"))
       valueMilestones(stream).toDF()
         .writeStream

@@ -77,6 +77,9 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join fell back to a nested-loop shape:\n$plan")
-    assert(plan.contains("HashJoin"), s"expected a hash equi-join:\n$plan")
+    // any equi-join strategy is fine (hash or sort-merge on __bucket);
+    // the invariant is that it is NOT a nested-loop over all pairs
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket:\n$plan")
   }
 }
