@@ -21,6 +21,17 @@ import org.apache.spark.sql.SparkSession
   * reported number is the per-query MEDIAN: single runs at this scale swing
   * 2-4x on identical plans (round-3 finding), so medians are the only
   * timings worth comparing across rounds. `value` is the sum of medians.
+  *
+  * Two-scale evidence: after the primary suite, the same queries run again
+  * at a 10x-smaller scale (SPARK_GRAFT_SF_DIR_SMALL, default the primary
+  * dir with "sf0.1" -> "sf0.01"; SPARK_GRAFT_BENCH_RUNS_SMALL runs, default
+  * 3; set SPARK_GRAFT_SF_DIR_SMALL=skip to disable). The JSON then carries
+  * `queries_small` and per-query `scaling` ratios (primary/small): a query
+  * whose time grows FASTER than the 10x data — ratio above 12 (20% shuffle/
+  * log slack) with a non-overhead-dominated primary median — lands in
+  * `scaling_flagged`. This converts the 100 TB plan-shape argument into a
+  * measured check: a superlinear operator shows up as a flagged ratio at
+  * local scale long before it melts a cluster.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -45,6 +56,7 @@ object Bench {
       args.isEmpty || args.exists(name.contains)
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
+    val runsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SMALL", "3").toInt.max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -69,11 +81,30 @@ object Bench {
         s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":${jstr(host)},""" +
         s""""os":${jstr(os)},"java":${jstr(sys.props.getOrElse("java.version", "?"))},"startedAt":"$benchStartedAt"}"""
     }
-    def jsonLine(results: Seq[(String, Double)]): String = {
-      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
+    def jsonNum(v: Double): String = f"$v%.3f"
+    def jsonMap(m: Seq[(String, String)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsonLine(results: Seq[(String, Double)],
+                 small: Option[(String, Seq[(String, Double)])]): String = {
+      val qs = jsonMap(results.map { case (k, v) => k -> jsonNum(v) })
       val total = results.map(_._2).sum
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir",$envJson%s}"""
+      val twoScale = small.map { case (smallDir, sm) =>
+        val smMap = sm.toMap
+        val ratios = results.flatMap { case (k, v) =>
+          smMap.get(k).filter(_ > 0).map(s => k -> (v / s))
+        }
+        // flag only queries whose primary median is big enough to be
+        // data-bound (overhead-dominated sub-second timings ratio ~1
+        // regardless of plan shape); 12 = 10x data + 20% shuffle/log slack
+        val flagged = ratios.filter { case (k, r) =>
+          r > 12.0 && results.toMap.getOrElse(k, 0.0) > 0.5
+        }.map(_._1)
+        s""","sf_small":"$smallDir","runs_small":$runsSmall,""" +
+          s""""queries_small":${jsonMap(sm.map { case (k, v) => k -> jsonNum(v) })},""" +
+          s""""scaling":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })},""" +
+          s""""scaling_flagged":${flagged.map(jstr).mkString("[", ",", "]")}"""
+      }.getOrElse("")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir",$envJson%s$twoScale%s}"""
     }
     // BENCH.json is rewritten after EVERY query so a killed run still leaves
     // the medians measured so far (the driver's parser reads this file).
@@ -82,23 +113,36 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    selected.foreach { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def runSuite(dir: String, nRuns: Int,
+                 onResult: Seq[(String, Double)] => Unit): Seq[(String, Double)] = {
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      selected.foreach { case (name, fn) =>
+        val times = (1 to nRuns).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, dir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
         }
-        (System.nanoTime() - t0) / 1e9
+        results += (name -> median(times))
+        onResult(results.toSeq)
       }
-      results += (name -> median(times))
-      writeFile(jsonLine(results.toSeq))
+      results.toSeq
     }
+    val results = runSuite(sfDir, runs, rs => writeFile(jsonLine(rs, None)))
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
+      if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "skip")
+    val small =
+      if (smallDir == "skip" || smallDir == sfDir ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) None
+      else Some(smallDir -> runSuite(smallDir, runsSmall, _ => ()))
+    val line = jsonLine(results, small)
+    writeFile(line)
     results.sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] $v%8.3f s  $k")
     }
-    println(jsonLine(results.toSeq))
+    println(line)
     spark.stop()
   }
 }

@@ -17,10 +17,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Row-count-aware sharding: coalesce(1) keeps the layout tidy at the
+    // driver's verify scale, but it is a SINGLE-TASK write — a multi-GB
+    // result at sf>=1 (q50 emits every order row) would serialize through
+    // one thread. Above the cap, shard ~maxRows1 rows per file instead; the
+    // gate's reader globs every *.parquet in the dir and sorts rows before
+    // comparing, so the file count is invisible to the compare.
+    val maxRows1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_MAXROWS1", "2000000").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir).persist()
+        try {
+          val n = out.count()
+          val shards = if (n <= maxRows1) 1 else ((n - 1) / maxRows1 + 1).min(256).toInt
+          out.coalesce(shards).write.mode("overwrite").parquet(s"$outDir/$name")
+        } finally { out.unpersist(); () }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

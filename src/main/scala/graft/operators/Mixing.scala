@@ -16,18 +16,38 @@ import org.apache.spark.sql.functions._
   * exact integer: engines disagree on double→int cast rounding otherwise.
   *
   * Scale: a narrow per-row filter — zero shuffle, pushes past column
-  * pruning; the per-stratum rate is a CASE literal, no join. Valid for ids
-  * up to ~2^31 (id * A must stay inside a signed 64-bit long).
+  * pruning; the per-stratum rate is a CASE literal, no join. Valid for ALL
+  * 64-bit ids (see [[knuthHash]]).
   */
 object Mixing {
   val M: Long = 4294967296L // 2^32
   val A: Long = 2654435761L // Knuth's multiplicative hash constant
 
+  /** `(id * A) mod 2^32` in overflow-free long arithmetic. The naive
+    * `id * A` leaves a signed 64-bit long once id exceeds ~2^31.8 —
+    * reachable at 100 TB doc counts — and ANSI-off Spark would wrap
+    * SILENTLY, diverging from any exact-arithmetic oracle. Split the id's
+    * low 32 bits (the only ones that matter mod 2^32) as l1·2^16 + l0:
+    *
+    *   (id·A) mod 2^32 = ((l1·A mod 2^16)·2^16 + l0·A) mod 2^32
+    *
+    * so every intermediate stays < 2^49. Matches the BigInt model
+    * `(BigInt(id) * A).mod(2^32)` for every long, negatives included
+    * (two's-complement low bits ARE id mod 2^32) — MixingSpec checks the
+    * 2^31 and 2^62 neighborhoods against that model.
+    */
+  def knuthHash(id: Column): Column = {
+    val idL = id.cast("long")
+    val l0 = idL.bitwiseAND(lit(0xffffL))
+    val l1 = shiftright(idL, 16).bitwiseAND(lit(0xffffL))
+    pmod(pmod(l1 * lit(A), lit(65536L)) * lit(65536L) + l0 * lit(A), lit(M))
+  }
+
   /** keep iff (id * A) mod 2^32 < rate * 2^32 — deterministic in exact
     * integer arithmetic.
     */
   def keepGate(id: Column, rate: Column): Column =
-    pmod(id.cast("long") * lit(A), lit(M)) < (rate * lit(M.toDouble)).cast("long")
+    knuthHash(id) < (rate * lit(M.toDouble)).cast("long")
 
   /** Filter `df` to the per-stratum rates; strata missing from `rates` keep
     * `defaultRate` of their rows.

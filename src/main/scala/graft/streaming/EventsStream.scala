@@ -299,9 +299,13 @@ object EventsStream {
       val q2 = start(srcDir.toString, ckpt.toString, outDir)
       q2.processAllAvailable()
       q2.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    rmTree(srcDir)
-    rmTree(ckpt)
+    } finally {
+      // cleanup runs on the failure path too — a throwing incarnation must
+      // not leak the bulky source copy + checkpoint into /tmp
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      rmTree(srcDir)
+      rmTree(ckpt)
+    }
     outDir
   }
 

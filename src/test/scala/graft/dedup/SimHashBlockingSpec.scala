@@ -31,6 +31,10 @@ class SimHashBlockingSpec extends SparkSpec {
     assert(dists.size === 20)
     assert(dists.values.exists(d => d >= 1 && d <= 3),
       s"no planted pair landed in Hamming [1,3] — gate is vacuous: $dists")
+    // the far side of the boundary must be populated too, or the "verify
+    // may not ADMIT a far pair" half of q77's gate is vacuously true
+    assert(dists.values.exists(_ > 3),
+      s"no planted pair landed at Hamming > 3 — admit-side gate is vacuous: $dists")
   }
 
   test("blocking at maxHamming=3 recovers EXACTLY the pairs at direct distance <= 3") {

@@ -28,6 +28,25 @@ class MixingSpec extends SparkSpec {
     assert(math.abs(kept("b") / 10000.0 - 0.125) < 0.05, s"b=${kept("b")}")
   }
 
+  test("knuthHash matches the BigInt model at 2^31 +- eps, 2^62, and random longs") {
+    // the naive id*A overflows a signed long past id ~ 2^31.8; the split
+    // formula must agree with exact arithmetic everywhere a 100 TB id
+    // space can reach
+    val rnd = new scala.util.Random(7)
+    val ids = Seq(0L, 1L, 65535L, 65536L,
+        (1L << 31) - 2, (1L << 31) - 1, 1L << 31, (1L << 31) + 1, (1L << 31) + 2,
+        (1L << 32) - 1, 1L << 32, (1L << 32) + 1,
+        (1L << 62) - 1, 1L << 62, (1L << 62) + 1, Long.MaxValue) ++
+      Seq.fill(200)(rnd.nextLong() & Long.MaxValue)
+    val got = ids.toDF("id")
+      .select($"id", Mixing.knuthHash($"id").as("hv"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) * Mixing.A) mod BigInt(Mixing.M)).toLong
+      assert(got(id) === want, s"id=$id")
+    }
+  }
+
   test("deterministic across runs; rate 1.0 keeps everything, 0.0 nothing") {
     val df = (0L until 1000L).map(i => (i, "x")).toDF("doc_id", "lang")
     val a = Mixing.sampleStrata(df, "lang", Map.empty, defaultRate = 1.0).count()

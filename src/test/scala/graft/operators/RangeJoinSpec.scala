@@ -67,6 +67,64 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture produced no matches — property is vacuous")
   }
 
+  test("bucketedAuto derives a sane width and equals the naive theta join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000000L
+    val pts = (1 to 300).map(i => (i.toLong, base + rnd.nextLong(86400L * 1000000L)))
+      .toDF("pid", "t_us").select($"pid", expr("timestamp_micros(t_us)").as("t"))
+    // second-scale intervals: a fixed day-scale width would be ~86400x too
+    // coarse, a fixed millisecond width would trip the replication cap —
+    // the auto width must land near the ~60s median instead
+    val ivs = (1 to 50).map { i =>
+      val s = base + rnd.nextLong(86400L * 1000000L)
+      (i.toLong, s, s + (30L + rnd.nextInt(90)) * 1000000L)
+    }.toDF("iid", "s_us", "e_us")
+      .select($"iid", expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val auto = RangeJoin.bucketedAuto(pts, ivs, "t", "s", "e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    val naive = pts.join(ivs, $"t" >= $"s" && $"t" <= $"e")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSeq
+    assert(auto.size === auto.distinct.size)
+    assert(auto.toSet === naive.toSet)
+    assert(naive.nonEmpty, "fixture produced no matches — property is vacuous")
+  }
+
+  test("inverted intervals (end < start) are dropped, not exploded descending") {
+    import spark.implicits._
+    val pts = Seq((1L, 1700000000000000L))
+      .toDF("pid", "t_us").select($"pid", expr("timestamp_micros(t_us)").as("t"))
+    val ivs = Seq(
+      (1L, 1700000000000000L - 1000000L, 1700000000000000L + 1000000L), // valid, matches
+      (2L, 1700000000000000L + 5L * 86400L * 1000000L, 1700000000000000L) // inverted
+    ).toDF("iid", "s_us", "e_us")
+      .select($"iid", expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val got = RangeJoin.bucketed(pts, ivs, "t", "s", "e", 60L)
+      .select($"iid").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("a pathological span/bucket ratio fails fast instead of exploding") {
+    import spark.implicits._
+    val pts = Seq((1L, 1700000000000000L))
+      .toDF("pid", "t_us").select($"pid", expr("timestamp_micros(t_us)").as("t"))
+    // one interval spanning ~10 years against 1-second buckets: ~3e8 bucket
+    // rows if materialized — the cap must stop it with a clear message
+    val ivs = Seq((1L, 1700000000000000L, 1700000000000000L + 10L * 365 * 86400L * 1000000L))
+      .toDF("iid", "s_us", "e_us")
+      .select($"iid", expr("timestamp_micros(s_us)").as("s"),
+        expr("timestamp_micros(e_us)").as("e"))
+    val e = intercept[Exception] {
+      RangeJoin.bucketed(pts, ivs, "t", "s", "e", 1L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RangeJoin.bucketed")),
+      s"expected the replication-cap error, got: $e")
+  }
+
   test("bucketed range join plans as a hash equi-join, not BroadcastNestedLoop") {
     val (ev, iv) = fixture
     val df = RangeJoin.bucketed(ev, iv, "ts", "w_start", "w_end", 86400L)
