@@ -39,7 +39,14 @@ class AqeSkewSpec extends AnyFunSuite {
         case a: AdaptiveSparkPlanExec => a.executedPlan.toString
         case p => p.toString
       }
-      assert(plan.contains("isSkew=true") || plan.toLowerCase.contains("skew"),
+      // the finalized plan must carry the skew-split runtime reader — a
+      // generic "skew" substring match could be satisfied by unrelated
+      // text, so pin the two concrete markers: the AQEShuffleRead node and
+      // its skewed/skew=true annotation on the hot-key side
+      assert(plan.contains("AQEShuffleRead"),
+        s"no AQEShuffleRead in the finalized plan:\n$plan")
+      assert(plan.contains("isSkew=true") || plan.contains("skewed") ||
+          plan.contains("skew=true"),
         s"AQE skew split did not engage:\n$plan")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
