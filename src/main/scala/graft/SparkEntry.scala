@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
-import graft.functions.{HashExprs, TextFunctions}
+import graft.functions.{BloomFilter, HashExprs, TextFunctions}
 import graft.dedup.{ExactDedup, MinHashExprs, MinHashLSH, NgramJaccard, SimHashDedup}
 import graft.segmentation.{Elbow, Ingest, KMeansMR, Pipelines, Recode}
 import graft.similarity.Knn
@@ -782,6 +782,101 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_new_docs"),
           sum(col("n_chars").cast("bigint")).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+    "q90_bloom_incremental_dedup" -> ((s, dir) => {
+      // q85's incremental dedup with a Bloom-prefilter index: the ingested
+      // side is summarized into an 8 KiB bitset (vs 16 B/doc hashes), rows
+      // the filter rejects are DEFINITELY new and skip the anti-join
+      // entirely, and the exact verify runs only over the flagged sliver
+      // (true dups + false positives). Bloom filters have no false
+      // negatives, so the result is exactly q85's — same oracle SQL, hash
+      // compared. The bitset collect is one k-sized row (the same driver
+      // pattern as broadcast centroids); at 100 TB the filter is built once
+      // per increment and OR-merged forward, never rescanning the corpus.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val ingested = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("h")).distinct()
+      val bits = ingested
+        .agg(BloomFilter.bloomAgg(xxhash64(col("h")), 1 << 16).as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val batch = ExactDedup.deduplicate(docs.filter(col("doc_id") >= 250))
+        .withColumn("h", md5(col("text")))
+      val probe = BloomFilter.mightContain(lit(bits), xxhash64(col("h")))
+      val definitelyNew = batch.filter(!probe)
+      val verifiedNew = batch.filter(probe).join(ingested, Seq("h"), "left_anti")
+      definitelyNew.unionByName(verifiedNew)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_new_docs"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+    "q91_cms_heavy_hitters" -> ((s, dir) => {
+      // count-min sketch frequency estimates for a fixed probe vocabulary —
+      // the mergeable-sketch form of heavy-hitter counting (token counts
+      // at 100 TB are a groupBy over billions of distinct tokens; a CMS is
+      // a few KB of algebraic state that partial-aggregates map-side, and
+      // stored sketches merge across days like the HLL rollup in q67).
+      // Spark's built-in count_min_sketch aggregate (org.apache.spark.util
+      // .sketch) builds the table; the TRUE-gate asserts the CMS contract
+      // per probe: estimate >= exact (one-sided error, always) and
+      // estimate <= exact + eps*N (within the sketch's additive bound).
+      // Exact per-probe counts ship alongside so the oracle re-derives
+      // them from its own tokenization — booleans AND counts hash-compare.
+      val probes = Seq("join", "hash", "row", "batch", "scan", "filter",
+        "vector", "data", "merge", "order", "zz_absent_token")
+      val toks = Parallelize.ensure(Tables.documents(s, dir))
+        .select(explode(split(trim(col("text")), " +")).as("token"))
+      val eps = 0.0005
+      val agg = toks.agg(
+        count_min_sketch(col("token"), lit(eps), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n")).collect()(0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+      val nTotal = agg.getAs[Long]("n")
+      val exact = toks.filter(col("token").isin(probes: _*))
+        .groupBy(col("token")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rows = probes.sorted.map { t =>
+        val ex = exact.getOrElse(t, 0L)
+        val est = cms.estimateCount(t)
+        (t, ex, est >= ex, est <= ex + (eps * nTotal).toLong)
+      }
+      import s.implicits._
+      rows.toDF("token", "n_exact", "lower_ok", "upper_ok")
+        .orderBy(col("token"))
+    }),
+    "q92_weighted_sample" -> ((s, dir) => {
+      // quality-weighted stratified sampling (Efraimidis–Spirakis): docs
+      // with more content get a higher inclusion weight {1,2,4}; exactly
+      // 10 winners per language by the deterministic A-ES key. sqrt-chain
+      // keys are bit-exact cross-engine (see operators.WeightedSample), so
+      // the oracle mirrors score AND pick hash-exactly — no rounding.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val weight = when(col("n_chars") > 500, lit(4))
+        .when(col("n_chars") > 200, lit(2)).otherwise(lit(1))
+      graft.operators.WeightedSample.topKPerStratum(
+        d.select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", weight, k = 10)
+    }),
+    "q93_semantic_dedup" -> ((s, dir) => {
+      // semantic dedup (SemDeDup-style): embedding-space near-duplicate
+      // pairs from sign-LSH + exact-cosine verify (q55's kernel), resolved
+      // to one canonical representative per semantic cluster by min-label
+      // connected components (q65's kernel) — the embedding-space composed
+      // pipeline a training corpus runs after exact/text dedup. Planted
+      // exact copies (vec_id+1000000) make recall deterministic; the
+      // oracle recomputes pairs brute-force and closes them with a
+      // recursive CTE. Scale shape: both stages are the already-audited
+      // banded-bucket join and 1-join-per-round propagation; nothing new
+      // shuffles all-pairs.
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      val pairs = graft.similarity.CosineLSH.nearDuplicates(
+        emb.unionByName(planted), threshold = 0.99)
+      graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+        .orderBy(col("vec_id"))
     }),
     "q84_anomaly_zscore" -> ((s, dir) => {
       // per-type outlier gate: an event is anomalous if its value sits more
@@ -1584,6 +1679,73 @@ object SparkEntry {
          SELECT lang, COUNT(*) AS n_new_docs,
                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
          FROM fresh GROUP BY 1 ORDER BY lang""",
+    "q90_bloom_incremental_dedup" ->
+      // the Bloom prefilter is a pure optimization (no false negatives +
+      // exact verify of flagged rows) — the oracle is exactly q85's
+      """WITH ingested AS (SELECT DISTINCT md5(text) AS h FROM documents
+                           WHERE doc_id < 250),
+              batch AS (SELECT * FROM documents WHERE doc_id >= 250
+                        AND doc_id IN (SELECT MIN(doc_id) FROM documents
+                                       WHERE doc_id >= 250 GROUP BY md5(text))),
+              fresh AS (SELECT * FROM batch
+                        WHERE md5(text) NOT IN (SELECT h FROM ingested))
+         SELECT lang, COUNT(*) AS n_new_docs,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+         FROM fresh GROUP BY 1 ORDER BY lang""",
+    "q91_cms_heavy_hitters" ->
+      // exact counts re-derived from the oracle's own tokenization; the
+      // sketch-contract booleans are TRUE by the CMS guarantee (one-sided
+      // error; additive bound at the fixed seed)
+      """WITH toks AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+                       FROM documents),
+              probe(token) AS (VALUES ('join'),('hash'),('row'),('batch'),
+                ('scan'),('filter'),('vector'),('data'),('merge'),('order'),
+                ('zz_absent_token')),
+              c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY 1)
+         SELECT p.token, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_exact,
+                TRUE AS lower_ok, TRUE AS upper_ok
+         FROM probe p LEFT JOIN c USING (token) ORDER BY token""",
+    "q92_weighted_sample" ->
+      // same exact-dyadic u and sqrt-chain key: sqrt is IEEE correctly
+      // rounded, so score and pick are bit-identical across engines
+      """WITH h AS (SELECT doc_id, lang,
+                      CASE WHEN n_chars > 500 THEN 4
+                           WHEN n_chars > 200 THEN 2 ELSE 1 END AS w,
+                      ((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0 AS u
+                    FROM documents),
+              k AS (SELECT doc_id, lang,
+                      CASE WHEN w = 4 THEN sqrt(sqrt(u))
+                           WHEN w = 2 THEN sqrt(u) ELSE u END AS score
+                    FROM h)
+         SELECT doc_id, lang, CAST(rk AS INTEGER) AS rank, score
+         FROM (SELECT doc_id, lang, score,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY score DESC, doc_id) AS rk
+               FROM k) t
+         WHERE rk <= 10 ORDER BY lang, rank""",
+    "q93_semantic_dedup" ->
+      // brute-force cosine pairs over the same planted-copy corpus (q55's
+      // ground truth) closed into components by recursive transitive
+      // closure (q65's pattern); canonical = min reachable id
+      """WITH RECURSIVE
+              c AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings
+                    WHERE vec_id < 20),
+              p AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+                    FROM c a JOIN c b ON a.vec_id < b.vec_id
+                    WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)])
+                        / (sqrt(list_sum([x * x for x in a.v]))
+                           * sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.99),
+              edges AS (SELECT id1 AS s, id2 AS d FROM p
+                        UNION SELECT id2, id1 FROM p),
+              walk(id, reach) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s)
+         SELECT CAST(id AS BIGINT) AS vec_id,
+                CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
+         FROM walk GROUP BY id ORDER BY vec_id""",
     "q84_anomaly_zscore" ->
       // moments from exact integers (BIGINT cents sum, HUGEINT square sum)
       // → identical doubles → identical 3-sigma verdicts; formula mirrored
