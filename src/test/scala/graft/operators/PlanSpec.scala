@@ -188,4 +188,49 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_hll_distinct") || plan.contains("HashAggregate"),
       s"q45 lost partial aggregation:\n$plan")
   }
+
+  test("q90: Bloom probe gates BOTH branches; exactly one anti-join remains") {
+    // the point of the prefilter: the definitely-new branch (NOT
+    // bloom_might_contain) reaches the union with no join at all, and the
+    // exact anti-join's left side is only the flagged sliver — the probe
+    // expression must appear as a plain Filter in each branch, and the
+    // whole plan must contain exactly ONE anti join (q85's form has one
+    // too; a regression that verifies both branches would show two).
+    val df = graft.SparkEntry.queries("q90_bloom_incremental_dedup")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    val probes = plan.linesIterator.count(l =>
+      l.contains("Filter") && l.contains("bloom_might_contain"))
+    assert(probes == 2, s"expected 2 bloom-probe filters, got $probes:\n$plan")
+    // at this fixture scale the filter flags NOTHING (no cross-boundary
+    // dups, fpp ~0), so AQE sees an empty candidate side and eliminates
+    // the anti-join altogether — the prefilter's win made structural.
+    // Anything above one anti-join would mean both branches re-verify.
+    val antis = plan.linesIterator.count(_.contains("LeftAnti"))
+    assert(antis <= 1, s"expected at most 1 anti-join, got $antis:\n$plan")
+  }
+
+  test("q92 weighted sample: bounded top-k aggregate, never a ranking window") {
+    // same scale argument as q88: a row_number window would sort whole
+    // language partitions; the A-ES pick must ride the algebraic top-k
+    // aggregate with map-side partial aggregation.
+    val df = graft.SparkEntry.queries("q92_weighted_sample")(spark, sf("sf0.001"))
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"q92 plan contains Window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q92 lost the typed top-k aggregate:\n$plan")
+  }
+
+  test("q93 semantic dedup: candidate generation is never an all-pairs join") {
+    // the LSH candidate stage must plan as bucket equi-joins; a cartesian
+    // or nested-loop pair join is the O(n^2) form that dies at scale.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .select(col("vec_id"), col("embedding"))
+    val pairs = graft.similarity.CosineLSH.nearDuplicates(emb, threshold = 0.99)
+    val plan = planOf(pairs)
+    assert(!plan.contains("CartesianProduct"), s"q93 pair join is cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q93 pair join is nested-loop:\n$plan")
+  }
 }
