@@ -878,6 +878,97 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
+    "q94_event_funnel" -> ((s, dir) => {
+      // ordered first-touch funnel view -> click -> purchase: stage i+1
+      // counts a user iff a qualifying event lands strictly after their
+      // stage-i first-touch time. One shrinking user-keyed agg+join per
+      // stage (operators.Funnel scaladoc has the 100 TB shape); conversion
+      // is one exact-long double division so it hash-compares.
+      graft.operators.Funnel.stages(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
+    }),
+    "q95_pq_ann" -> ((s, dir) => {
+      // recall-GATED product-quantization ANN (the memory-compression scale
+      // path: 64 floats -> 8 byte-codes per vector), in the production
+      // ADC-with-refinement form: the code scan prunes to a 150-candidate
+      // shortlist per query, exact cosine re-ranks ONLY those rows.
+      // Deterministic first-k-by-id training like q46 so the gate replays;
+      // floor: refined top-10 recovers >= 6 of the exact cosine top-10 per
+      // query — measured min 9/10 at sf0.01 AND sf0.1 (m=8, k=64, L=150).
+      val emb = Tables.embeddings(s, dir)
+      val cb = graft.similarity.ProductQuantization.train(
+        emb, "embedding", m = 8, k = 64, maxIter = 3)
+      val codes = graft.similarity.ProductQuantization.encode(emb, "embedding", cb)
+      val queries = graft.similarity.ProductQuantization
+        .normalized(emb.filter(col("vec_id") < 5), "embedding", "nvec")
+        .orderBy(col("vec_id")).select(col("vec_id"), col("nvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val approx = graft.similarity.ProductQuantization
+        .searchRefined(codes, emb, queries, cb, k = 10, shortlist = 150)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) * 10 >= col("n_exact") * 6).as("meets_floor"))
+        .orderBy(col("query_id"))
+    }),
+    "q96_corpus_overlap" -> ((s, dir) => {
+      // corpus-level overlap: "how much of crawl B is already in crawl A?"
+      // via 256-hash MinHash sketches (2 KiB mergeable state per corpus, no
+      // cross-corpus distinct join — dedup.CorpusOverlap scaladoc). Corpus A
+      // = even-numbered sources; B = odd sources + planted copies of A docs
+      // (the testdata corpora share no text naturally). The estimate is
+      // engine-internal; the gate emits the EXACT set sizes/Jaccard (both
+      // engines derive them from the same normalization) plus the
+      // estimate-within-±0.1 boolean (6.7 sigma at H=256 — deterministic
+      // TRUE, same band-gate pattern as q45's HLL).
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+      val a = docs.filter(srcNum % 2 === 0)
+      val b = docs.filter(srcNum % 2 === 1).unionByName(
+        a.filter(col("doc_id") < 60)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      val labeled = a.withColumn("corpus", lit("A"))
+        .unionByName(b.withColumn("corpus", lit("B")))
+      val sk = graft.dedup.CorpusOverlap.sketches(labeled, "corpus", "text", 256)
+      val est = graft.dedup.CorpusOverlap.estimate(sk, "corpus", "A", "B")
+      val normA = a.select(NgramJaccard.normalized(col("text")).as("t")).distinct()
+      val normB = b.select(NgramJaccard.normalized(col("text")).as("t")).distinct()
+      val counts = normA.agg(count(lit(1)).as("n_a"))
+        .crossJoin(normB.agg(count(lit(1)).as("n_b")))
+        .crossJoin(normA.join(normB, Seq("t"), "left_semi")
+          .agg(count(lit(1)).as("n_common")))
+        .withColumn("j_exact", col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      counts.crossJoin(est)
+        .select(col("n_a"), col("n_b"), col("n_common"), col("j_exact"),
+          (abs(col("est_jaccard") - col("j_exact")) <= 0.1).as("est_in_band"))
+    }),
+    "q97_containment_dedup" -> ((s, dir) => {
+      // containment dedup: truncated re-crawls (first 40% of a doc) are
+      // near-invisible to Jaccard (~0.4) but have containment exactly 1.0 —
+      // the asymmetric measure catches what the symmetric one misses. 20
+      // planted truncations + 20 untruncated control pairs; raw doubles
+      // hash-compare because both engines do identical integer set
+      // arithmetic (q26 precedent), and the planted rows must flag
+      // is_contained while controls must not.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val trunc = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").substr(lit(1), (col("n_chars") * 0.4).cast("int")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(trunc)
+      val pairs = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("id1"), col("doc_id").as("id2"))
+        .unionByName(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+          .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2")))
+      NgramJaccard.forPairsWithContainment(pairs, corpus)
+        .withColumn("is_contained", col("containment_1_in_2") >= 1.0)
+        .orderBy(col("id1"))
+    }),
     "q84_anomaly_zscore" -> ((s, dir) => {
       // per-type outlier gate: an event is anomalous if its value sits more
       // than 3 sigma from its type's mean. All moments accumulate EXACTLY
@@ -1746,6 +1837,90 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q94_event_funnel" ->
+      // strict-order first-touch funnel: stage i+1's min-ts is computed
+      // against stage i's — the same greedy chain of min-aggregates;
+      // conversion is the same exact-long double division
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                     WHERE event_type = 'view' GROUP BY 1),
+              s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN s1 ON e.user_id = s1.user_id
+                     WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+              s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                     JOIN s2 ON e.user_id = s2.user_id
+                     WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1),
+              c AS (SELECT 1 AS stage_idx, 'view' AS stage_name,
+                           (SELECT COUNT(*) FROM s1) AS n_users
+                    UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+                    UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+         SELECT stage_idx, stage_name, n_users,
+                CASE WHEN (SELECT COUNT(*) FROM s1) = 0 THEN 0.0
+                     ELSE CAST(n_users AS DOUBLE)
+                            / CAST((SELECT COUNT(*) FROM s1) AS DOUBLE)
+                END AS conversion
+         FROM c ORDER BY stage_idx""",
+    "q95_pq_ann" ->
+      // recall-floor oracle, same shape as q27: every query's PQ top-10
+      // must recover >= 6/10 of the exact cosine top-10
+      """SELECT vec_id AS query_id, TRUE AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
+    "q96_corpus_overlap" ->
+      // exact set sizes + Jaccard from the oracle's own normalization of
+      // the same constructed corpora; the MinHash estimate is
+      // engine-internal and gated by the deterministic ±0.1 band
+      """WITH src AS (SELECT doc_id, text,
+                        CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
+                      FROM documents),
+              a AS (SELECT DISTINCT
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                    FROM src WHERE sn % 2 = 0),
+              braw AS (SELECT text FROM src WHERE sn % 2 = 1
+                       UNION ALL
+                       SELECT text FROM src WHERE sn % 2 = 0 AND doc_id < 60),
+              b AS (SELECT DISTINCT
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                    FROM braw),
+              c AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+                           (SELECT COUNT(*) FROM b) AS n_b,
+                           (SELECT COUNT(*) FROM a JOIN b USING (t)) AS n_common)
+         SELECT n_a, n_b, n_common,
+                CAST(n_common AS DOUBLE)
+                  / CAST(n_a + n_b - n_common AS DOUBLE) AS j_exact,
+                TRUE AS est_in_band
+         FROM c""",
+    "q97_containment_dedup" ->
+      // same list machinery as q26 over the truncation-planted corpus;
+      // containment divides by |grams(id1)| instead of the union size.
+      // FLOOR before the INT cast (DuckDB CAST rounds; Spark truncates)
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  substr(text, 1, CAST(FLOOR(n_chars * 0.4) AS INT))
+           FROM documents WHERE doc_id < 20),
+           n AS (SELECT doc_id,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                 FROM corpus),
+           g AS (SELECT doc_id,
+                        CASE WHEN len(t) >= 3
+                             THEN list_distinct([t[i:i+2] for i in range(1, len(t) - 1)])
+                             ELSE [t] END AS grams
+                 FROM n),
+           pairs AS (SELECT doc_id + 2000000 AS id1, doc_id AS id2
+                     FROM documents WHERE doc_id < 20
+                     UNION ALL
+                     SELECT doc_id, doc_id + 1
+                     FROM documents WHERE doc_id >= 20 AND doc_id < 40)
+         SELECT p.id1, p.id2,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE)
+                  AS ngram_jaccard,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / CAST(len(a.grams) AS DOUBLE) AS containment_1_in_2,
+                (CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / CAST(len(a.grams) AS DOUBLE)) >= 1.0 AS is_contained
+         FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
+         ORDER BY p.id1""",
     "q84_anomaly_zscore" ->
       // moments from exact integers (BIGINT cents sum, HUGEINT square sum)
       // → identical doubles → identical 3-sigma verdicts; formula mirrored

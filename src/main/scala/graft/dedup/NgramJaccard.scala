@@ -69,6 +69,37 @@ object NgramJaccard {
       .select(col("id1"), col("id2"), jaccard(col("gr1"), col("gr2")).as("ngram_jaccard"))
   }
 
+  /** Containment C(a, b) = |a ∩ b| / |a|: the asymmetric companion to
+    * Jaccard that catches SUBSTRING duplication — when document a is a
+    * prefix/excerpt of document b, every n-gram of a appears in b, so
+    * C(a, b) = 1 while J(a, b) can be arbitrarily small. Real corpus
+    * cleaning needs both (truncated re-crawls and quote-heavy pages are
+    * containment-dups, not Jaccard-dups). Broder's resemblance/containment
+    * pair, "On the resemblance and containment of documents", 1997.
+    */
+  def containment(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(a).cast("double")
+
+  /** Jaccard AND containment-of-id1-in-id2 for given (id1, id2) pairs —
+    * same semi-join-pruned, shuffle-light shape as [[forPairs]].
+    */
+  def forPairsWithContainment(pairs: DataFrame, documents: DataFrame, n: Int = 3,
+                              textCol: String = "text",
+                              idCol: String = "doc_id"): DataFrame = {
+    val ids = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    val grams = documents
+      .join(broadcast(ids), col(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), normalized(col(textCol)).as("t"))
+      .select(col("id"), charNgramHashes(col("t"), n).as("grams"))
+    val g1 = grams.select(col("id").as("id1"), col("grams").as("gr1"))
+    val g2 = grams.select(col("id").as("id2"), col("grams").as("gr2"))
+    pairs.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        jaccard(col("gr1"), col("gr2")).as("ngram_jaccard"),
+        containment(col("gr1"), col("gr2")).as("containment_1_in_2"))
+  }
+
   /** Near-dups: MinHash-LSH candidates verified by char-n-gram Jaccard. */
   def nearDuplicates(documents: DataFrame, threshold: Double = 0.8,
                      n: Int = 3): DataFrame = {

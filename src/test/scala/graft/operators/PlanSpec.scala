@@ -233,4 +233,64 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"q93 pair join is nested-loop:\n$plan")
   }
+
+  test("q94 funnel: stage joins are keyed equi-joins; no window over user histories") {
+    // the funnel must never sort/window whole per-user event histories —
+    // the ONLY window allowed is the cosmetic one over the 3 stage-count
+    // rows (no partition keys), and every stage join must be an equi-join
+    // on the user column, not a nested loop.
+    val df = graft.SparkEntry.queries("q94_event_funnel")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q94 has a non-equi join:\n$plan")
+    val userWindows = plan.linesIterator.count(l =>
+      l.contains("Window") && l.contains("user_id"))
+    assert(userWindows == 0, s"q94 windows over user histories:\n$plan")
+  }
+
+  test("q95 PQ: the ADC scoring stage is a pure scan — no joins before the top-k aggregate") {
+    // the whole point of PQ codes: scoring touches nothing but the codes
+    // column (LUT literals live in the plan), so the pre-aggregate stage
+    // must contain zero joins, no window, and the bounded typed top-k.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val cb = graft.similarity.ProductQuantization.train(emb, "embedding", m = 8, k = 16, maxIter = 1)
+    val codes = graft.similarity.ProductQuantization.encode(emb, "embedding", cb)
+    val q = graft.similarity.ProductQuantization.normalized(
+        emb.filter(col("vec_id") === 0), "embedding", "nvec")
+      .select(col("nvec")).collect()(0).getSeq[Double](0).toArray
+    val scored = graft.similarity.ProductQuantization.search(codes, Seq((0L, q)), cb, k = 5)
+    val plan = planOf(scored)
+    assert(!plan.contains("Join"), s"q95 ADC stage contains a join:\n$plan")
+    assert(!plan.contains("Window"), s"q95 ADC stage contains a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"q95 lost the typed top-k aggregate:\n$plan")
+  }
+
+  test("q96 corpus sketch: explode collapses into a partial aggregate before the exchange") {
+    // the H-fold row fan-out must exist only map-side: the plan is
+    // Generate(explode) -> partial HashAggregate -> Exchange(corpus, i) ->
+    // final — the shuffle carries H rows per corpus per partition, never
+    // the exploded rows.
+    import org.apache.spark.sql.functions.lit
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .withColumn("corpus", lit("A"))
+    val sk = graft.dedup.CorpusOverlap.sketches(docs, "corpus", "text", 64)
+    val plan = planOf(sk)
+    assert(plan.contains("Generate explode"), s"q96 lost the literal-array explode:\n$plan")
+    val genIdx = plan.indexOf("Generate explode")
+    val aggAbove = plan.substring(0, genIdx).contains("HashAggregate")
+    assert(aggAbove, s"q96 sketch: no aggregate above the explode:\n$plan")
+    assert(!plan.contains("Window"), s"q96 sketch plans a window:\n$plan")
+  }
+
+  test("q97 containment: pair corpus is semi-join pruned and joins stay equi") {
+    val df = graft.SparkEntry.queries("q97_containment_dedup")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q97 has a non-equi join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"q97 lost the gram-side semi-join prune:\n$plan")
+  }
 }
