@@ -969,6 +969,52 @@ object SparkEntry {
         .withColumn("is_contained", col("containment_1_in_2") >= 1.0)
         .orderBy(col("id1"))
     }),
+    "q98_bm25_retrieval" -> ((s, dir) => {
+      // BM25 top-10 retrieval (k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/
+      // (df+0.5))) for a fixed 5-term query. Scale shape: doc length is a
+      // NARROW per-row tokenCount (no doc-length shuffle); the isin() on
+      // the query terms prunes the exploded token stream BEFORE the
+      // (doc,token) aggregate, so the posting shuffle carries 5 terms'
+      // postings, not the corpus vocabulary; df is a 5-row broadcast; the
+      // final top-10 is a TakeOrdered, never a global sort. Per-term
+      // contributions round to 6dp and sum as exact integer micro-units
+      // (q72's exact-cents rule) so the cross-term sum — the one
+      // order-sensitive float reduction — is engine-agnostic.
+      val terms = Seq("data", "hash", "join", "scan", "vector")
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("dl"),
+          split(trim(col("text")), " +").as("toks"))
+      val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nd = col("n_docs").cast("double")
+      val micros = tf.join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_dl").cast("double") / nd)
+        .withColumn("idf", log(lit(1.0)
+          + (nd - col("df").cast("double") + 0.5) / (col("df").cast("double") + 0.5)))
+        .withColumn("contrib", col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+        .select(col("doc_id"), round(col("contrib") * 1e6).cast("bigint").as("micros"))
+      val top = micros.groupBy(col("doc_id"))
+        .agg(sum(col("micros")).as("score_micros"), count(lit(1)).as("n_terms"))
+        .orderBy(col("score_micros").desc, col("doc_id"))
+        .limit(10)
+      // rank over the already-taken 10 rows only — the empty-frame window
+      // is fine at k=10 and never touches the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_micros").desc, col("doc_id"))
+      top.withColumn("rank", row_number().over(w).cast("int"))
+        .select(col("doc_id"),
+          (col("score_micros").cast("double") / 1e6).as("score"),
+          col("n_terms"), col("rank"))
+        .orderBy(col("rank"))
+    }),
     "q84_anomaly_zscore" -> ((s, dir) => {
       // per-type outlier gate: an event is anomalous if its value sits more
       // than 3 sigma from its type's mean. All moments accumulate EXACTLY
@@ -1921,6 +1967,42 @@ object SparkEntry {
                   / CAST(len(a.grams) AS DOUBLE)) >= 1.0 AS is_contained
          FROM pairs p JOIN g a ON a.doc_id = p.id1 JOIN g b ON b.doc_id = p.id2
          ORDER BY p.id1""",
+    "q98_bm25_retrieval" ->
+      // same formula op-for-op (constants written as the SAME decimal
+      // literals both sides — 2.2, 1.2, 0.25, 0.75 — never re-derived as
+      // k1+1, whose float sum differs from the literal); per-term 6dp
+      // rounding into integer micro-units before the per-doc sum, so the
+      // only order-sensitive reduction is exact
+      """WITH d AS (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS dl,
+                      string_split_regex(trim(text), ' +') AS toks
+                    FROM documents),
+              n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+              t AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf, MAX(dl) AS dl
+                     FROM t WHERE token IN ('data','hash','join','scan','vector')
+                     GROUP BY 1, 2),
+              df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+              c AS (SELECT tf.doc_id,
+                      CAST(round(
+                        ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                                 / (CAST(df.df AS DOUBLE) + 0.5))
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (CAST(tf.tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                    / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+                        * 1e6) AS BIGINT) AS micros
+                    FROM tf JOIN df USING (token), n),
+              agg AS (SELECT doc_id, SUM(micros) AS score_micros,
+                             COUNT(*) AS n_terms
+                      FROM c GROUP BY 1
+                      ORDER BY score_micros DESC, doc_id LIMIT 10)
+         SELECT doc_id, CAST(score_micros AS DOUBLE) / 1e6 AS score, n_terms,
+                CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
+                  AS INTEGER) AS rank
+         FROM agg ORDER BY rank""",
     "q84_anomaly_zscore" ->
       // moments from exact integers (BIGINT cents sum, HUGEINT square sum)
       // → identical doubles → identical 3-sigma verdicts; formula mirrored

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name filter] — the
+    // optional filter is a builder-side iteration aid; the driver always
+    // passes exactly two args and gets the full suite.
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +29,9 @@ object Verify {
     // gate's reader globs every *.parquet in the dir and sorts rows before
     // comparing, so the file count is invisible to the compare.
     val maxRows1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_MAXROWS1", "2000000").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir).persist()
         try {

@@ -293,4 +293,24 @@ class PlanSpec extends SparkSpec {
       s"q97 has a non-equi join:\n$plan")
     assert(plan.contains("LeftSemi"), s"q97 lost the gram-side semi-join prune:\n$plan")
   }
+
+  test("q98 BM25: df/stats broadcast, top-10 is a TakeOrdered, never a global sort") {
+    // the posting aggregate joins a 5-row df table and a 1-row stats table —
+    // both MUST broadcast (re-keying the postings to meet them would shuffle
+    // the corpus-side aggregate twice); and the final top-10 must plan as
+    // TakeOrderedAndProject, not an Exchange rangepartitioning + Sort over
+    // every scored doc.
+    val df = graft.SparkEntry.queries("q98_bm25_retrieval")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"q98 df/stats join not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q98 top-10 lost the TakeOrdered rewrite:\n$plan")
+    // below the TakeOrdered (the corpus side) there must be NO global sort;
+    // the cosmetic rank/order of the 10 surviving rows above it may sort
+    val corpusSide = plan.substring(plan.indexOf("TakeOrderedAndProject"))
+    assert(!corpusSide.contains("Exchange rangepartitioning"),
+      s"q98 sorts the corpus side globally:\n$plan")
+  }
 }
