@@ -1015,6 +1015,45 @@ object SparkEntry {
           col("n_terms"), col("rank"))
         .orderBy(col("rank"))
     }),
+    "q99_span_dedup" -> ((s, dir) => {
+      // intra-corpus duplicated-SPAN detection — the hashed-inverted-index
+      // form of suffix-array span dedup (dedup papers' "repeated 50-gram"
+      // pass, here over word 8-grams): a gram held by >= 2 DISTINCT docs
+      // flags every doc containing it. The synthetic corpus has no natural
+      // cross-doc 8-grams (~30-word vocab, 30^8 gram space), so docs with
+      // id % 10 == 3 plant one SHARED 10-token span (3 duplicated in-span
+      // grams) and id % 10 == 7 plant a doc-unique control span whose every
+      // gram carries the doc_id — the control must NOT flag, making both
+      // sides of the gate non-vacuous. Scale shape: the (doc, gram) explode
+      // partial-aggregates into ONE gram-keyed exchange that the >= 2-docs
+      // filter and the semi-join back both read (q22's ReusedExchange
+      // pattern); grams travel as 8-byte xxhash64 values, never strings;
+      // the corpus is never re-joined doc-side — per-lang counts come off
+      // the hit rows directly.
+      val planted = when(pmod(col("doc_id"), lit(10)) === 3,
+          concat(col("text"), lit(" zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9")))
+        .when(pmod(col("doc_id"), lit(10)) === 7,
+          concat(col("text"), lit(" zw"), col("doc_id").cast("string"),
+            lit(" zub zuc zud zue zuf zug zuh")))
+        .otherwise(col("text"))
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), planted.as("ptext"))
+      val docGrams = d.select(col("doc_id"), col("lang"),
+        explode(MinHashExprs.shingleHashes(split(trim(col("ptext")), " +"), 8)).as("g"))
+      val dupGrams = docGrams.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("g"))
+      val hits = docGrams.join(dupGrams, Seq("g"), "left_semi")
+      val langTotals = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val langFlag = hits.select(col("lang"), col("doc_id")).distinct()
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_flagged"))
+      val langGrams = hits.groupBy(col("lang"))
+        .agg(countDistinct(col("g")).as("n_dup_grams"))
+      langTotals.join(langFlag, Seq("lang"), "left")
+        .join(langGrams, Seq("lang"), "left")
+        .na.fill(0L, Seq("n_flagged", "n_dup_grams"))
+        .orderBy(col("lang"))
+    }),
     "q84_anomaly_zscore" -> ((s, dir) => {
       // per-type outlier gate: an event is anomalous if its value sits more
       // than 3 sigma from its type's mean. All moments accumulate EXACTLY
@@ -2003,6 +2042,42 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
                   AS INTEGER) AS rank
          FROM agg ORDER BY rank""",
+    "q99_span_dedup" ->
+      // gram-STRING ground truth for the hash-side engine path (q80's
+      // machinery + the same whole-text fallback for sub-8-token docs);
+      // identical planted spans on both sides
+      """WITH p AS (SELECT doc_id, lang,
+                      CASE WHEN doc_id % 10 = 3
+                           THEN text || ' zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9'
+                           WHEN doc_id % 10 = 7
+                           THEN text || ' zw' || CAST(doc_id AS VARCHAR)
+                                || ' zub zuc zud zue zuf zug zuh'
+                           ELSE text END AS ptext
+                    FROM documents),
+              toks AS (SELECT doc_id, lang,
+                         string_split_regex(trim(ptext), ' +') AS tk
+                       FROM p),
+              g AS (SELECT doc_id, lang,
+                      CASE WHEN len(tk) >= 8
+                           THEN list_distinct([array_to_string(tk[i:i+7], ' ')
+                                               for i in range(1, len(tk) - 6)])
+                           ELSE [array_to_string(tk, ' ')] END AS grams
+                    FROM toks),
+              dg AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g),
+              dup AS (SELECT gram FROM dg
+                      GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+              hits AS (SELECT dg.doc_id, dg.lang, dg.gram
+                       FROM dg JOIN dup USING (gram)),
+              t AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+              f AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_flagged
+                    FROM hits GROUP BY 1),
+              gg AS (SELECT lang, COUNT(DISTINCT gram) AS n_dup_grams
+                     FROM hits GROUP BY 1)
+         SELECT t.lang, t.n_docs, COALESCE(f.n_flagged, 0) AS n_flagged,
+                COALESCE(gg.n_dup_grams, 0) AS n_dup_grams
+         FROM t LEFT JOIN f ON t.lang = f.lang
+                LEFT JOIN gg ON gg.lang = t.lang
+         ORDER BY t.lang""",
     "q84_anomaly_zscore" ->
       // moments from exact integers (BIGINT cents sum, HUGEINT square sum)
       // → identical doubles → identical 3-sigma verdicts; formula mirrored

@@ -294,6 +294,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"q97 lost the gram-side semi-join prune:\n$plan")
   }
 
+  test("q99 span dedup: explode partial-aggregates before the gram exchange; joins stay equi") {
+    // the (doc, gram) fan-out must combine map-side (partial HashAggregate
+    // below the gram-keyed exchange) — shuffling raw exploded rows is the
+    // difference between shipping 8-byte combined keys and shipping the
+    // corpus re-tokenized; and the dup-gram semi-join must stay an equi
+    // join, never a nested loop.
+    val df = graft.SparkEntry.queries("q99_span_dedup")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q99 has a non-equi join:\n$plan")
+    assert(plan.contains("LeftSemi"), s"q99 lost the dup-gram semi-join:\n$plan")
+    val genIdx = plan.indexOf("Generate explode")
+    assert(genIdx >= 0, s"q99 lost the gram explode:\n$plan")
+    assert(plan.substring(0, genIdx).contains("HashAggregate"),
+      s"q99: no partial aggregate above the explode:\n$plan")
+  }
+
   test("q98 BM25: df/stats broadcast, top-10 is a TakeOrdered, never a global sort") {
     // the posting aggregate joins a 5-row df table and a 1-row stats table —
     // both MUST broadcast (re-keying the postings to meet them would shuffle
