@@ -484,6 +484,14 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q100_stream_left_outer_join" -> ((s, dir) =>
+      // LEFT OUTER stream-stream interval join: the null-joined "abandoned
+      // click" rows emit only when the watermark proves no purchase can
+      // still match — state-eviction-as-emission, the outer half q87's
+      // inner join doesn't exercise. The '__flush' sentinel fixes the final
+      // watermark, so the emission boundary is deterministic and the batch
+      // oracle mirrors it exactly.
+      graft.streaming.EventsStream.clickPurchaseLeftOuterBounded(s, dir)),
     "q75_stream_restart" -> ((s, dir) =>
       // exactly-once across a checkpoint RESTART: the duplicated stream runs
       // as two query incarnations over one file checkpoint + parquet sink
@@ -2262,6 +2270,35 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
+    "q100_stream_left_outer_join" ->
+      // matched half = the same batch theta join; null half = clicks with
+      // no purchase in band AND below the final-watermark emission
+      // boundary (flush sits 2h past the corpus max, delay is 10min, band
+      // is 6h — all mirrored here from the staged fixture's constants)
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+              mx AS (SELECT MAX(ts) AS tmax FROM e),
+              c AS (SELECT user_id, event_id AS click_id, ts AS cts
+                    FROM e WHERE event_type = 'click'),
+              p AS (SELECT user_id, event_id AS buy_id, ts AS pts
+                    FROM e WHERE event_type = 'purchase'),
+              m AS (SELECT c.user_id FROM c JOIN p ON c.user_id = p.user_id
+                      AND p.pts >= c.cts
+                      AND p.pts <= c.cts + INTERVAL 6 HOUR),
+              unm AS (SELECT c.user_id FROM c, mx
+                      WHERE c.cts + INTERVAL 6 HOUR
+                              < mx.tmax + INTERVAL 2 HOUR - INTERVAL 10 MINUTE
+                        AND NOT EXISTS (SELECT 1 FROM p
+                                        WHERE p.user_id = c.user_id
+                                          AND p.pts >= c.cts
+                                          AND p.pts <= c.cts + INTERVAL 6 HOUR)),
+              r AS (SELECT user_id, 1 AS matched FROM m
+                    UNION ALL
+                    SELECT user_id, 0 FROM unm)
+         SELECT user_id, CAST(SUM(matched) AS BIGINT) AS n_matched,
+                CAST(SUM(1 - matched) AS BIGINT) AS n_expired
+         FROM r GROUP BY 1 ORDER BY user_id""",
     "q38_percentiles" ->
       """SELECT l_returnflag,
                 quantile_cont(l_quantity, 0.5) AS p50,

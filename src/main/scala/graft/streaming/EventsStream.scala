@@ -225,6 +225,63 @@ object EventsStream {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[clickPurchaseJoinBounded]]
+    * plus the hard half of outer-join semantics: a click with NO purchase in
+    * its 6-hour band emits a null-joined row only once the watermark proves
+    * no future purchase can match (state eviction = emission, the
+    * exactly-once form of "abandoned click" detection). Two structural
+    * differences from the inner form, both load-bearing:
+    *
+    *  - the '__flush' sentinel (two hours past the corpus max) must reach
+    *    BOTH sides' EventTimeWatermark nodes or the final watermark stays
+    *    pinned at each side's own filtered maximum (declaring the watermark
+    *    above the type filter is NOT enough — Catalyst pushes the filter
+    *    below the watermark node, observed as 5 missing null rows at
+    *    sf0.01). So each side keeps '__flush' through its filter under a
+    *    side-specific NEGATIVE sentinel user id: the two sentinels can
+    *    never join each other (different ids) or any real user, the
+    *    click-side sentinel is never evicted (nothing passes flushTs + 6h)
+    *    so it never emits a null row, and both watermark nodes advance to
+    *    flushTs - delay;
+    *  - clicks inside the final (flushTs - delay - 6h, corpusMax] tail are
+    *    still in state when the source drains, so their null rows never
+    *    emit — the DETERMINISTIC emission boundary `click_ts + 6h <
+    *    maxTs + 2h - 10min` that the batch oracle mirrors exactly.
+    *
+    * Matched pairs emit on arrival (watermark governs eviction, not inner
+    * emission), so the pair half equals the inner join's and the oracle is
+    * one batch left join with the boundary predicate on the null half.
+    */
+  def clickPurchaseLeftOuterBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    def side(eventType: String, idAs: String, tsAs: String, userAs: String,
+             sentinelUser: Long) =
+      chunkedStream(spark, dir)
+        .filter(col("event_type") === eventType || col("event_type") === "__flush")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("uid", when(col("event_type") === "__flush", lit(sentinelUser))
+          .otherwise(col("user_id")))
+        .withWatermark("ts", "10 minutes")
+        .select(col("uid").as(userAs), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "click_ts", "user_id", -998L)
+    val purchases = side("purchase", "buy_id", "buy_ts", "p_user", -999L)
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 6 HOURS"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("buy_id"))
+    val name = "stream_ssl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(joined, name, OutputMode.Append(), statePartitions = Some(8))
+    q.stop()
+    spark.table(name)
+      .groupBy(col("user_id"))
+      .agg(count(col("buy_id")).as("n_matched"),
+        sum(when(col("buy_id").isNull, 1L).otherwise(0L)).as("n_expired"))
+      .orderBy(col("user_id"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of the event stream
     * joined to a STATIC dimension table (customer market segment). The
     * static side broadcasts per batch — the stream is never shuffled for

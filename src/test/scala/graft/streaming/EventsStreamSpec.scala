@@ -136,6 +136,37 @@ class EventsStreamSpec extends SparkSpec {
     assert(batch.values.sum > 0, "fixture produced no pairs — join untested")
   }
 
+  test("left-outer stream join: null rows emit exactly for watermark-expired unmatched clicks") {
+    val got = EventsStream.clickPurchaseLeftOuterBounded(spark, sf("sf0.001"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val e = graft.Tables.events(spark, sf("sf0.001"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("cts"))
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("pu"), $"ts".as("pts"))
+    val bandCond = $"user_id" === $"pu" &&
+      $"pts" >= $"cts" && $"pts" <= $"cts" + expr("INTERVAL 6 HOURS")
+    val matched = c.join(p, bandCond)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // emission boundary for the null half: final watermark = flush sentinel
+    // (corpus max + 2h) minus the 10min delay; a click expires once its
+    // whole 6h band is below it (micros-exact timestamp arithmetic)
+    val bDf = e.agg((max($"ts") + expr("INTERVAL 2 HOURS")
+      - expr("INTERVAL 10 MINUTES")).as("b"))
+    val expired = c.join(p, bandCond, "left_anti")
+      .crossJoin(bDf)
+      .filter($"cts" + expr("INTERVAL 6 HOURS") < $"b")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val users = (matched.keySet ++ expired.keySet)
+    val want = users.map(u =>
+      u -> (matched.getOrElse(u, 0L), expired.getOrElse(u, 0L))).toMap
+    assert(got === want)
+    assert(expired.values.sum > 0, "no click expired — the outer half is untested")
+    assert(matched.values.sum > 0, "no pair matched — the inner half is untested")
+  }
+
   test("milestone GroupState survives a checkpoint restart: no re-emitted or lost crossings") {
     val got = EventsStream.milestoneCountsRestart(spark, sf("sf0.001"))
       .as[(Long, Long)].collect().toMap
