@@ -484,6 +484,11 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q102_sliding_windows" -> ((s, dir) =>
+      // 10-min windows sliding every 5: each event in exactly two windows,
+      // expanded map-side before the partial agg — the third member of the
+      // window family beside q44's tumbling and q57's session windows
+      graft.streaming.EventsStream.slidingWindowedCountsBounded(s, dir)),
     "q100_stream_left_outer_join" -> ((s, dir) =>
       // LEFT OUTER stream-stream interval join: the null-joined "abandoned
       // click" rows emit only when the watermark proves no purchase can
@@ -1022,6 +1027,31 @@ object SparkEntry {
           (col("score_micros").cast("double") / 1e6).as("score"),
           col("n_terms"), col("rank"))
         .orderBy(col("rank"))
+    }),
+    "q101_length_buckets" -> ((s, dir) => {
+      // length-bucketed batching accounting: every doc lands in a
+      // power-of-2 token-length bucket (capped CASE ladder — integer
+      // comparisons only, so both engines bucket identically; no float
+      // log2 edge cases) and the per-bucket padding waste is what a
+      // fixed-shape training batch would burn padding to the bucket cap.
+      // The op that decides bucketed-batching vs sequence-packing (q70) on
+      // real data. Narrow per-row bucket assignment + ONE (lang, cap) agg
+      // — nothing else shuffles at any scale.
+      val nt = TextFunctions.tokenCount(col("text")).cast("bigint")
+      val cap = when(nt <= 32, 32L).when(nt <= 64, 64L)
+        .when(nt <= 128, 128L).when(nt <= 256, 256L).when(nt <= 512, 512L)
+        .when(nt <= 1024, 1024L).when(nt <= 2048, 2048L)
+        .when(nt <= 4096, 4096L).otherwise(8192L)
+      Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"), nt.as("nt"), cap.as("cap"))
+        .filter(col("nt") > 0)
+        .groupBy(col("lang"), col("cap"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).as("sum_tokens"))
+        .withColumn("padding", col("cap") * col("n_docs") - col("sum_tokens"))
+        .withColumn("waste_pct", round(col("padding").cast("double")
+          / (col("cap") * col("n_docs")).cast("double"), 6))
+        .orderBy(col("lang"), col("cap"))
     }),
     "q99_span_dedup" -> ((s, dir) => {
       // intra-corpus duplicated-SPAN detection — the hashed-inverted-index
@@ -2050,6 +2080,26 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
                   AS INTEGER) AS rank
          FROM agg ORDER BY rank""",
+    "q101_length_buckets" ->
+      // same integer CASE ladder; SUM stays BIGINT via explicit casts
+      """WITH d AS (SELECT lang,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS nt
+                    FROM documents),
+              b AS (SELECT lang, nt,
+                      CASE WHEN nt <= 32 THEN 32 WHEN nt <= 64 THEN 64
+                           WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
+                           WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024
+                           WHEN nt <= 2048 THEN 2048 WHEN nt <= 4096 THEN 4096
+                           ELSE 8192 END AS cap
+                    FROM d WHERE nt > 0)
+         SELECT lang, CAST(cap AS BIGINT) AS cap, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+                CAST(cap * COUNT(*) - SUM(nt) AS BIGINT) AS padding,
+                round(CAST(cap * COUNT(*) - SUM(nt) AS DOUBLE)
+                      / CAST(cap * COUNT(*) AS DOUBLE), 6) AS waste_pct
+         FROM b GROUP BY lang, cap ORDER BY lang, cap""",
     "q99_span_dedup" ->
       // gram-STRING ground truth for the hash-side engine path (q80's
       // machinery + the same whole-text fallback for sub-8-token docs);
@@ -2270,6 +2320,24 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
+    "q102_sliding_windows" ->
+      // membership replay: an event's two windows start at its 5-min floor
+      // and 5 minutes before it (epoch-aligned grid, same as Spark's
+      // window()); plain-TIMESTAMP arithmetic avoids to_timestamp's TZ type
+      """WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+              g AS (SELECT event_type, value,
+                      TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND
+                        * (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS s0
+                    FROM e),
+              w AS (SELECT event_type, value, s0 AS ws FROM g
+                    UNION ALL
+                    SELECT event_type, value, s0 - INTERVAL 5 MINUTE FROM g)
+         SELECT CAST(ws AS TIMESTAMP) AS window_start,
+                CAST(ws + INTERVAL 10 MINUTE AS TIMESTAMP) AS window_end,
+                event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2, 3 ORDER BY window_start, event_type""",
     "q100_stream_left_outer_join" ->
       // matched half = the same batch theta join; null half = clicks with
       // no purchase in band AND below the final-watermark emission

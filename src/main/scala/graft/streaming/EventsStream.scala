@@ -66,6 +66,34 @@ object EventsStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window aggregation (10-minute windows every 5 minutes): each
+    * event lands in exactly two overlapping windows — the structural 2x row
+    * multiplier is confined to the map side of ONE aggregation (Spark
+    * expands the window memberships before the partial agg, so the shuffle
+    * carries per-(window, type) partials, never duplicated events). Same
+    * staged multi-batch drain, watermark eviction, and late/flush scheme as
+    * [[windowedCountsMultiBatch]]; the batch oracle replays the two-window
+    * membership rule row-by-row.
+    */
+  def slidingWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val stream = chunkedStream(spark, dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val name = "stream_sw_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(agg, name, OutputMode.Append(), statePartitions = Some(8))
+    q.stop()
+    spark.table(name)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Batch-stage + stream + drain with REAL watermark semantics: the events
     * are staged time-ordered across three chunk files plus a planted LATE
     * file and a future FLUSH file (see [[stagedTimeOrderedEventsDir]]), read
