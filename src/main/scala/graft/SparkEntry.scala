@@ -1028,6 +1028,38 @@ object SparkEntry {
           col("n_terms"), col("rank"))
         .orderBy(col("rank"))
     }),
+    "q103_quantile_buckets" -> ((s, dir) => {
+      // sketch-derived quantile bucketing: per-lang quartile boundaries
+      // from percentile_approx (mergeable sketch state — the same
+      // boundaries-from-a-sketch pattern Spark's own range partitioner
+      // uses), broadcast back onto the scan for a NARROW bucket
+      // assignment; no global sort, no per-lang ranking window anywhere.
+      // The sketch values are engine-internal, so the gate is q45's band
+      // style: exact per-lang totals hash-compare, and the TRUE-gated
+      // booleans assert each quartile holds 25% +/- 10% of its lang's
+      // docs and the boundaries are nondecreasing.
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"), col("n_chars").cast("double").as("x"))
+      val bounds = d.groupBy(col("lang"))
+        .agg(percentile_approx(col("x"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("b"))
+      val bucketed = d.join(broadcast(bounds), Seq("lang"))
+        .withColumn("bucket", when(col("x") <= col("b")(0), 1)
+          .when(col("x") <= col("b")(1), 2)
+          .when(col("x") <= col("b")(2), 3)
+          .otherwise(4))
+      val frac = (i: Int) =>
+        sum(when(col("bucket") === i, 1L).otherwise(0L)).cast("double")
+          ./(count(lit(1)).cast("double"))
+      bucketed.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          ((abs(frac(1) - 0.25) <= 0.10) && (abs(frac(2) - 0.25) <= 0.10)
+            && (abs(frac(3) - 0.25) <= 0.10) && (abs(frac(4) - 0.25) <= 0.10))
+            .as("balanced"),
+          ((max(col("b")(0)) <= max(col("b")(1)))
+            && (max(col("b")(1)) <= max(col("b")(2)))).as("monotone"))
+        .orderBy(col("lang"))
+    }),
     "q101_length_buckets" -> ((s, dir) => {
       // length-bucketed batching accounting: every doc lands in a
       // power-of-2 token-length bucket (capped CASE ladder — integer
@@ -2080,6 +2112,13 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
                   AS INTEGER) AS rank
          FROM agg ORDER BY rank""",
+    "q103_quantile_buckets" ->
+      // totals are exact; the sketch boundaries are engine-internal, so
+      // the oracle pins the balance/monotonicity contract to TRUE (q45's
+      // band-gate pattern) — a broken sketch or assignment shows up as a
+      // FALSE row, not a silent pass
+      """SELECT lang, COUNT(*) AS n_docs, TRUE AS balanced, TRUE AS monotone
+         FROM documents GROUP BY 1 ORDER BY lang""",
     "q101_length_buckets" ->
       // same integer CASE ladder; SUM stays BIGINT via explicit casts
       """WITH d AS (SELECT lang,

@@ -294,6 +294,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"q97 lost the gram-side semi-join prune:\n$plan")
   }
 
+  test("q103 quantile bucketing: boundaries broadcast back; no ranking window, no global sort") {
+    // the whole point of sketch-derived boundaries: the per-lang quartile
+    // table is k rows and must BROADCAST onto the scan for a narrow bucket
+    // assignment — an ntile/row_number formulation would sort every lang
+    // partition; a shuffled join would re-key the corpus.
+    val df = graft.SparkEntry.queries("q103_quantile_buckets")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"q103 boundaries not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"q103 plans a ranking window:\n$plan")
+    // exactly one range exchange: the cosmetic ORDER BY over the k-row
+    // result — a second one would mean the corpus itself got range-sorted
+    val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"q103 sorts the corpus globally ($ranges range exchanges):\n$plan")
+  }
+
   test("q99 span dedup: explode partial-aggregates before the gram exchange; joins stay equi") {
     // the (doc, gram) fan-out must combine map-side (partial HashAggregate
     // below the gram-keyed exchange) — shuffling raw exploded rows is the
