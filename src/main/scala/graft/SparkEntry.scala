@@ -1280,6 +1280,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars").cast("bigint")).as("sum_chars"))
         .orderBy(col("lang"))),
+    "q104_schema_evolution" -> ((s, dir) => {
+      // schema-evolution read: two parquet generations (the old one lacks
+      // `source`/`n_tokens` entirely) merged into ONE scan via mergeSchema
+      // — the lake reality where a 100 TB corpus accumulates years of
+      // writer versions and a reader must span them without rewriting the
+      // old files. Missing columns surface as NULLs; the agg proves both
+      // generations are read and the evolved columns carry values only
+      // where they exist.
+      val (p1, p2) = stagedEvolvedDocs(s, dir)
+      s.read.option("mergeSchema", "true").parquet(p1, p2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(when(col("source").isNotNull, 1L).otherwise(0L)).as("n_current"),
+          sum(col("n_chars").cast("bigint")).as("sum_chars"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("sum_tokens_current"))
+        .orderBy(col("lang"))
+    }),
     "q60_jsonl_ingest" -> ((s, dir) =>
       s.read.schema("doc_id BIGINT, lang STRING, n_chars INT, text STRING")
         .json(stagedJsonlDocs(s, dir))
@@ -1367,6 +1385,30 @@ object SparkEntry {
     * a deterministic temp path — staged once per (dir, tmp lifetime), like
     * the CSV and stream fixtures.
     */
+  /** Two parquet "generations" of the documents table with EVOLVED schemas:
+    * gen1 (doc_id < 250) lacks `source` and `n_tokens`; gen2 carries both
+    * (n_tokens derived at write time). Written once per (dir, /tmp), like
+    * the other staged fixtures.
+    */
+  private def stagedEvolvedDocs(s: SparkSession, dir: String): (String, String) = {
+    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_evo_docs_$key")
+    val (p1, p2) = (root.resolve("gen1"), root.resolve("gen2"))
+    if (!java.nio.file.Files.exists(root.resolve("_STAGED"))) {
+      val d = Tables.documents(s, dir)
+      d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(p1.toString)
+      d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"),
+          functions.TextFunctions.tokenCount(col("text")).cast("bigint").as("n_tokens"))
+        .write.mode("overwrite").parquet(p2.toString)
+      java.nio.file.Files.createFile(root.resolve("_STAGED"))
+    }
+    (p1.toString, p2.toString)
+  }
+
   private def stagedOrcDocs(s: SparkSession, dir: String): String = {
     val key = java.lang.Integer.toHexString(dir.hashCode)
     val out = java.nio.file.Paths.get(
@@ -2282,6 +2324,21 @@ object SparkEntry {
       """SELECT lang, COUNT(*) AS n_docs,
                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
                 CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_text_len
+         FROM documents GROUP BY 1 ORDER BY lang""",
+    "q104_schema_evolution" ->
+      // re-derives the expected merged-scan values from the canonical
+      // table: doc_id < 250 is the legacy generation (no source/n_tokens),
+      // >= 250 the current one with write-time token counts
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_legacy,
+                CAST(SUM(CASE WHEN doc_id >= 250 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_current,
+                CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+                CAST(SUM(CASE WHEN doc_id >= 250 THEN
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), ' +')) END
+                     ELSE 0 END) AS BIGINT) AS sum_tokens_current
          FROM documents GROUP BY 1 ORDER BY lang""",
     "q54_bucketed_join" ->
       """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
