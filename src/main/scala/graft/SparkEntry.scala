@@ -891,6 +891,27 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
+    "q105_pagerank" -> ((s, dir) => {
+      // damped PageRank, 5 exact integer rounds (operators.PageRank), over
+      // the bipartite user-activity graph: users one side, event types
+      // (stable negative ids) the other, an edge per DISTINCT (user, type)
+      // incidence in both directions. Ranks in millionths with truncating
+      // integer division make every round order-independent long
+      // arithmetic, so the oracle replays all 5 rounds term for term —
+      // the graph-centrality member of the Pregel-as-joins family beside
+      // q65's label propagation.
+      val typeId = when(col("event_type") === "click", -1L)
+        .when(col("event_type") === "view", -2L)
+        .when(col("event_type") === "purchase", -3L)
+        .when(col("event_type") === "signup", -4L)
+        .otherwise(-5L)
+      val inc = Tables.events(s, dir)
+        .select(col("user_id").as("u"), typeId.as("t")).distinct()
+      val edges = inc.select(col("u").as("s"), col("t").as("d"))
+        .unionByName(inc.select(col("t").as("s"), col("u").as("d")))
+      graft.operators.PageRank.ranksMillionths(edges, 5)
+        .orderBy(col("id"))
+    }),
     "q94_event_funnel" -> ((s, dir) => {
       // ordered first-touch funnel view -> click -> purchase: stage i+1
       // counts a user iff a qualifying event lands strictly after their
@@ -2034,6 +2055,53 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q105_pagerank" ->
+      // the 5 damped rounds unrolled as plain CTEs (aggregation inside a
+      // recursive CTE is disallowed, q65's closure trick doesn't carry a
+      // sum): BIGINT // BIGINT mirrors Spark's `div` exactly for the
+      // all-positive ranks; the final CAST collapses DuckDB's HUGEINT sums
+      """WITH inc AS (SELECT DISTINCT user_id AS u,
+                        CASE event_type WHEN 'click' THEN -1 WHEN 'view' THEN -2
+                          WHEN 'purchase' THEN -3 WHEN 'signup' THEN -4
+                          ELSE -5 END AS t
+                      FROM events),
+              edges AS (SELECT u AS s, t AS d FROM inc
+                        UNION ALL SELECT t, u FROM inc),
+              deg AS (SELECT s, COUNT(*) AS dg FROM edges GROUP BY 1),
+              nodes AS (SELECT DISTINCT s AS id FROM edges
+                        UNION SELECT DISTINCT d FROM edges),
+              r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+              c1 AS (SELECT e.d AS id, SUM(r.r // g.dg) AS c FROM edges e
+                     JOIN r0 r ON r.id = e.s JOIN deg g ON g.s = e.s GROUP BY 1),
+              r1 AS (SELECT n.id,
+                       CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c1 c ON c.id = n.id),
+              c2 AS (SELECT e.d AS id, SUM(r.r // g.dg) AS c FROM edges e
+                     JOIN r1 r ON r.id = e.s JOIN deg g ON g.s = e.s GROUP BY 1),
+              r2 AS (SELECT n.id,
+                       CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c2 c ON c.id = n.id),
+              c3 AS (SELECT e.d AS id, SUM(r.r // g.dg) AS c FROM edges e
+                     JOIN r2 r ON r.id = e.s JOIN deg g ON g.s = e.s GROUP BY 1),
+              r3 AS (SELECT n.id,
+                       CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c3 c ON c.id = n.id),
+              c4 AS (SELECT e.d AS id, SUM(r.r // g.dg) AS c FROM edges e
+                     JOIN r3 r ON r.id = e.s JOIN deg g ON g.s = e.s GROUP BY 1),
+              r4 AS (SELECT n.id,
+                       CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c4 c ON c.id = n.id),
+              c5 AS (SELECT e.d AS id, SUM(r.r // g.dg) AS c FROM edges e
+                     JOIN r4 r ON r.id = e.s JOIN deg g ON g.s = e.s GROUP BY 1),
+              r5 AS (SELECT n.id,
+                       CAST(150000 + (850000 * COALESCE(c.c, 0)) // 1000000
+                         AS BIGINT) AS r
+                     FROM nodes n LEFT JOIN c5 c ON c.id = n.id)
+         SELECT id, r AS rank_millionths FROM r5 ORDER BY id""",
     "q94_event_funnel" ->
       // strict-order first-touch funnel: stage i+1's min-ts is computed
       // against stage i's — the same greedy chain of min-aggregates;
