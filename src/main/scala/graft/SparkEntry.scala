@@ -891,6 +891,24 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
+    "q107_event_transitions" -> ((s, dir) => {
+      // per-user event-sequence transition counts (the Markov-bigram
+      // features session-based training data needs): each user's events
+      // ordered by (ts, event_id) — the id tiebreak makes the sequence a
+      // total order both engines agree on — consecutive type pairs via a
+      // per-user LAG, counted per (prev, next). The window partitions by
+      // user, so its state is one user's events, never a global sort; the
+      // output is |types|^2 rows.
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+        .orderBy(col("prev_type"), col("event_type"))
+    }),
     "q105_pagerank" -> ((s, dir) => {
       // damped PageRank, 5 exact integer rounds (operators.PageRank), over
       // the bipartite user-activity graph: users one side, event types
@@ -1048,6 +1066,34 @@ object SparkEntry {
           (col("score_micros").cast("double") / 1e6).as("score"),
           col("n_terms"), col("rank"))
         .orderBy(col("rank"))
+    }),
+    "q106_vocab_coverage" -> ((s, dir) => {
+      // tokenizer-planning curve: what fraction of the corpus token stream
+      // the top-k vocabulary covers, at k = 5 / 15 / 1000 (the last one
+      // past this corpus's whole vocabulary, pinning the 1.0 boundary).
+      // Scale shape: ONE (token) aggregate — vocab-sized, not corpus-sized
+      // — then a TakeOrdered top-1000; the rank window and the k-threshold
+      // join run over AT MOST 1000 rows, so the nested-loop there is
+      // k-bounded by construction, never data-bound.
+      val toks = Parallelize.ensure(Tables.documents(s, dir))
+        .select(explode(split(trim(col("text")), " +")).as("token"))
+        .filter(length(col("token")) > 0)
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))
+      val top = counts.orderBy(col("cnt").desc, col("token")).limit(1000)
+        .withColumn("rk", row_number().over(w))
+      import s.implicits._
+      val ks = Seq(5, 15, 1000).toDF("k")
+      broadcast(ks).join(top, col("rk") <= col("k"))
+        .groupBy(col("k")).agg(sum(col("cnt")).as("covered_tokens"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("covered_tokens"),
+          col("total").as("total_tokens"),
+          round(col("covered_tokens").cast("double")
+            / col("total").cast("double"), 6).as("coverage"))
+        .orderBy(col("k"))
     }),
     "q103_quantile_buckets" -> ((s, dir) => {
       // sketch-derived quantile bucketing: per-lang quartile boundaries
@@ -2055,6 +2101,18 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q107_event_transitions" ->
+      // same per-user (ts, event_id) total order
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+              s AS (SELECT event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+                    FROM e)
+         SELECT prev_type, event_type, COUNT(*) AS n_transitions
+         FROM s WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY prev_type, event_type""",
     "q105_pagerank" ->
       // the 5 damped rounds unrolled as plain CTEs (aggregation inside a
       // recursive CTE is disallowed, q65's closure trick doesn't carry a
@@ -2222,6 +2280,24 @@ object SparkEntry {
                 CAST(ROW_NUMBER() OVER (ORDER BY score_micros DESC, doc_id)
                   AS INTEGER) AS rank
          FROM agg ORDER BY rank""",
+    "q106_vocab_coverage" ->
+      // same (cnt DESC, token) total order on both sides; SUM/COUNT cast
+      // back to BIGINT from DuckDB's HUGEINT
+      """WITH t AS (SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+                    FROM documents),
+              tk AS (SELECT token FROM t WHERE length(token) > 0),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY 1),
+              tt AS (SELECT COUNT(*) AS total FROM tk),
+              r AS (SELECT token, cnt,
+                      ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rk
+                    FROM c),
+              k AS (SELECT unnest([5, 15, 1000]) AS k)
+         SELECT k.k, CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+                CAST(tt.total AS BIGINT) AS total_tokens,
+                round(CAST(SUM(r.cnt) AS DOUBLE) / CAST(tt.total AS DOUBLE), 6)
+                  AS coverage
+         FROM k JOIN r ON r.rk <= k.k CROSS JOIN tt
+         GROUP BY k.k, tt.total ORDER BY k.k""",
     "q103_quantile_buckets" ->
       // totals are exact; the sketch boundaries are engine-internal, so
       // the oracle pins the balance/monotonicity contract to TRUE (q45's
