@@ -484,6 +484,12 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q108_stream_upsert" -> ((s, dir) =>
+      // foreachBatch keyed MERGE into versioned parquet snapshots (the
+      // lakehouse upsert pattern from primitives): final snapshot ==
+      // chunking-independent batch argmax per user, replay-idempotent via
+      // per-batch snapshot overwrite
+      graft.streaming.EventsStream.upsertLatestBounded(s, dir)),
     "q102_sliding_windows" -> ((s, dir) =>
       // 10-min windows sliding every 5: each event in exactly two windows,
       // expanded map-side before the partial agg — the third member of the
@@ -2560,6 +2566,18 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
+    "q108_stream_upsert" ->
+      // the merged table must equal the argmax per user over the same
+      // (ts, event_id) total order, whatever the batch boundaries were
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                      CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+              r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+                    FROM e)
+         SELECT user_id, event_id AS last_event_id,
+                event_type AS last_event_type, value AS last_value
+         FROM r WHERE rk = 1 ORDER BY user_id""",
     "q102_sliding_windows" ->
       // membership replay: an event's two windows start at its 5-min floor
       // and 5 minutes before it (epoch-aligned grid, same as Spark's

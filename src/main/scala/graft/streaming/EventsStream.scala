@@ -94,6 +94,75 @@ object EventsStream {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  /** CDC-style keyed UPSERT sink via foreachBatch: each micro-batch MERGES
+    * into a keyed parquet table — unseen users insert, seen users update to
+    * the latest (ts, event_id) version — the lakehouse merge pattern built
+    * from primitives (no Delta/Iceberg in this environment). Idempotence
+    * under batch replay comes from versioned snapshots: batch b overwrites
+    * `v<b>` derived from the latest `v<b'<b>`, so re-running a batch after
+    * a failure rewrites the same snapshot instead of double-applying it
+    * (the same `batch=<id>` overwrite rule as the restart sinks). The final
+    * snapshot must equal the batch argmax per user over (ts, event_id) —
+    * independent of how the stream was chunked into batches, which is what
+    * the oracle checks. At scale the per-batch merge cost is one keyed
+    * join/agg of (table ∪ batch); the table carries ONE row per key, never
+    * history.
+    */
+  def upsertLatestBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val work = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    val tableDir = work.resolve("table")
+    java.nio.file.Files.createDirectories(tableDir)
+    def versions(): Seq[Long] = {
+      val fs = tableDir.toFile.listFiles()
+      if (fs == null) Seq.empty
+      else fs.toSeq.filter(f => f.isDirectory && f.getName.startsWith("v"))
+        .map(_.getName.drop(1).toLong).sorted
+    }
+    val pick = max(struct(col("ts"), col("event_id"), col("event_type"),
+      col("value"))).as("m")
+    def latestOf(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id")).agg(pick)
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.value").as("value"))
+    val stream = chunkedStream(spark, dir)
+      .filter(!col("event_type").startsWith("__"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val prior = versions().filter(_ < id).lastOption
+          .map(v => spark.read.parquet(tableDir.resolve(s"v$v").toString))
+        val merged = prior match {
+          case Some(p) => latestOf(p.unionByName(batch))
+          case None => latestOf(batch)
+        }
+        merged.write.mode("overwrite")
+          .parquet(tableDir.resolve(s"v$id").toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val last = versions().last
+    val fin = spark.read.parquet(tableDir.resolve(s"v$last").toString)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy(col("user_id"))
+    val rows = fin.collect().toSeq
+    val schema = fin.schema
+    // bulky per-call state (snapshots + checkpoint) must not accumulate in
+    // /tmp across bench/verify runs; only the k-sized result survives
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Batch-stage + stream + drain with REAL watermark semantics: the events
     * are staged time-ordered across three chunk files plus a planted LATE
     * file and a future FLUSH file (see [[stagedTimeOrderedEventsDir]]), read

@@ -167,6 +167,17 @@ class EventsStreamSpec extends SparkSpec {
     assert(matched.values.sum > 0, "no pair matched — the inner half is untested")
   }
 
+  test("upsert sink: final snapshot equals the chunking-independent per-user argmax") {
+    val got = EventsStream.upsertLatestBounded(spark, sf("sf0.001"))
+      .select($"user_id", $"last_event_id").as[(Long, Long)].collect().toMap
+    val want = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy($"user_id")
+      .agg(max(struct($"ts", $"event_id")).as("m"))
+      .select($"user_id", $"m.event_id").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(want.nonEmpty, "no users — upsert untested")
+  }
+
   test("milestone GroupState survives a checkpoint restart: no re-emitted or lost crossings") {
     val got = EventsStream.milestoneCountsRestart(spark, sf("sf0.001"))
       .as[(Long, Long)].collect().toMap
