@@ -484,6 +484,12 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q109_stream_hll" -> ((s, dir) =>
+      // mergeable HLL registers as STREAMING aggregation state (complete
+      // mode): per-type distinct users estimated from 4 KiB/group state,
+      // gated within 5% of the batch-exact count; sketches and streams
+      // compose — the 100 TB way to keep cardinalities on a stream
+      graft.streaming.EventsStream.hllDistinctUsersBounded(s, dir)),
     "q108_stream_upsert" -> ((s, dir) =>
       // foreachBatch keyed MERGE into versioned parquet snapshots (the
       // lakehouse upsert pattern from primitives): final snapshot ==
@@ -2566,6 +2572,10 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
+    "q109_stream_hll" ->
+      // exact event counts + the 5% sketch contract pinned TRUE
+      """SELECT event_type, COUNT(*) AS n_events, TRUE AS within_tolerance
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q108_stream_upsert" ->
       // the merged table must equal the argmax per user over the same
       // (ts, event_id) total order, whatever the batch boundaries were
