@@ -484,6 +484,11 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q110_stream_file_sink" -> ((s, dir) =>
+      // the production sink: append windows to parquet + _spark_metadata
+      // commit log (exactly-once file sink); the read-back lists files
+      // from the log and must equal the batch windows (q44's oracle)
+      graft.streaming.EventsStream.windowedCountsToFileSink(s, dir)),
     "q109_stream_hll" -> ((s, dir) =>
       // mergeable HLL registers as STREAMING aggregation state (complete
       // mode): per-type distinct users estimated from 4 KiB/group state,
@@ -2551,6 +2556,9 @@ object SparkEntry {
          FROM events WHERE user_id < 100
          ORDER BY user_id, event_id""",
     "q44_stream_windows" -> streamWindowsSql,
+    // the exactly-once FILE sink read back through its commit log must
+    // land on the same batch windows
+    "q110_stream_file_sink" -> streamWindowsSql,
     // the dedup stream replays every event twice; after exactly-once
     // ingestion the windows must equal the batch over SINGLE-copy events
     "q62_stream_dedup" -> streamWindowsSql,

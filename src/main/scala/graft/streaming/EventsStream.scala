@@ -94,6 +94,53 @@ object EventsStream {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  private def rmTreeAll(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      ()
+    }
+  }
+
+  /** The production streaming sink: append-mode windowed counts written to
+    * a parquet FILE sink whose `_spark_metadata` commit log is what makes
+    * the sink exactly-once (a task that dies after writing a file but
+    * before the commit leaves an orphan the log never references, and the
+    * read side lists files FROM THE LOG, not the directory). The drained
+    * read-back must equal the batch windows — same oracle as q44. The
+    * output dir is deterministic per sf dir and cleared at call start, so
+    * repeated bench/verify runs hold one copy on disk, never an
+    * accumulation.
+    */
+  def windowedCountsToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val srcDir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val root = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_fsink_$key")
+    rmTreeAll(root)
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val stream = chunkedStream(spark, srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", 8)
+    try {
+      val q = windowedCounts(stream).writeStream
+        .outputMode(OutputMode.Append())
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.read.parquet(out)
+      .filter(col("event_type") =!= "__flush")
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   /** Mergeable sketch INSIDE a streaming aggregation: per-type distinct
     * users via the HLL aggregator in complete mode — the state store holds
     * the 4 KiB registers per group and merges each micro-batch into them,
