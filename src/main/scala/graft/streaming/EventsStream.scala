@@ -186,7 +186,13 @@ object EventsStream {
     */
   def upsertLatestBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val work = java.nio.file.Files.createTempDirectory("graft_upsert_")
+    // deterministic per-sf dir, cleared at call start (q110's bounded-disk
+    // rule): the final snapshot stays on storage and is returned as a LAZY
+    // scan — no driver materialization of the table at any size
+    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val work = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_upsert_$key")
+    rmTreeAll(work)
     val tableDir = work.resolve("table")
     java.nio.file.Files.createDirectories(tableDir)
     def versions(): Seq[Long] = {
@@ -225,18 +231,14 @@ object EventsStream {
     q.processAllAvailable()
     q.stop()
     val last = versions().last
-    val fin = spark.read.parquet(tableDir.resolve(s"v$last").toString)
+    // intermediate snapshots + checkpoint go; the final snapshot is kept
+    // and scanned lazily
+    versions().init.foreach(v => rmTreeAll(tableDir.resolve(s"v$v")))
+    rmTreeAll(work.resolve("ckpt"))
+    spark.read.parquet(tableDir.resolve(s"v$last").toString)
       .select(col("user_id"), col("event_id").as("last_event_id"),
         col("event_type").as("last_event_type"), col("value").as("last_value"))
       .orderBy(col("user_id"))
-    val rows = fin.collect().toSeq
-    val schema = fin.schema
-    // bulky per-call state (snapshots + checkpoint) must not accumulate in
-    // /tmp across bench/verify runs; only the k-sized result survives
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(work).iterator().asScala.toSeq.reverse
-      .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Batch-stage + stream + drain with REAL watermark semantics: the events
