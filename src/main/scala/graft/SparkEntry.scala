@@ -484,6 +484,11 @@ object SparkEntry {
       // join. The missing fourth streaming surface beside windows, dedup,
       // and custom state.
       graft.streaming.EventsStream.clickPurchaseJoinBounded(s, dir)),
+    "q111_stream_update_mode" -> ((s, dir) =>
+      // UPDATE emission semantics: only changed keys emit per batch; under
+      // the fixed five-chunk staging each real type updates in exactly the
+      // three tercile batches, and the max update equals the batch count
+      graft.streaming.EventsStream.updateModeCountsBounded(s, dir)),
     "q110_stream_file_sink" -> ((s, dir) =>
       // the production sink: append windows to parquet + _spark_metadata
       // commit log (exactly-once file sink); the read-back lists files
@@ -2580,6 +2585,12 @@ object SparkEntry {
            AND c.event_type = 'click' AND p.event_type = 'purchase'
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
+    "q111_stream_update_mode" ->
+      // update-history shape pinned: 3 changed-key emissions per type (the
+      // tercile batches), final value = batch count
+      """SELECT event_type, COUNT(*) AS n_events,
+                CAST(3 AS BIGINT) AS n_updates
+         FROM events GROUP BY 1 ORDER BY event_type""",
     "q109_stream_hll" ->
       // exact event counts + the 5% sketch contract pinned TRUE
       """SELECT event_type, COUNT(*) AS n_events, TRUE AS within_tolerance

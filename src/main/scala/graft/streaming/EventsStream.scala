@@ -103,6 +103,29 @@ object EventsStream {
     }
   }
 
+  /** UPDATE output mode — the third emission semantics beside append
+    * (q44/q110) and complete (q89/q109): only keys whose aggregate CHANGED
+    * in a micro-batch are emitted, the emission granularity a dashboard
+    * sink wants. Under the fixed five-chunk staging the update history is
+    * deterministic: every real event type changes in exactly the three
+    * tercile batches (the late/flush batches carry no real types), so the
+    * drained sink holds exactly 3 update rows per type whose MAX equals
+    * the batch-exact count — both facts the oracle pins.
+    */
+  def updateModeCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    val stream = chunkedStream(spark, dir).select(col("event_type"))
+    val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val name = "stream_upd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = runToMemory(agg, name, OutputMode.Update(), statePartitions = Some(8))
+    q.stop()
+    spark.table(name)
+      .filter(!col("event_type").startsWith("__"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_updates"))
+      .orderBy(col("event_type"))
+  }
+
   /** The production streaming sink: append-mode windowed counts written to
     * a parquet FILE sink whose `_spark_metadata` commit log is what makes
     * the sink exactly-once (a task that dies after writing a file but
