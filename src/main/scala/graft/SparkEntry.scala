@@ -931,6 +931,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_transitions"))
         .orderBy(col("prev_type"), col("event_type"))
     }),
+    "q112_mmr_retrieval" -> ((s, dir) => {
+      // Maximal-Marginal-Relevance diversified retrieval in EXACT integer
+      // arithmetic: embeddings quantize to round(e*1000) longs, relevance
+      // and redundancy are integer dot products, and the greedy chain
+      // (lambda = 0.7 as the scale-free 7*rel - 3*maxSim) never touches a
+      // float — the oracle replays all five greedy stages term for term,
+      // ties broken by vec_id as exact-integer ties on both engines.
+      // Scale shape: relevance is a narrow codegen'd zip_with/aggregate
+      // over the corpus scan; the shortlist is a TakeOrdered top-20; only
+      // those 20 rows (k-sized, the broadcast-centroid precedent) reach
+      // the driver for the greedy chain.
+      val quant = expr("transform(embedding, x -> cast(round(x * 1000) as bigint))")
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.filter(col("vec_id") === 0).select(quant.as("qv"))
+        .collect()(0).getSeq[Long](0).toArray
+      val rel = aggregate(
+        zip_with(quant, lit(qv), (x, y) => x * y), lit(0L), (a, x) => a + x)
+      val top = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), rel.as("rel"), quant.as("ev"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(20)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2).toArray))
+      def dot(a: Array[Long], b: Array[Long]): Long = {
+        var s0 = 0L; var i = 0
+        while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+        s0
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+      var selected = List.empty[(Long, Array[Long])]
+      var remaining = top.toList
+      for (rank <- 1 to 5) {
+        val scoredCands = remaining.map { case (id, r0, v) =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(sv => dot(v, sv._2)).max
+          (id, r0, v, 7L * r0 - 3L * maxSim)
+        }
+        val (id, r0, v, mmr) = scoredCands.sortBy(t => (-t._4, t._1)).head
+        picked += ((rank, id, r0, mmr))
+        selected ::= (id, v)
+        remaining = remaining.filterNot(_._1 == id)
+      }
+      import s.implicits._
+      picked.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+        .orderBy(col("rank"))
+    }),
     "q105_pagerank" -> ((s, dir) => {
       // damped PageRank, 5 exact integer rounds (operators.PageRank), over
       // the bipartite user-activity graph: users one side, event types
@@ -2135,6 +2180,66 @@ object SparkEntry {
          SELECT prev_type, event_type, COUNT(*) AS n_transitions
          FROM s WHERE prev_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY prev_type, event_type""",
+    "q112_mmr_retrieval" ->
+      // the five greedy stages unrolled (q105's unrolling pattern): exact
+      // integer dot products over round(e*1000) quantized vectors; each
+      // stage's argmax is (mmr DESC, vec_id) over exact BIGINTs
+      """WITH q AS (SELECT [CAST(round(x * 1000) AS BIGINT) for x in embedding] AS qv
+                    FROM embeddings WHERE vec_id = 0),
+              c0 AS (SELECT vec_id,
+                       [CAST(round(x * 1000) AS BIGINT) for x in embedding] AS ev
+                     FROM embeddings WHERE vec_id <> 0),
+              rel AS (SELECT c0.vec_id, c0.ev,
+                        CAST(list_sum([c0.ev[i] * q.qv[i]
+                                       for i in range(1, len(c0.ev) + 1)])
+                          AS BIGINT) AS rel
+                      FROM c0, q),
+              top AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+              sims AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+                         CAST(list_sum([a.ev[i] * b.ev[i]
+                                        for i in range(1, len(a.ev) + 1)])
+                           AS BIGINT) AS sim
+                       FROM top a JOIN top b ON a.vec_id <> b.vec_id),
+              s1 AS (SELECT vec_id, rel, CAST(7 * rel AS BIGINT) AS mmr
+                     FROM top ORDER BY mmr DESC, vec_id LIMIT 1),
+              p1 AS (SELECT vec_id FROM s1),
+              s2 AS (SELECT t.vec_id, t.rel,
+                       CAST(7 * t.rel - 3 * MAX(s.sim) AS BIGINT) AS mmr
+                     FROM top t JOIN sims s ON s.ai = t.vec_id
+                       AND s.bi IN (SELECT vec_id FROM p1)
+                     WHERE t.vec_id NOT IN (SELECT vec_id FROM p1)
+                     GROUP BY t.vec_id, t.rel
+                     ORDER BY mmr DESC, t.vec_id LIMIT 1),
+              p2 AS (SELECT vec_id FROM p1 UNION SELECT vec_id FROM s2),
+              s3 AS (SELECT t.vec_id, t.rel,
+                       CAST(7 * t.rel - 3 * MAX(s.sim) AS BIGINT) AS mmr
+                     FROM top t JOIN sims s ON s.ai = t.vec_id
+                       AND s.bi IN (SELECT vec_id FROM p2)
+                     WHERE t.vec_id NOT IN (SELECT vec_id FROM p2)
+                     GROUP BY t.vec_id, t.rel
+                     ORDER BY mmr DESC, t.vec_id LIMIT 1),
+              p3 AS (SELECT vec_id FROM p2 UNION SELECT vec_id FROM s3),
+              s4 AS (SELECT t.vec_id, t.rel,
+                       CAST(7 * t.rel - 3 * MAX(s.sim) AS BIGINT) AS mmr
+                     FROM top t JOIN sims s ON s.ai = t.vec_id
+                       AND s.bi IN (SELECT vec_id FROM p3)
+                     WHERE t.vec_id NOT IN (SELECT vec_id FROM p3)
+                     GROUP BY t.vec_id, t.rel
+                     ORDER BY mmr DESC, t.vec_id LIMIT 1),
+              p4 AS (SELECT vec_id FROM p3 UNION SELECT vec_id FROM s4),
+              s5 AS (SELECT t.vec_id, t.rel,
+                       CAST(7 * t.rel - 3 * MAX(s.sim) AS BIGINT) AS mmr
+                     FROM top t JOIN sims s ON s.ai = t.vec_id
+                       AND s.bi IN (SELECT vec_id FROM p4)
+                     WHERE t.vec_id NOT IN (SELECT vec_id FROM p4)
+                     GROUP BY t.vec_id, t.rel
+                     ORDER BY mmr DESC, t.vec_id LIMIT 1)
+         SELECT CAST(1 AS INTEGER) AS rank, vec_id, rel, mmr AS mmr_score FROM s1
+         UNION ALL SELECT CAST(2 AS INTEGER), vec_id, rel, mmr FROM s2
+         UNION ALL SELECT CAST(3 AS INTEGER), vec_id, rel, mmr FROM s3
+         UNION ALL SELECT CAST(4 AS INTEGER), vec_id, rel, mmr FROM s4
+         UNION ALL SELECT CAST(5 AS INTEGER), vec_id, rel, mmr FROM s5
+         ORDER BY rank""",
     "q105_pagerank" ->
       // the 5 damped rounds unrolled as plain CTEs (aggregation inside a
       // recursive CTE is disallowed, q65's closure trick doesn't carry a
