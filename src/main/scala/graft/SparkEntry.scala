@@ -913,6 +913,38 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
+    "q113_rolling_anomaly" -> ((s, dir) => {
+      // ROLLING-window anomaly gate — q84's exact-moment z-score in its
+      // trailing-100-events form (the batch shape of online anomaly
+      // detection): per type, ordered by (ts, event_id), a row is
+      // anomalous when it sits 3 sigma outside ITS OWN trailing window's
+      // moments. Sums and square-sums accumulate as exact longs inside
+      // the frame (cents <= 1e4, 100-row frame — far inside long), so
+      // both engines derive identical doubles and identical verdicts.
+      // Only full frames judge (n = 100), keeping the gate warm-up-free.
+      // The window partitions by type — per-type state, no global sort.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-99, 0)
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val stats = ev
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sm", sum(col("cents")).over(w))
+        .withColumn("sq", sum(col("cents") * col("cents")).over(w))
+        .filter(col("n") === 100)
+        .withColumn("mean", col("sm").cast("double") / col("n").cast("double"))
+        .withColumn("variance",
+          (col("sq").cast("double")
+            - col("sm").cast("double") * col("sm").cast("double") / col("n").cast("double"))
+            / col("n").cast("double"))
+      stats.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum((abs(col("cents").cast("double") - col("mean"))
+            > lit(3.0) * sqrt(col("variance"))).cast("long")).as("n_anomalies"))
+        .orderBy(col("event_type"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2168,6 +2200,30 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q113_rolling_anomaly" ->
+      // identical frame, identical exact-integer moments, identical
+      // double derivation order (q84's mirror rule, windowed)
+      """WITH e AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+              s AS (SELECT event_type, cents,
+                      COUNT(*) OVER w AS n,
+                      SUM(cents) OVER w AS sm,
+                      SUM(cents * cents) OVER w AS sq
+                    FROM e
+                    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                                 ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+              f AS (SELECT event_type, cents,
+                      CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                      (CAST(sq AS DOUBLE)
+                        - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE) AS variance
+                    FROM s WHERE n = 100)
+         SELECT event_type, COUNT(*) AS n_windows,
+                CAST(SUM(CASE WHEN abs(CAST(cents AS DOUBLE) - mean)
+                               > 3.0 * sqrt(variance) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_anomalies
+         FROM f GROUP BY 1 ORDER BY event_type""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,
