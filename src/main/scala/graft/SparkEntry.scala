@@ -913,6 +913,33 @@ object SparkEntry {
         .select(col("doc_id").as("vec_id"), col("canonical_id"))
         .orderBy(col("vec_id"))
     }),
+    "q115_feature_correlation" -> ((s, dir) => {
+      // per-type Pearson correlation between event value (cents) and hour
+      // of day, derived ENTIRELY from exact long sums (n, sx, sy, sxy,
+      // sxx, syy) in one partial-agg pass — q84's exact-moment rule
+      // extended to covariance. The final rho is the same double
+      // expression over the same exact integers on both engines, rounded
+      // to 6dp. One shuffle of six-long rows per type at any scale.
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("rho", round(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * (col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6))
+        .select(col("event_type"), col("n"), col("rho"))
+        .orderBy(col("event_type"))
+    }),
     "q113_rolling_anomaly" -> ((s, dir) => {
       // ROLLING-window anomaly gate — q84's exact-moment z-score in its
       // trailing-100-events form (the batch shape of online anomaly
@@ -1224,6 +1251,33 @@ object SparkEntry {
             .as("balanced"),
           ((max(col("b")(0)) <= max(col("b")(1)))
             && (max(col("b")(1)) <= max(col("b")(2)))).as("monotone"))
+        .orderBy(col("lang"))
+    }),
+    "q114_mixing_plan" -> ((s, dir) => {
+      // training-mix PLANNING (the sampling-table derivation step ahead of
+      // q69's rate application): given per-lang target shares and a total
+      // token budget, derive each lang's keep-rate (undersample) or epoch
+      // factor (oversample when the target exceeds supply). Everything is
+      // closed-form from ONE per-lang token aggregate — the budget/share
+      // literals and the derived doubles are computed op-for-op on both
+      // engines from exact long token counts.
+      val share = when(col("lang") === "en", 0.4)
+        .when(col("lang") === "de", 0.2).when(col("lang") === "es", 0.2)
+        .when(col("lang") === "fr", 0.1).otherwise(0.1)
+      val budget = 200000L
+      Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("nt"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nt")).as("available_tokens"))
+        .withColumn("target_tokens",
+          round(lit(budget.toDouble) * share).cast("bigint"))
+        .withColumn("keep_rate", round(
+          least(lit(1.0), col("target_tokens").cast("double")
+            / col("available_tokens").cast("double")), 6))
+        .withColumn("epochs", round(
+          greatest(lit(1.0), col("target_tokens").cast("double")
+            / col("available_tokens").cast("double")), 6))
         .orderBy(col("lang"))
     }),
     "q101_length_buckets" -> ((s, dir) => {
@@ -2200,6 +2254,49 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q114_mixing_plan" ->
+      // identical share CASE, identical closed-form doubles from the same
+      // exact token counts
+      """WITH d AS (SELECT lang,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS nt
+                    FROM documents),
+              a AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS available_tokens
+                    FROM d GROUP BY 1),
+              t AS (SELECT lang, available_tokens,
+                      CAST(round(200000.0 * CASE lang WHEN 'en' THEN 0.4
+                             WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2
+                             WHEN 'fr' THEN 0.1 ELSE 0.1 END) AS BIGINT)
+                        AS target_tokens
+                    FROM a)
+         SELECT lang, available_tokens, target_tokens,
+                round(LEAST(1.0, CAST(target_tokens AS DOUBLE)
+                      / CAST(available_tokens AS DOUBLE)), 6) AS keep_rate,
+                round(GREATEST(1.0, CAST(target_tokens AS DOUBLE)
+                      / CAST(available_tokens AS DOUBLE)), 6) AS epochs
+         FROM t ORDER BY lang""",
+    "q115_feature_correlation" ->
+      // same exact-long moments, same double expression, same rounding
+      """WITH e AS (SELECT event_type,
+                      CAST(round(value * 100) AS BIGINT) AS x,
+                      CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS y
+                    FROM events),
+              m AS (SELECT event_type, COUNT(*) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(y * y) AS BIGINT) AS syy
+                    FROM e GROUP BY 1)
+         SELECT event_type, n,
+                round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                  AS rho
+         FROM m ORDER BY event_type""",
     "q113_rolling_anomaly" ->
       // identical frame, identical exact-integer moments, identical
       // double derivation order (q84's mirror rule, windowed)
