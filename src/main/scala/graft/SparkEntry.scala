@@ -212,6 +212,29 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    "q116_component_histogram" -> ((s, dir) => {
+      // dedup-audit histogram over q65's component assignment: how many
+      // near-dup clusters exist at each size — the number a corpus owner
+      // reads before deciding dedup policy (a few giant clusters vs a long
+      // tail of pairs). One extra size agg + one histogram agg over the
+      // k-sized component table; singleton docs (no near-dup) counted from
+      // the corpus total so the histogram is complete.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      val comp = graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
+      val sizes = comp.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("size"))
+      val nondup = docs.agg(count(lit(1)).as("n")).collect()(0).getLong(0) -
+        comp.count()
+      val hist = sizes.groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      import s.implicits._
+      hist.unionByName(Seq((1L, nondup)).toDF("size", "n_clusters"))
+        .groupBy(col("size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .orderBy(col("size"))
+    }),
     "q65_neardup_components" -> ((s, dir) => {
       // group resolution over the q22 pair graph: connected components by
       // min-label propagation → one canonical id per near-dup'd document
@@ -1977,6 +2000,40 @@ object SparkEntry {
                         FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id1, id2, jaccard FROM pairs WHERE jaccard >= 0.3
          ORDER BY id1, id2""",
+    "q116_component_histogram" ->
+      // q65's closure, then size histogram + the singleton bucket from the
+      // corpus total
+      """WITH RECURSIVE
+              toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 3
+                            THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                                for i in range(1, len(tk) - 1)])
+                            ELSE [array_to_string(tk, ' ')] END AS shingles
+                     FROM toks),
+              pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                                   AS DOUBLE) >= 0.3),
+              edges AS (SELECT id1 AS s, id2 AS d FROM pairs
+                        UNION SELECT id2, id1 FROM pairs),
+              walk(id, reach) AS (
+                SELECT s, d FROM edges
+                UNION
+                SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s),
+              canon AS (SELECT id AS doc_id, LEAST(id, MIN(reach)) AS canonical_id
+                        FROM walk GROUP BY id),
+              sizes AS (SELECT canonical_id, COUNT(*) AS sz FROM canon GROUP BY 1),
+              hist AS (SELECT sz AS size, COUNT(*) AS n_clusters
+                       FROM sizes GROUP BY 1
+                       UNION ALL
+                       SELECT 1, (SELECT COUNT(*) FROM documents)
+                                 - (SELECT COUNT(*) FROM canon))
+         SELECT CAST(size AS BIGINT) AS size,
+                CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+         FROM hist GROUP BY size ORDER BY size""",
     "q65_neardup_components" ->
       // connected components over the same brute-force pair graph as q22's
       // oracle, via recursive transitive closure; canonical = min reachable
