@@ -947,12 +947,18 @@ object SparkEntry {
         .select(col("event_type"),
           round(col("value") * 100).cast("long").as("x"),
           hour(col("ts")).cast("long").as("y"))
+      // q84's rule: product sums accumulate in DECIMAL — long x*x already
+      // wraps silently at ~1e12 rows of 5-digit cents; decimal(19,0)
+      // operands make the sums decimal(38,0) exact (DuckDB's HUGEINT sums
+      // are exact already, and only the derived rho is compared)
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+          sum(xd).as("sx"), sum(yd).as("sy"),
+          sum(xd * yd).as("sxy"),
+          sum(xd * xd).as("sxx"),
+          sum(yd * yd).as("syy"))
         .withColumn("rho", round(
           (col("n").cast("double") * col("sxy").cast("double")
             - col("sx").cast("double") * col("sy").cast("double"))
