@@ -1282,6 +1282,33 @@ object SparkEntry {
             && (max(col("b")(1)) <= max(col("b")(2)))).as("monotone"))
         .orderBy(col("lang"))
     }),
+    "q117_corpus_card" -> ((s, dir) => {
+      // the dataset-card headline row: corpus size, language/source
+      // breadth, exact-dup rate, token-length profile — every number a
+      // data card quotes. Deliberately NOT one agg mixing countDistincts:
+      // that plans the Expand rewrite (every input row duplicated per
+      // distinct aggregate — q45's measured 2x+ row multiplier). Instead
+      // one plain pass + three distinct→count passes, each a narrow
+      // column-pruned scan, crossJoined as 1-row frames; PlanSpec asserts
+      // the whole card stays Expand-free. Ratios derive from exact longs.
+      val nt = TextFunctions.tokenCount(col("text")).cast("bigint")
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("lang"), col("source"), nt.as("nt"), md5(col("text")).as("h"))
+      val base = d.agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("total_tokens"), max(col("nt")).as("max_tokens"))
+      val texts = d.select(col("h")).distinct()
+        .agg(count(lit(1)).as("n_distinct_texts"))
+      val langs = d.select(col("lang")).distinct()
+        .agg(count(lit(1)).as("n_langs"))
+      val srcs = d.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_sources"))
+      base.crossJoin(texts).crossJoin(langs).crossJoin(srcs)
+        .withColumn("dup_rate", round(
+          (col("n_docs") - col("n_distinct_texts")).cast("double")
+            / col("n_docs").cast("double"), 6))
+        .withColumn("mean_tokens", round(
+          col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+    }),
     "q114_mixing_plan" -> ((s, dir) => {
       // training-mix PLANNING (the sampling-table derivation step ahead of
       // q69's rate application): given per-lang target shares and a total
@@ -2317,6 +2344,24 @@ object SparkEntry {
          SELECT CAST(id AS BIGINT) AS vec_id,
                 CAST(LEAST(id, MIN(reach)) AS BIGINT) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q117_corpus_card" ->
+      // same single-pass facts; DuckDB HUGEINT sums cast back to BIGINT
+      """WITH d AS (SELECT doc_id, lang, source, md5(text) AS h,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS nt
+                    FROM documents)
+         SELECT COUNT(*) AS n_docs,
+                COUNT(DISTINCT lang) AS n_langs,
+                COUNT(DISTINCT source) AS n_sources,
+                COUNT(DISTINCT h) AS n_distinct_texts,
+                CAST(SUM(nt) AS BIGINT) AS total_tokens,
+                CAST(MAX(nt) AS BIGINT) AS max_tokens,
+                round(CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE)
+                      / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+                round(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                  AS mean_tokens
+         FROM d""",
     "q114_mixing_plan" ->
       // identical share CASE, identical closed-form doubles from the same
       // exact token counts

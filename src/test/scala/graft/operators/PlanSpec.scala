@@ -310,6 +310,15 @@ class PlanSpec extends SparkSpec {
     assert(ranges <= 1, s"q103 sorts the corpus globally ($ranges range exchanges):\n$plan")
   }
 
+  test("q117 corpus card: no Expand anywhere — distincts run as separate passes") {
+    // mixing countDistincts into one aggregate plans the Expand rewrite
+    // (q45's measured row multiplier); the card must stay Expand-free
+    val df = graft.SparkEntry.queries("q117_corpus_card")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("Expand"), s"q117 plans an Expand:\n$plan")
+  }
+
   test("q99 span dedup: explode partial-aggregates before the gram exchange; joins stay equi") {
     // the (doc, gram) fan-out must combine map-side (partial HashAggregate
     // below the gram-keyed exchange) — shuffling raw exploded rows is the
