@@ -1001,6 +1001,54 @@ object SparkEntry {
             > lit(3.0) * sqrt(col("variance"))).cast("long")).as("n_anomalies"))
         .orderBy(col("event_type"))
     }),
+    "q118_gdpr_purge" -> ((s, dir) => {
+      // right-to-be-forgotten sweep with reconciliation: a deterministic
+      // deletion list (user_id % 17 == 0) anti-joins the event store, and
+      // a derived daily rollup is recomputed post-purge — the output
+      // reconciles all three (before, purged, after == rollup total) so a
+      // purge that missed a derived table shows up as an inequality, not
+      // a silent pass. The deletion list ships as ids only (the q85
+      // hash-index rule: the purge side never carries payloads).
+      val ev = Tables.events(s, dir)
+      val dels = ev.filter(pmod(col("user_id"), lit(17)) === 0)
+        .select(col("user_id")).distinct()
+      val purged = ev.join(dels, Seq("user_id"), "left_anti")
+      val rollup = purged.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val after = purged.groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
+      val before = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_before"))
+      val viaRollup = rollup.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_after_rollup"))
+      before.join(after, Seq("event_type")).join(viaRollup, Seq("event_type"))
+        .select(col("event_type"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_purged"),
+          col("n_after"), col("n_after_rollup"))
+        .orderBy(col("event_type"))
+    }),
+    "q119_user_sessions" -> ((s, dir) => {
+      // batch gaps-and-islands sessionization (the batch twin of q57's
+      // session_window): a session breaks when a user's gap from their
+      // previous event reaches 30 minutes. lag + cumulative-sum windows
+      // partition BY USER — per-user state only, no global sort; the
+      // (ts, event_id) tiebreak keeps the island numbering engine-agreed,
+      // and microsecond timestamp arithmetic is exact on both engines.
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES")).cast("long"))
+        .withColumn("session_id", sum(col("new_session")).over(byUser))
+      ev.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_ev")).as("n_events"),
+          max(col("n_ev")).as("longest_session_events"))
+        .orderBy(col("user_id"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2429,6 +2477,46 @@ object SparkEntry {
                                > 3.0 * sqrt(variance) THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_anomalies
          FROM f GROUP BY 1 ORDER BY event_type""",
+    "q118_gdpr_purge" ->
+      // same deletion rule, same three-way reconciliation
+      """WITH dels AS (SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 0),
+              purged AS (SELECT * FROM events
+                         WHERE user_id NOT IN (SELECT user_id FROM dels)),
+              rollup AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+                         FROM purged GROUP BY 1, 2),
+              b AS (SELECT event_type, COUNT(*) AS n_before FROM events GROUP BY 1),
+              a AS (SELECT event_type, COUNT(*) AS n_after FROM purged GROUP BY 1),
+              r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_after_rollup
+                    FROM rollup GROUP BY 1)
+         SELECT b.event_type, b.n_before,
+                CAST(b.n_before - a.n_after AS BIGINT) AS n_purged,
+                a.n_after, r.n_after_rollup
+         FROM b JOIN a USING (event_type) JOIN r USING (event_type)
+         ORDER BY b.event_type""",
+    "q119_user_sessions" ->
+      // same lag + cumulative-sum island numbering under the same
+      // (ts, event_id) order; 30-minute gap, exact microsecond arithmetic
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+              l AS (SELECT user_id, event_id, ts,
+                      LAG(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS prev_ts
+                    FROM e),
+              f AS (SELECT user_id, event_id, ts,
+                      CASE WHEN prev_ts IS NULL
+                             OR ts >= prev_ts + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS new_session
+                    FROM l),
+              sid AS (SELECT user_id,
+                        SUM(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS session_id
+                      FROM f),
+              per AS (SELECT user_id, session_id, COUNT(*) AS n_ev
+                      FROM sid GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions,
+                CAST(SUM(n_ev) AS BIGINT) AS n_events,
+                CAST(MAX(n_ev) AS BIGINT) AS longest_session_events
+         FROM per GROUP BY 1 ORDER BY user_id""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,
