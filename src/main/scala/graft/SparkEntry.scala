@@ -1049,6 +1049,81 @@ object SparkEntry {
           max(col("n_ev")).as("longest_session_events"))
         .orderBy(col("user_id"))
     }),
+    "q120_cohort_retention" -> ((s, dir) => {
+      // acquisition-cohort retention matrix: a user's cohort is the week
+      // of their FIRST signup event; retention is the share of that
+      // cohort active (any event) in each week at or after signup. Scale
+      // shape: two user_id-keyed shuffles (per-user signup min, per-
+      // (user, week) distinct) do all the heavy lifting; the cohort-size
+      // join touches only week-count-sized aggregates. The division is
+      // one deterministic double op rounded to 6dp on both engines.
+      val ev = Tables.events(s, dir)
+      val wk = to_date(date_trunc("week", col("ts")))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(wk).as("cohort_week"))
+      val act = ev.select(col("user_id"), wk.as("active_week")).distinct()
+        .join(su, Seq("user_id"))
+        .filter(col("active_week") >= col("cohort_week"))
+      val cs = su.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_users"))
+      act.groupBy(col("cohort_week"), col("active_week"))
+        .agg(count(lit(1)).as("active_users"))
+        .join(cs, Seq("cohort_week"))
+        .select(col("cohort_week"),
+          expr("CAST(datediff(active_week, cohort_week) / 7 AS BIGINT)").as("week_no"),
+          col("active_users"), col("cohort_users"),
+          round(col("active_users").cast("double") / col("cohort_users"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_no"))
+    }),
+    "q121_scd2_runs" -> ((s, dir) => {
+      // SCD-2 style change-history compaction: consecutive events with
+      // the same event_type per user collapse into one validity interval
+      // [valid_from, valid_to] with an is_current flag on the final run —
+      // gaps-and-islands on VALUE CHANGE (q119 is the time-gap twin, and
+      // the same (ts, event_id) tiebreak keeps both engines' numbering
+      // identical). All three windows partition by user_id: per-user
+      // state only, never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val byUser = Window.partitionBy(col("user_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("chg",
+          (col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+            .cast("long"))
+        .withColumn("run_seq", sum(col("chg")).over(w))
+        .groupBy(col("user_id"), col("run_seq"), col("event_type"))
+        .agg(min(col("ts")).as("valid_from"), max(col("ts")).as("valid_to"),
+          count(lit(1)).as("n_ev"))
+        .withColumn("is_current",
+          col("valid_to") === max(col("valid_to")).over(byUser))
+        .orderBy(col("user_id"), col("run_seq"))
+    }),
+    "q122_hourly_gap_fill" -> ((s, dir) => {
+      // time-series gap-fill: the per-type hourly count series with
+      // missing hours zero-filled. Raw events are touched by exactly one
+      // aggregation; the dense (type x hour) grid grows only with the
+      // time range (never with event volume), generated from a 1-row
+      // bounds aggregate via sequence() — the span/step ratio is bounded
+      // by the data's own time range, so the explode cannot run away
+      // (the RangeJoin.bucketed concern does not apply). The fill join's
+      // small side stays broadcastable at any corpus scale.
+      val ev = Tables.events(s, dir)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = ev.select(col("event_type")).distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("h"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2517,6 +2592,67 @@ object SparkEntry {
                 CAST(SUM(n_ev) AS BIGINT) AS n_events,
                 CAST(MAX(n_ev) AS BIGINT) AS longest_session_events
          FROM per GROUP BY 1 ORDER BY user_id""",
+    "q120_cohort_retention" ->
+      // same signup-week cohorts; both engines truncate weeks to Monday
+      // and divide exact counts once, rounded to 6dp
+      """WITH su AS (SELECT user_id,
+                       CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+                     FROM events WHERE event_type = 'signup' GROUP BY 1),
+              act AS (SELECT DISTINCT e.user_id, su.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE) AS active_week
+                      FROM events e JOIN su USING (user_id)
+                      WHERE CAST(date_trunc('week', e.ts) AS DATE)
+                              >= su.cohort_week),
+              cs AS (SELECT cohort_week, COUNT(*) AS cohort_users
+                     FROM su GROUP BY 1),
+              r AS (SELECT cohort_week, active_week,
+                      COUNT(*) AS active_users
+                    FROM act GROUP BY 1, 2)
+         SELECT r.cohort_week,
+                CAST(date_diff('day', r.cohort_week, r.active_week) / 7
+                     AS BIGINT) AS week_no,
+                r.active_users, cs.cohort_users,
+                ROUND(r.active_users * 1.0 / cs.cohort_users, 6) AS retention
+         FROM r JOIN cs USING (cohort_week)
+         ORDER BY r.cohort_week, week_no""",
+    "q121_scd2_runs" ->
+      // same value-change island numbering under the same (ts, event_id)
+      // order; run_seq widened to BIGINT on both sides
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts FROM events),
+              l AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS prev_type
+                    FROM e),
+              f AS (SELECT *, CASE WHEN prev_type IS NULL
+                                     OR prev_type <> event_type
+                                   THEN 1 ELSE 0 END AS chg
+                    FROM l),
+              sid AS (SELECT user_id, event_id, event_type, ts,
+                        CAST(SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS run_seq
+                      FROM f),
+              runs AS (SELECT user_id, run_seq, event_type,
+                         MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+                         COUNT(*) AS n_ev
+                       FROM sid GROUP BY 1, 2, 3)
+         SELECT user_id, run_seq, event_type, valid_from, valid_to, n_ev,
+                valid_to = MAX(valid_to) OVER (PARTITION BY user_id)
+                  AS is_current
+         FROM runs ORDER BY user_id, run_seq""",
+    "q122_hourly_gap_fill" ->
+      // same dense (type x hour) grid; DuckDB's list generate_series
+      // replaces Spark's sequence() explode
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+                      date_trunc('hour', MAX(ts)) AS h1 FROM events),
+              hours AS (SELECT unnest(generate_series(b.h0, b.h1,
+                          INTERVAL 1 HOUR)) AS h FROM b),
+              t AS (SELECT DISTINCT event_type FROM events),
+              g AS (SELECT t.event_type, hours.h FROM t CROSS JOIN hours),
+              c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+                      COUNT(*) AS n FROM events GROUP BY 1, 2)
+         SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+         FROM g LEFT JOIN c USING (event_type, h)
+         ORDER BY g.event_type, g.h""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

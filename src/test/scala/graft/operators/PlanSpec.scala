@@ -356,4 +356,48 @@ class PlanSpec extends SparkSpec {
     assert(!corpusSide.contains("Exchange rangepartitioning"),
       s"q98 sorts the corpus side globally:\n$plan")
   }
+
+  test("q120 cohort retention: cohort-size join broadcasts; one cosmetic range exchange") {
+    // the heavy lifting is two user_id-keyed aggregates; the week-count-
+    // sized cohort table must BROADCAST onto the retention rows, and the
+    // only global sort allowed is the final ORDER BY over the k-row matrix
+    val df = graft.SparkEntry.queries("q120_cohort_retention")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q120 cohort-size join not broadcast:\n$plan")
+    val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"q120 sorts more than the final matrix ($ranges):\n$plan")
+  }
+
+  test("q121 SCD-2 runs: windows stay user-partitioned — no global sort below the output ORDER BY") {
+    // lag/cumsum/is_current all partition BY USER: the plan must show
+    // hash exchanges on user_id with partition-local sorts, and exactly
+    // one range exchange (the cosmetic output ordering) — a second one
+    // would mean an accidental global sort of the event store
+    val df = graft.SparkEntry.queries("q121_scd2_runs")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Window"), s"q121 lost its windows:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(user_id"),
+      s"q121 windows not keyed by user_id:\n$plan")
+    val ranges = plan.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"q121 global-sorts the event store ($ranges):\n$plan")
+  }
+
+  test("q122 gap fill: grid generated from a 1-row broadcast bounds aggregate; fill join broadcasts") {
+    // raw events feed exactly one aggregation; the dense (type x hour)
+    // grid comes from a broadcast 1-row bounds aggregate (nested-loop on
+    // one row, not a shuffle), and the zero-fill join must broadcast one
+    // bounded side rather than re-shuffling either aggregate
+    val df = graft.SparkEntry.queries("q122_hourly_gap_fill")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q122 bounds row not broadcast under the grid:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q122 fill join not broadcast:\n$plan")
+    assert(plan.contains("Generate sequence") || plan.contains("Generate explode"),
+      s"q122 lost the sequence explode:\n$plan")
+  }
 }
