@@ -1124,6 +1124,134 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy(col("event_type"), col("h"))
     }),
+    "q123_triangle_count" -> ((s, dir) => {
+      // triangle counting over the part co-purchase graph (parts sharing
+      // an order). The edge build is an order-keyed self-join — per-order
+      // fan-out is quadratic only in ORDER SIZE (TPC-H caps it at 7
+      // lineitems). Edges are then oriented low→high under the total
+      // order (degree, id) — the classic wedge bound: every wedge apex is
+      // the LOWEST-degree vertex of its triangle, so hub vertices never
+      // enumerate their neighbor pairs and the wedge join stays
+      // ~O(m^1.5) instead of sum-of-degree-squares. The oracle counts the
+      // same triangles under plain id orientation — orientation choice
+      // cannot change the set of triangles, only the join cost.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
+          && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      val perVertex = graft.operators.Triangles.perVertexCounts(pairs)
+        .withColumnRenamed("v", "part")
+      val total = perVertex.agg((sum(col("n_tri")) / 3).cast("long")
+        .as("total_triangles"))
+      perVertex.crossJoin(broadcast(total))
+        .orderBy(col("n_tri").desc, col("part")).limit(20)
+    }),
+    "q124_trend_fit" -> ((s, dir) => {
+      // per-type OLS trend of event value (cents) over hour-index:
+      // closed-form slope/intercept from the same exact-moment rule as
+      // q115 — one partial-agg pass of five DECIMAL sums per type, the
+      // hour index anchored to a broadcast 1-row global-min aggregate so
+      // x stays a small integer and every product is exact. Slope and
+      // intercept are single double expressions over exact integers,
+      // 6dp-rounded identically on both engines.
+      val ev0 = Tables.events(s, dir)
+      val h0 = ev0.agg(date_trunc("hour", min(col("ts"))).as("h0"))
+      val ev = ev0.crossJoin(broadcast(h0))
+        .select(col("event_type"),
+          ((unix_timestamp(date_trunc("hour", col("ts")))
+            - unix_timestamp(col("h0"))) / 3600).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+      val xd = col("x").cast("decimal(19,0)")
+      val yd = col("y").cast("decimal(19,0)")
+      val nD = col("n").cast("double")
+      val denom = nD * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(xd).as("sx"), sum(yd).as("sy"),
+          sum(xd * yd).as("sxy"), sum(xd * xd).as("sxx"))
+        .select(col("event_type"), col("n"),
+          round((nD * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")) / denom, 6)
+            .as("slope_cents_per_hour"),
+          round((col("sy").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sxy").cast("double")) / denom, 6)
+            .as("intercept_cents"))
+        .orderBy(col("event_type"))
+    }),
+    "q125_lang_drift" -> ((s, dir) => {
+      // corpus distribution drift: Laplace-smoothed language distributions
+      // of two sources (lexicographic min/max source name, derived from a
+      // broadcast 1-row aggregate — no hardcoded source list) compared
+      // per-language by KL contribution p*ln(p/q). Emitting PER-LANGUAGE
+      // terms instead of their float sum keeps the output order-
+      // independent: each row is integer counts + one division + one ln,
+      // bit-identical on both engines (the q82 ln-parity precedent).
+      val d = Tables.documents(s, dir)
+      val srcs = d.agg(min(col("source")).as("sa"), max(col("source")).as("sb"))
+      val counts = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(srcs))
+      val cA = counts.filter(col("source") === col("sa"))
+        .select(col("lang"), col("c").as("ca"))
+      val cB = counts.filter(col("source") === col("sb"))
+        .select(col("lang"), col("c").as("cb"))
+      val joined = d.select(col("lang")).distinct()
+        .join(cA, Seq("lang"), "left").join(cB, Seq("lang"), "left")
+        .na.fill(0L, Seq("ca", "cb"))
+      val tot = joined.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+        count(lit(1)).as("k"))
+      val p = (col("ca") + 1).cast("double") / (col("ta") + col("k")).cast("double")
+      val q = (col("cb") + 1).cast("double") / (col("tb") + col("k")).cast("double")
+      joined.crossJoin(broadcast(tot))
+        .select(col("lang"), col("ca"), col("cb"),
+          round(p, 6).as("p_smoothed"), round(q, 6).as("q_smoothed"),
+          round(p * log(p / q), 6).as("kl_term"))
+        .orderBy(col("lang"))
+    }),
+    "q126_dq_audit" -> ((s, dir) => {
+      // data-quality expectation audit (the deequ-style contract check a
+      // pipeline runs before training): referential integrity via anti-
+      // joins that ship only key columns, uniqueness via a count-vs-
+      // distinct pass, and domain checks as single filters — each check
+      // is one k-row aggregate, unioned into a fixed-schema report. A
+      // violated expectation surfaces as pass=false, not a thrown error,
+      // so the report is itself testable.
+      def report(name: String, violations: DataFrame, total: DataFrame) =
+        violations.crossJoin(total)
+          .select(lit(name).as("check_name"), col("violations"), col("total"),
+            (col("violations") === 0).as("pass"))
+      val cust = Tables.customer(s, dir)
+      val ords = Tables.orders(s, dir)
+      val ev = Tables.events(s, dir)
+      val docs = Tables.documents(s, dir)
+      val cnt = count(lit(1))
+      val fkOrders = report("fk_orders_customer",
+        ords.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(cnt.as("violations")),
+        ords.agg(cnt.as("total")))
+      val uniqCust = report("unique_customer_key",
+        cust.groupBy(col("c_custkey")).agg(cnt.as("n"))
+          .filter(col("n") > 1).agg(cnt.as("violations")),
+        cust.agg(cnt.as("total")))
+      val valDomain = report("event_value_nonneg",
+        ev.filter(col("value").isNull || col("value") < 0)
+          .agg(cnt.as("violations")),
+        ev.agg(cnt.as("total")))
+      val docText = report("document_text_nonempty",
+        docs.filter(col("text").isNull || length(col("text")) === 0)
+          .agg(cnt.as("violations")),
+        docs.agg(cnt.as("total")))
+      val tsRange = report("event_ts_in_2024",
+        ev.filter(year(col("ts")) =!= 2024).agg(cnt.as("violations")),
+        ev.agg(cnt.as("total")))
+      fkOrders.unionByName(uniqCust).unionByName(valDomain)
+        .unionByName(docText).unionByName(tsRange)
+        .orderBy(col("check_name"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2653,6 +2781,101 @@ object SparkEntry {
          SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
          FROM g LEFT JOIN c USING (event_type, h)
          ORDER BY g.event_type, g.h""",
+    "q123_triangle_count" ->
+      // plain id orientation — same triangle set as the engine's
+      // degree orientation, counted once per triangle
+      """WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                    FROM lineitem x JOIN lineitem y
+                      ON x.l_orderkey = y.l_orderkey
+                    WHERE x.l_partkey < y.l_partkey),
+              tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                      FROM e e1 JOIN e e2 ON e1.b = e2.a
+                        JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b),
+              pv AS (SELECT part, COUNT(*) AS n_tri FROM (
+                       SELECT x AS part FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+                     GROUP BY 1),
+              tot AS (SELECT COUNT(*) AS total_triangles FROM tri)
+         SELECT pv.part, pv.n_tri, tot.total_triangles
+         FROM pv, tot ORDER BY pv.n_tri DESC, pv.part LIMIT 20""",
+    "q124_trend_fit" ->
+      // same exact HUGEINT moments, same closed-form double expressions
+      """WITH h AS (SELECT date_trunc('hour', MIN(ts)) AS h0 FROM events),
+              e AS (SELECT event_type,
+                      date_diff('hour', h.h0, date_trunc('hour', ts)) AS x,
+                      CAST(ROUND(value * 100) AS BIGINT) AS y
+                    FROM events, h),
+              m AS (SELECT event_type, COUNT(*) AS n,
+                      SUM(x) AS sx, SUM(y) AS sy,
+                      SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                    FROM e GROUP BY 1)
+         SELECT event_type, n,
+                ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+                  AS slope_cents_per_hour,
+                ROUND((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE)
+                  / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6)
+                  AS intercept_cents
+         FROM m ORDER BY event_type""",
+    "q125_lang_drift" ->
+      // same min/max source pair, same Laplace smoothing, same per-lang
+      // p*ln(p/q) terms (no float sum crosses the engines)
+      """WITH s AS (SELECT MIN(source) AS sa, MAX(source) AS sb
+                    FROM documents),
+              c AS (SELECT source, lang, COUNT(*) AS c
+                    FROM documents GROUP BY 1, 2),
+              langs AS (SELECT DISTINCT lang FROM documents),
+              j AS (SELECT langs.lang,
+                      COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+                    FROM langs
+                    LEFT JOIN (SELECT c.lang, c.c FROM c, s
+                               WHERE c.source = s.sa) ca ON langs.lang = ca.lang
+                    LEFT JOIN (SELECT c.lang, c.c FROM c, s
+                               WHERE c.source = s.sb) cb ON langs.lang = cb.lang),
+              t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta,
+                      CAST(SUM(cb) AS BIGINT) AS tb,
+                      COUNT(*) AS k FROM j)
+         SELECT j.lang, j.ca, j.cb,
+                ROUND((j.ca + 1)::DOUBLE / (t.ta + t.k)::DOUBLE, 6)
+                  AS p_smoothed,
+                ROUND((j.cb + 1)::DOUBLE / (t.tb + t.k)::DOUBLE, 6)
+                  AS q_smoothed,
+                ROUND((j.ca + 1)::DOUBLE / (t.ta + t.k)::DOUBLE
+                  * LN(((j.ca + 1)::DOUBLE / (t.ta + t.k)::DOUBLE)
+                     / ((j.cb + 1)::DOUBLE / (t.tb + t.k)::DOUBLE)), 6)
+                  AS kl_term
+         FROM j, t ORDER BY j.lang""",
+    "q126_dq_audit" ->
+      // same five expectations, same fixed report schema
+      """WITH u AS (
+           SELECT 'fk_orders_customer' AS check_name,
+                  (SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey NOT IN
+                     (SELECT c_custkey FROM customer)) AS violations,
+                  (SELECT COUNT(*) FROM orders) AS total
+           UNION ALL
+           SELECT 'unique_customer_key',
+                  (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+                     GROUP BY 1 HAVING COUNT(*) > 1)),
+                  (SELECT COUNT(*) FROM customer)
+           UNION ALL
+           SELECT 'event_value_nonneg',
+                  (SELECT COUNT(*) FROM events
+                   WHERE value IS NULL OR value < 0),
+                  (SELECT COUNT(*) FROM events)
+           UNION ALL
+           SELECT 'document_text_nonempty',
+                  (SELECT COUNT(*) FROM documents
+                   WHERE text IS NULL OR LENGTH(text) = 0),
+                  (SELECT COUNT(*) FROM documents)
+           UNION ALL
+           SELECT 'event_ts_in_2024',
+                  (SELECT COUNT(*) FROM events
+                   WHERE EXTRACT(year FROM ts) <> 2024),
+                  (SELECT COUNT(*) FROM events))
+         SELECT check_name, violations, total, violations = 0 AS pass
+         FROM u ORDER BY check_name""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

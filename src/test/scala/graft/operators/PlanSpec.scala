@@ -400,4 +400,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate sequence") || plan.contains("Generate explode"),
       s"q122 lost the sequence explode:\n$plan")
   }
+
+  test("q123 triangles: all joins are equi (no nested loop except the 1-row total); top-20 is TakeOrdered") {
+    // the wedge and closure joins must plan as hash/sort-merge equi joins —
+    // a nested loop there is the O(V^2) disaster; the only nested-loop
+    // allowed is the broadcast of the 1-row total onto the k-row counts,
+    // and the final top-20 must not globally sort the per-vertex table
+    val df = graft.SparkEntry.queries("q123_triangle_count")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    val nested = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 1, s"q123 plans $nested nested-loop joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q123 plans a cartesian:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q123 top-20 lost the TakeOrdered rewrite:\n$plan")
+  }
+
+  test("q124 trend fit: one partial-agg moment pass; 1-row anchor broadcasts") {
+    // the five DECIMAL moments must combine map-side (partial HashAggregate
+    // below the type-keyed exchange), and the global-min hour anchor must
+    // reach the scan as a broadcast 1-row join, never a shuffle
+    val df = graft.SparkEntry.queries("q124_trend_fit")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q124 anchor row not broadcast:\n$plan")
+    val exch = plan.indexOf("Exchange hashpartitioning(event_type")
+    assert(exch >= 0, s"q124 lost the type-keyed exchange:\n$plan")
+    assert(plan.substring(exch).contains("HashAggregate"),
+      s"q124 moments not partially aggregated below the exchange:\n$plan")
+  }
 }
