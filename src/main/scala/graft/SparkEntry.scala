@@ -1252,6 +1252,57 @@ object SparkEntry {
         .unionByName(docText).unionByName(tsRange)
         .orderBy(col("check_name"))
     }),
+    "q127_incremental_rollup" -> ((s, dir) => {
+      // incremental materialized-view maintenance: the daily per-type
+      // rollup is maintained as stored-base-rollup MERGE delta-rollup —
+      // the base event store is never re-scanned for an increment, only
+      // the delta partition (here the date split stands in for partition
+      // pruning on a date-partitioned store; q85/q90's incremental-dedup
+      // precedent, lifted to aggregates). Counts and cent-sums are the
+      // mergeable state. The oracle recomputes the rollup FROM SCRATCH —
+      // hash equality IS the maintenance-correctness proof.
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          round(col("value") * 100).cast("long").as("cents"))
+      def rollup(df: DataFrame) = df.groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      val cut = lit("2024-01-25").cast("date")
+      val base = rollup(ev.filter(col("d") < cut))
+      val delta = rollup(ev.filter(col("d") >= cut))
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n")).cast("long").as("n"),
+          sum(col("sum_cents")).cast("long").as("sum_cents"))
+        .orderBy(col("event_type"), col("d"))
+    }),
+    "q128_attribution" -> ((s, dir) => {
+      // last-touch revenue attribution: each purchase credits the most
+      // recent click/view by the same user within 7 days, else 'direct' —
+      // the as-of operator reused as a marketing primitive. The merge-
+      // scan ships |purchases| + |touches| rows through ONE user-keyed
+      // shuffle (AsOfJoin scaladoc has the 100 TB argument); purchases
+      // with no prior touch at all rejoin as 'direct' via a keys-only
+      // anti-join. Exact microsecond interval arithmetic on both engines.
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      val joined = graft.operators.AsOfJoin.asof(
+        purchases, touches, "user_id", "user_id", "ts", "ts", "event_id")
+      val attributed = joined.select(col("event_id"), col("cents"),
+        when(col("ts") <= col("asof_ts") + expr("INTERVAL 7 DAYS"),
+          col("asof_event_type")).otherwise(lit("direct")).as("channel"))
+      val noTouch = purchases
+        .join(joined.select(col("event_id")), Seq("event_id"), "left_anti")
+        .select(col("event_id"), col("cents"), lit("direct").as("channel"))
+      attributed.unionByName(noTouch)
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("channel"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2876,6 +2927,34 @@ object SparkEntry {
                   (SELECT COUNT(*) FROM events))
          SELECT check_name, violations, total, violations = 0 AS pass
          FROM u ORDER BY check_name""",
+    "q127_incremental_rollup" ->
+      // the oracle recomputes from scratch — equality proves the
+      // incremental merge maintained the view correctly
+      """SELECT event_type, CAST(ts AS DATE) AS d,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                  AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q128_attribution" ->
+      // lateral last-touch pick, same (ts desc, event_id desc) winner
+      // and the same 7-day window arithmetic
+      """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_type = 'purchase'),
+              t AS (SELECT user_id, event_id, event_type,
+                      CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type IN ('click', 'view')),
+              a AS (SELECT p.event_id, p.cents,
+                      CASE WHEN l.tts IS NULL THEN 'direct'
+                           WHEN p.ts <= l.tts + INTERVAL 7 DAY THEN l.typ
+                           ELSE 'direct' END AS channel
+                    FROM p LEFT JOIN LATERAL (
+                      SELECT t.event_type AS typ, t.ts AS tts FROM t
+                      WHERE t.user_id = p.user_id AND t.ts <= p.ts
+                      ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) l ON TRUE)
+         SELECT channel, COUNT(*) AS n_purchases,
+                CAST(SUM(cents) AS BIGINT) AS revenue_cents
+         FROM a GROUP BY 1 ORDER BY 1""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

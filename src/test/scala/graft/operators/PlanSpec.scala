@@ -430,4 +430,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.substring(exch).contains("HashAggregate"),
       s"q124 moments not partially aggregated below the exchange:\n$plan")
   }
+
+  test("q128 attribution: as-of merge-scan window present; every join stays equi") {
+    // the attribution path inherits q36's merge-scan (one keyed shuffle,
+    // running last() window); the 'direct' recovery anti-join ships only
+    // event_id keys and must plan as a hash/sort-merge equi join — a
+    // nested loop would pair every purchase with every attributed row
+    val df = graft.SparkEntry.queries("q128_attribution")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Window"), s"q128 lost the merge-scan window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q128 plans a non-equi join:\n$plan")
+  }
 }
