@@ -1303,6 +1303,37 @@ object SparkEntry {
           sum(col("cents")).as("revenue_cents"))
         .orderBy(col("channel"))
     }),
+    "q129_sliding_distinct" -> ((s, dir) => {
+      // trailing-7-day distinct users per day — the sliding-window
+      // distinct that exact methods can't do incrementally at 100 TB
+      // (distinct doesn't decompose over overlapping windows; each day
+      // would rescan a week of raw events). The scale path: ONE pass
+      // builds a 4 KiB mergeable HLL sketch per day, then the trailing
+      // window is a day-grid self-join over k-sized rows merging 7
+      // sketches — raw events are never revisited. The exact side exists
+      // only to power the 5% TRUE-gate (q45/q67's pattern) and is itself
+      // computed from the (day, user) distinct pairs, not raw events.
+      import graft.functions.HyperLogLog
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = ev.groupBy(col("d"))
+        .agg(HyperLogLog.hllSketch(col("user_id")).as("sk"))
+      val est = daily.as("a").join(daily.as("b"),
+          col("b.d") >= date_sub(col("a.d"), 6) && col("b.d") <= col("a.d"))
+        .groupBy(col("a.d").as("d"))
+        .agg(HyperLogLog.hllMergeEstimate(col("b.sk")).as("est_users"))
+      val pairs = ev.distinct()
+      val exact = daily.select(col("d")).as("g").join(pairs.as("p"),
+          col("p.d") >= date_sub(col("g.d"), 6) && col("p.d") <= col("g.d"))
+        .groupBy(col("g.d").as("d"))
+        .agg(countDistinct(col("p.user_id")).as("exact_users"))
+      est.join(exact, Seq("d"))
+        .select(col("d"), col("exact_users"),
+          (abs(col("est_users").cast("double")
+            / col("exact_users").cast("double") - 1.0) <= 0.05)
+            .as("within_tolerance"))
+        .orderBy(col("d"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2955,6 +2986,16 @@ object SparkEntry {
          SELECT channel, COUNT(*) AS n_purchases,
                 CAST(SUM(cents) AS BIGINT) AS revenue_cents
          FROM a GROUP BY 1 ORDER BY 1""",
+    "q129_sliding_distinct" ->
+      // exact trailing-7-day distinct; the engine's sketch estimate is
+      // pinned within 5% (TRUE-gate), the exact column matches outright
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                        FROM events),
+              days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+         SELECT g.d, COUNT(DISTINCT p.user_id) AS exact_users,
+                TRUE AS within_tolerance
+         FROM days g JOIN pairs p ON p.d BETWEEN g.d - 6 AND g.d
+         GROUP BY g.d ORDER BY g.d""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,
