@@ -978,7 +978,14 @@ object SparkEntry {
       // the frame (cents <= 1e4, 100-row frame — far inside long), so
       // both engines derive identical doubles and identical verdicts.
       // Only full frames judge (n = 100), keeping the gate warm-up-free.
-      // The window partitions by type — per-type state, no global sort.
+      // SCALE HONESTY: the window partitions by event_type, and the events
+      // table has ~5 distinct types — so parallelism is CARDINALITY-BOUNDED
+      // (each type's full history sorts in one task; no global sort, but
+      // also no more than |types| tasks). That is fine for a dashboard-
+      // cardinality dimension; for a high-volume 100 TB run, pre-partition
+      // by (event_type, coarse time range) and carry the trailing 99 rows
+      // of each range boundary forward so frames spanning a cut still see
+      // their full window — the standard frame-carryover split.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(-99, 0)
@@ -1322,6 +1329,11 @@ object SparkEntry {
           col("b.d") >= date_sub(col("a.d"), 6) && col("b.d") <= col("a.d"))
         .groupBy(col("a.d").as("d"))
         .agg(HyperLogLog.hllMergeEstimate(col("b.sk")).as("est_users"))
+      // GATE SIDE — DO NOT SHIP: this range join replicates the distinct
+      // (day,user) pairs 7x purely to power the 5% tolerance check below.
+      // The production path is the sketch side above (one pass, k-sized
+      // day-grid merges); a user lifting this query should delete from
+      // here down and keep `est`.
       val pairs = ev.distinct()
       val exact = daily.select(col("d")).as("g").join(pairs.as("p"),
           col("p.d") >= date_sub(col("g.d"), 6) && col("p.d") <= col("g.d"))
@@ -1859,7 +1871,7 @@ object SparkEntry {
     //     sides written bucketed on the join key once per (dir, JVM), then
     //     the join itself plans with ZERO exchanges (PlanSpec asserts it) ---
     "q54_bucketed_join" -> ((s, dir) => {
-      val key = java.lang.Integer.toHexString(dir.hashCode)
+      val key = FixtureKey(dir)
       val (lt, rt) = (s"graft_bkt_orders_$key", s"graft_bkt_customer_$key")
       if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(rt)) {
         graft.sources.Bucketing.writeBucketed(
@@ -1965,7 +1977,7 @@ object SparkEntry {
     * staged once per dir with the usual `_SUCCESS` guard.
     */
   private def stagedExactDedupedDocs(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_dedup_docs_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -1979,7 +1991,7 @@ object SparkEntry {
     * directories) — the partitioned-sink half of q61; staged once per dir.
     */
   private def stagedLangPartitionedDocs(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_part_docs_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -2000,12 +2012,25 @@ object SparkEntry {
     * the other staged fixtures.
     */
   private def stagedEvolvedDocs(s: SparkSession, dir: String): (String, String) = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_evo_docs_$key")
     val (p1, p2) = (root.resolve("gen1"), root.resolve("gen2"))
     if (!java.nio.file.Files.exists(root.resolve("_STAGED"))) {
       val d = Tables.documents(s, dir)
+      // The generation split is pinned at doc_id 250 because the ORACLE
+      // pins the same literal; a corpus whose ids all fall on one side
+      // would stage an EMPTY generation, and the mergeSchema read would
+      // then lack the evolved columns entirely — failing q104 with an
+      // unresolved-column error instead of a clean result. Fail fast at
+      // staging time with a message that names the real problem.
+      val sides = d.select(
+        sum(when(col("doc_id") < 250, 1L).otherwise(0L)),
+        sum(when(col("doc_id") >= 250, 1L).otherwise(0L))).collect()(0)
+      require(sides.getLong(0) > 0 && sides.getLong(1) > 0,
+        s"q104 fixture: generation split doc_id<250 needs docs on BOTH " +
+          s"sides, got legacy=${sides.getLong(0)} current=${sides.getLong(1)} " +
+          s"for $dir — adjust the split literal here AND in oracleSql(q104)")
       d.filter(col("doc_id") < 250)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .write.mode("overwrite").parquet(p1.toString)
@@ -2019,7 +2044,7 @@ object SparkEntry {
   }
 
   private def stagedOrcDocs(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_orc_docs_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -2031,7 +2056,7 @@ object SparkEntry {
   }
 
   private def stagedJsonlDocs(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_jsonl_docs_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -2050,7 +2075,7 @@ object SparkEntry {
     * _SUCCESS guard: staged once, reused across calls and JVMs.
     */
   private def stagedInstacartCsv(s: SparkSession, dir: String): String = {
-    val key = java.lang.Integer.toHexString(dir.hashCode)
+    val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_csv_orders_$key")
     if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
@@ -3519,11 +3544,20 @@ object SparkEntry {
            AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 6 HOUR
          GROUP BY 1 ORDER BY c.user_id""",
     "q111_stream_update_mode" ->
-      // update-history shape pinned: 3 changed-key emissions per type (the
-      // tercile batches), final value = batch count
-      """SELECT event_type, COUNT(*) AS n_events,
-                CAST(3 AS BIGINT) AS n_updates
-         FROM events GROUP BY 1 ORDER BY event_type""",
+      // update-history shape DERIVED, not pinned: a type emits an update in
+      // exactly the tercile batches it occurs in (the late/flush batches
+      // carry no real types). The tercile is the same exact row-number
+      // arithmetic the fixture stages with — ((rn-1)*3) div n over the
+      // (ts, event_id) total order — so a corpus where a type concentrates
+      // in one time range oracles to 1 update, not a hardcoded 3.
+      """WITH r AS (SELECT event_type,
+                           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                           COUNT(*) OVER () AS n
+                    FROM events)
+         SELECT event_type, COUNT(*) AS n_events,
+                CAST(COUNT(DISTINCT CAST(FLOOR(((rn - 1) * 3.0) / n) AS INT))
+                     AS BIGINT) AS n_updates
+         FROM r GROUP BY 1 ORDER BY event_type""",
     "q109_stream_hll" ->
       // exact event counts + the 5% sketch contract pinned TRUE
       """SELECT event_type, COUNT(*) AS n_events, TRUE AS within_tolerance

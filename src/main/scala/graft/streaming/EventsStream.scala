@@ -138,7 +138,7 @@ object EventsStream {
     */
   def windowedCountsToFileSink(spark: SparkSession, sfDir: String): DataFrame = {
     val srcDir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val key = graft.FixtureKey(sfDir)
     val root = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_fsink_$key")
     rmTreeAll(root)
@@ -146,19 +146,17 @@ object EventsStream {
     val ckpt = root.resolve("ckpt").toString
     val stream = chunkedStream(spark, srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
-    try {
-      val q = windowedCounts(stream).writeStream
+    val q = startWithShufflePartitions(spark, 8) {
+      windowedCounts(stream).writeStream
         .outputMode(OutputMode.Append())
         .format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.ProcessingTime(0))
         .start()
-      q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    q.processAllAvailable()
+    q.stop()
     spark.read.parquet(out)
       .filter(col("event_type") =!= "__flush")
       .orderBy(col("window_start"), col("event_type"))
@@ -212,7 +210,7 @@ object EventsStream {
     // deterministic per-sf dir, cleared at call start (q110's bounded-disk
     // rule): the final snapshot stays on storage and is returned as a LAZY
     // scan — no driver materialization of the table at any size
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val key = graft.FixtureKey(sfDir)
     val work = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_upsert_$key")
     rmTreeAll(work)
@@ -543,21 +541,20 @@ object EventsStream {
       }
     }
 
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", 8)
     try {
       arrive("chunk_0.parquet", "chunk_1.parquet")
-      val q1 = start(srcDir.toString, ckpt.toString, outDir)
+      val q1 = startWithShufflePartitions(spark, 8)(
+        start(srcDir.toString, ckpt.toString, outDir))
       q1.processAllAvailable()
       q1.stop() // "failure": the query dies mid-stream at a durable checkpoint
       arrive("chunk_2.parquet", "chunk_3_late.parquet", "chunk_4_flush.parquet")
-      val q2 = start(srcDir.toString, ckpt.toString, outDir)
+      val q2 = startWithShufflePartitions(spark, 8)(
+        start(srcDir.toString, ckpt.toString, outDir))
       q2.processAllAvailable()
       q2.stop()
     } finally {
       // cleanup runs on the failure path too — a throwing incarnation must
       // not leak the bulky source copy + checkpoint into /tmp
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
       rmTree(srcDir)
       rmTree(ckpt)
     }
@@ -585,7 +582,7 @@ object EventsStream {
     */
   private def stagedTimeOrderedEventsDir(spark: SparkSession, sfDir: String,
                                          duplicated: Boolean = false): String = {
-    val key = java.lang.Integer.toHexString(sfDir.hashCode)
+    val key = graft.FixtureKey(sfDir)
     val tag = if (duplicated) "orddup" else "ord" // NOT "dup": old fixture paths
     val dir = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_stream_${tag}_events_$key")
@@ -596,18 +593,30 @@ object EventsStream {
       // exactly-once staging: every row appears TWICE in its chunk file, so
       // the replay copy lands in the same micro-batch as the original and
       // dropDuplicatesWithinWatermark's keyed state removes it
-      val base = if (duplicated) single.unionByName(single) else single
       val Row(tsMin: Long, tsMax: Long) =
-        base.agg(min(col("ts")), max(col("ts"))).collect()(0)
-      // tercile split points (ns precision loss in the double quantile is
-      // irrelevant — the chunks only need to be disjoint and time-ordered)
-      val Array(b1, b2) = base.stat
-        .approxQuantile("ts", Array(1.0 / 3, 2.0 / 3), 0.001).map(_.toLong)
+        single.agg(min(col("ts")), max(col("ts"))).collect()(0)
+      // Tercile assignment is EXACT count-based arithmetic over the
+      // (ts, event_id) total order — `tile = ((rn-1)*3) div n` — not an
+      // approxQuantile boundary: an oracle (q111 pins per-type update
+      // counts to tercile membership) can replay integer row-number math
+      // term for term, while an approximate boundary is engine-private.
+      // Tiles are assigned on the SINGLE copy and inherited by the replay
+      // copy, so a duplicated row is guaranteed to land in the same chunk
+      // as its original (the q62 same-batch-dedup property). The global
+      // one-task window is fixture staging, not a query path.
+      val n = single.count()
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val tiled = single.withColumn("rn", row_number().over(wOrd))
+        .withColumn("tile", expr(s"cast(((rn - 1) * 3) div $n as int)"))
+        .drop("rn")
+      val base = if (duplicated) tiled.unionByName(tiled) else tiled
+      def tile(i: Int): DataFrame = base.filter(col("tile") === i).drop("tile")
       import spark.implicits._
       val chunks: Seq[(String, DataFrame)] = Seq(
-        "chunk_0" -> base.filter(col("ts") <= b1),
-        "chunk_1" -> base.filter(col("ts") > b1 && col("ts") <= b2),
-        "chunk_2" -> base.filter(col("ts") > b2),
+        "chunk_0" -> tile(0),
+        "chunk_1" -> tile(1),
+        "chunk_2" -> tile(2),
         "chunk_3_late" -> Seq((-1L, tsMin, 0L, "__late", 1.0, "{}"))
           .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
         "chunk_4_flush" -> Seq((-2L, tsMax + 2L * 3600L * 1000000000L, 0L, "__flush", 0.0, "{}"))
@@ -771,17 +780,33 @@ object EventsStream {
   def runToMemory(df: DataFrame, name: String, mode: OutputMode,
                   statePartitions: Option[Int] = None): StreamingQuery = {
     val spark = df.sparkSession
+    def begin(): StreamingQuery = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val q = statePartitions match {
+      case Some(n) => startWithShufflePartitions(spark, n)(begin())
+      case None => begin()
+    }
+    q.processAllAvailable()
+    q
+  }
+
+  /** Start a streaming query under a temporarily pinned shuffle-partition
+    * count. `start()` CLONES the session (conf included) into the query, so
+    * the pinned value is captured for the query's whole lifetime and the
+    * SESSION value is restored the moment `start` returns — a batch query
+    * planned concurrently on the same session can only inherit the
+    * temporary value during the start call itself, not for the duration of
+    * the drain (the prior shape mutated the session conf around the entire
+    * multi-batch drain).
+    */
+  private def startWithShufflePartitions[T](spark: SparkSession, n: Int)
+                                           (startQ: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    statePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n))
-    try {
-      val q = df.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.ProcessingTime(0))
-        .start()
-      q.processAllAvailable()
-      q
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try startQ finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 }
