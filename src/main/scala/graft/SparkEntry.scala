@@ -639,19 +639,50 @@ object SparkEntry {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("s_name"))),
-    // --- multimodal plumbing (rows-only: stub codec, no SQL equivalent) ---
+    // --- multimodal: REAL JDK PNG decode over opaque binary payloads.
+    //     The fixture stages actual PNG bytes (javax.imageio encode) whose
+    //     content is a closed-form function of (doc_id, n_chars); the query
+    //     must parse the container and sum the raster per channel, and the
+    //     oracle re-derives every statistic from the documents table alone.
+    //     A wrong stride / channel order / filter reconstruction breaks the
+    //     hash. Payloads stay narrow (scan → mapPartitions → small feature
+    //     rows); only the fixed-width stats ever reach a shuffle. ---
     "q28_media_features" -> ((s, dir) => {
-      import graft.multimodal.Multimodal
-      Multimodal.extractFeatures(
-          Multimodal.fromDocuments(Tables.documents(s, dir)))
-        .toDF().select(col("media_id"), col("media_type"), col("n_bytes"), col("checksum"))
+      import graft.multimodal.Multimodal.PngCodec
+      import s.implicits._
+      s.read.parquet(stagedPngMedia(s, dir))
+        .filter(col("media_type") === "image")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val st = PngCodec.decodeStats(p)
+          (id, st.width, st.height, st.width.toLong * st.height,
+            st.sum_r, st.sum_g, st.sum_b)
+        })
+        .toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
         .orderBy(col("media_id"))
     }),
     "q29_frame_samples" -> ((s, dir) => {
-      import graft.multimodal.Multimodal
-      Multimodal.sampleFrames(
-          Multimodal.fromDocuments(Tables.documents(s, dir)), nFrames = 4)
-        .select(col("media_id"), col("frame_idx"), col("frame_checksum"))
+      // "video" = PNG filmstrip (frames stacked vertically): decode the
+      // container ONCE per row, then slice per-frame raster bands — the
+      // frame-sampling shape of a real clip pipeline with the JDK as codec
+      import graft.multimodal.Multimodal.PngCodec
+      import s.implicits._
+      s.read.parquet(stagedPngMedia(s, dir))
+        .filter(col("media_type") === "video")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val nF = PngCodec.filmFrames
+          it.flatMap { case (id, p) =>
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+            require(img != null, s"media $id: payload is not a decodable image")
+            val hF = img.getHeight / nF
+            (0 until nF).iterator.map { f =>
+              val st = PngCodec.decodeRegion(img, f * hF, hF)
+              (id, f, st.width, st.height, st.sum_r, st.sum_g, st.sum_b)
+            }
+          }
+        }
+        .toDF("media_id", "frame_idx", "width", "frame_height", "sum_r", "sum_g", "sum_b")
         .orderBy(col("media_id"), col("frame_idx"))
     }),
     // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
@@ -2051,6 +2082,35 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .write.mode("overwrite").orc(out.toString)
+    }
+    out.toString
+  }
+
+  /** Stage real PNG payloads for the multimodal queries: one still image
+    * per doc_id % 3 == 0 (two-tone), one filmstrip per doc_id % 3 == 2
+    * (audio ids stay on the stub path — the JDK has no audio codec).
+    * Encoding runs executor-side in the staging write; the fixture is the
+    * opaque-binary media table a real pipeline would scan. `_SUCCESS`
+    * guard, staged once per (dir, /tmp) like the other fixtures.
+    */
+  private def stagedPngMedia(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_png_media_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      import s.implicits._
+      import graft.multimodal.Multimodal.PngCodec
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, nc) =>
+          (id % 3) match {
+            case 0 => Iterator((id, "image", PngCodec.encodeImage(id, nc)))
+            case 2 => Iterator((id, "video", PngCodec.encodeFilmstrip(id, nc)))
+            case _ => Iterator.empty
+          }
+        })
+        .toDF("media_id", "media_type", "payload")
+        .write.mode("overwrite").parquet(out.toString)
     }
     out.toString
   }
@@ -3464,6 +3524,45 @@ object SparkEntry {
                             ELSE len(string_split_regex(trim(text), ' +')) END
                      ELSE 0 END) AS BIGINT) AS sum_tokens_current
          FROM documents GROUP BY 1 ORDER BY lang""",
+    // q28/q29: the engine decodes REAL PNG bytes (JDK imageio); the oracle
+    // re-derives every statistic from the closed-form image construction in
+    // Multimodal.PngCodec (two-tone split / per-frame constant bands) —
+    // these literals mirror imageParams/frameColor exactly; change both or
+    // neither. A decode that mis-parses the container cannot match.
+    "q28_media_features" ->
+      """SELECT doc_id AS media_id,
+                CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+                CAST(doc_id % 48 + 16 AS INTEGER) AS height,
+                CAST((n_chars % 64 + 16) * (doc_id % 48 + 16) AS BIGINT)
+                  AS n_pixels,
+                CAST(((doc_id % 256) * ((n_chars % 64 + 16) // 2)
+                      + ((doc_id * 7 + 13) % 256)
+                        * ((n_chars % 64 + 16) - (n_chars % 64 + 16) // 2))
+                     * (doc_id % 48 + 16) AS BIGINT) AS sum_r,
+                CAST(((n_chars % 256) * ((n_chars % 64 + 16) // 2)
+                      + ((n_chars * 5 + 3) % 256)
+                        * ((n_chars % 64 + 16) - (n_chars % 64 + 16) // 2))
+                     * (doc_id % 48 + 16) AS BIGINT) AS sum_g,
+                CAST((((doc_id * 31 + 7) % 256) * ((n_chars % 64 + 16) // 2)
+                      + ((doc_id + n_chars) % 256)
+                        * ((n_chars % 64 + 16) - (n_chars % 64 + 16) // 2))
+                     * (doc_id % 48 + 16) AS BIGINT) AS sum_b
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+    "q29_frame_samples" ->
+      """SELECT doc_id AS media_id, frame_idx,
+                CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+                CAST(doc_id % 24 + 8 AS INTEGER) AS frame_height,
+                CAST(((doc_id * 5 + 11 * frame_idx + 1) % 256)
+                     * (n_chars % 64 + 16) * (doc_id % 24 + 8) AS BIGINT)
+                  AS sum_r,
+                CAST(((n_chars + 17 * frame_idx) % 256)
+                     * (n_chars % 64 + 16) * (doc_id % 24 + 8) AS BIGINT)
+                  AS sum_g,
+                CAST(((doc_id * 3 + 29 * frame_idx + 5) % 256)
+                     * (n_chars % 64 + 16) * (doc_id % 24 + 8) AS BIGINT)
+                  AS sum_b
+         FROM documents CROSS JOIN (VALUES (0),(1),(2),(3)) AS f(frame_idx)
+         WHERE doc_id % 3 = 2 ORDER BY media_id, frame_idx""",
     "q54_bucketed_join" ->
       """SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
                 COUNT(*) AS n,

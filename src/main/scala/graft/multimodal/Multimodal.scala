@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
   * transforms (the Scala analogue of `mapInPandas`: one iterator per
   * partition, batch-shaped, zero driver involvement).
   *
-  * The actual media codecs are STUBBED (this container has no image/audio
-  * libraries): [[StubDecoder]] produces deterministic fake decodes from the
-  * payload bytes. Everything Spark-side — schema, encoders, partitioning,
-  * batch iteration, null handling — is real and tested, so swapping in a
-  * true codec is a one-object change.
+  * IMAGE decode is REAL: [[PngCodec]] encodes and decodes actual PNG bytes
+  * through the JDK's `javax.imageio` (zlib inflate, PNG filters, raster
+  * iteration — no external dependency). "Video" rows are PNG filmstrips
+  * (frames stacked vertically in one image), the JDK-decodable stand-in
+  * for a frame-extracted clip. Only AUDIO (and true video containers)
+  * remain stubbed via [[StubDecoder]] — this container has no media
+  * libraries beyond the JDK — and everything Spark-side (schema, encoders,
+  * partitioning, batch iteration, null handling) is identical between the
+  * real and stubbed paths, so swapping a true codec in is a one-object
+  * change.
   *
   * Scale notes: payloads never pass through a shuffle here (all transforms
   * are narrow); at 100 TB the payload column stays columnar-compressed in
@@ -21,6 +26,114 @@ import org.apache.spark.sql.types._
   * rows (small, fixed-width) are what downstream joins/aggs shuffle.
   */
 object Multimodal {
+
+  /** Real PNG encode/decode via JDK `javax.imageio`.
+    *
+    * The synthetic images are DETERMINISTIC CLOSED-FORM functions of
+    * `(doc_id, n_chars)` — a two-tone vertical split for still images, one
+    * constant-color band per frame for filmstrips — so a SQL oracle can
+    * re-derive every decoded statistic (dims, per-channel pixel sums) from
+    * the documents table alone, while the engine side must actually parse
+    * the PNG container: IHDR dims, zlib-inflated scanlines, per-pixel
+    * raster sums. A decode bug (wrong stride, channel order, filter
+    * reconstruction) breaks the hash gate; a byte-fold stub cannot pass it.
+    */
+  object PngCodec {
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no /tmp cache files
+
+    val filmFrames = 4
+
+    /** Closed-form image parameters. Every value is reproduced literally in
+      * `SparkEntry.oracleSql(q28/q29)` — change BOTH or neither.
+      */
+    final case class ImageParams(w: Int, h: Int,
+                                 rA: Int, gA: Int, bA: Int,
+                                 rB: Int, gB: Int, bB: Int)
+    def imageParams(docId: Long, nChars: Long): ImageParams = ImageParams(
+      w = (nChars % 64 + 16).toInt,
+      h = (docId % 48 + 16).toInt,
+      rA = (docId % 256).toInt, gA = (nChars % 256).toInt,
+      bA = ((docId * 31 + 7) % 256).toInt,
+      rB = ((docId * 7 + 13) % 256).toInt, gB = ((nChars * 5 + 3) % 256).toInt,
+      bB = ((docId + nChars) % 256).toInt)
+
+    /** Filmstrip frame band height + per-frame constant color. */
+    def frameHeight(docId: Long): Int = (docId % 24 + 8).toInt
+    def frameColor(docId: Long, nChars: Long, f: Int): (Int, Int, Int) = (
+      ((docId * 5 + 11L * f + 1) % 256).toInt,
+      ((nChars + 17L * f) % 256).toInt,
+      ((docId * 3 + 29L * f + 5) % 256).toInt)
+
+    private def toPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Two-tone still image: left half color A (x < w/2), right half B. */
+    def encodeImage(docId: Long, nChars: Long): Array[Byte] = {
+      val p = imageParams(docId, nChars)
+      val img = new java.awt.image.BufferedImage(
+        p.w, p.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val half = p.w / 2
+      val a = (p.rA << 16) | (p.gA << 8) | p.bA
+      val b = (p.rB << 16) | (p.gB << 8) | p.bB
+      var y = 0
+      while (y < p.h) {
+        var x = 0
+        while (x < p.w) { img.setRGB(x, y, if (x < half) a else b); x += 1 }
+        y += 1
+      }
+      toPng(img)
+    }
+
+    /** Filmstrip: `filmFrames` constant-color bands stacked vertically. */
+    def encodeFilmstrip(docId: Long, nChars: Long): Array[Byte] = {
+      val w = imageParams(docId, nChars).w
+      val hF = frameHeight(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, hF * filmFrames, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var f = 0
+      while (f < filmFrames) {
+        val (r, g, b) = frameColor(docId, nChars, f)
+        val rgb = (r << 16) | (g << 8) | b
+        var y = f * hF
+        while (y < (f + 1) * hF) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        f += 1
+      }
+      toPng(img)
+    }
+
+    final case class ImageStats(width: Int, height: Int,
+                                sum_r: Long, sum_g: Long, sum_b: Long)
+
+    /** Full decode: container parse + per-pixel channel sums. */
+    def decodeStats(payload: Array[Byte]): ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      decodeRegion(img, 0, img.getHeight)
+    }
+
+    /** Band decode for one filmstrip frame: rows [y0, y0+h). */
+    def decodeRegion(img: java.awt.image.BufferedImage, y0: Int, h: Int): ImageStats = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = y0
+      while (y < y0 + h) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(img.getWidth, h, sr, sg, sb)
+    }
+  }
 
   /** Typed media row: opaque payload + metadata. */
   final case class MediaRow(
