@@ -21,17 +21,25 @@ import org.apache.spark.sql.SparkSession
   * reported number is the per-query MEDIAN: single runs at this scale swing
   * 2-4x on identical plans (round-3 finding), so medians are the only
   * timings worth comparing across rounds. `value` is the sum of medians.
+  * `spread` carries each primary query's [min,max] across its runs so
+  * host contention (wide spread, stable median) is distinguishable from a
+  * plan regression (narrow spread, moved median) from the artifact alone —
+  * the round-6 text-table drift was unadjudicable without this.
   *
-  * Two-scale evidence: after the primary suite, the same queries run again
+  * Three-scale evidence: after the primary suite, the same queries run again
   * at a 10x-smaller scale (SPARK_GRAFT_SF_DIR_SMALL, default the primary
   * dir with "sf0.1" -> "sf0.01"; SPARK_GRAFT_BENCH_RUNS_SMALL runs, default
-  * 3; set SPARK_GRAFT_SF_DIR_SMALL=skip to disable). The JSON then carries
-  * `queries_small` and per-query `scaling` ratios (primary/small): a query
-  * whose time grows FASTER than the 10x data — ratio above 12 (20% shuffle/
-  * log slack) with a non-overhead-dominated primary median — lands in
-  * `scaling_flagged`. This converts the 100 TB plan-shape argument into a
-  * measured check: a superlinear operator shows up as a flagged ratio at
-  * local scale long before it melts a cluster.
+  * 3; set =skip to disable), and — when the scaled-up dataset exists — at a
+  * 10x-LARGER scale (SPARK_GRAFT_SF_DIR_LARGE, default `testdata/sf1`
+  * under the working directory, the output of `graft.ScaleUp`;
+  * SPARK_GRAFT_BENCH_RUNS_LARGE runs, default 2). The JSON then carries
+  * `queries_small`/`queries_large` and per-query `scaling` (primary/small)
+  * and `scaling_large` (large/primary) ratios — one ratio per decade. A
+  * query whose time grows FASTER than the 10x data — ratio above 12 (20%
+  * shuffle/log slack) with a non-overhead-dominated numerator median —
+  * lands in `scaling_flagged`. This converts the 100 TB plan-shape argument
+  * into a measured check across TWO decades: a superlinear term with a
+  * small constant can hide inside one decade, but not two.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,6 +65,7 @@ object Bench {
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val runsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SMALL", "3").toInt.max(1)
+    val runsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_LARGE", "2").toInt.max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -84,27 +93,52 @@ object Bench {
     def jsonNum(v: Double): String = f"$v%.3f"
     def jsonMap(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def jsonLine(results: Seq[(String, Double)],
-                 small: Option[(String, Seq[(String, Double)])]): String = {
+    def medians(raw: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      raw.map { case (k, ts) => k -> median(ts) }
+    // ratio numerator must be data-bound, not overhead-dominated, for the
+    // flag to mean anything: sub-second medians ratio ~1 regardless of plan
+    def flaggedOf(num: Seq[(String, Double)], den: Map[String, Double],
+                  minNumerator: Double): Seq[(String, Double)] = {
+      val numMap = num.toMap
+      num.flatMap { case (k, v) =>
+        den.get(k).filter(_ > 0).map(d => k -> (v / d))
+      }.filter { case (k, r) => r > 12.0 && numMap.getOrElse(k, 0.0) > minNumerator }
+    }
+    def jsonLine(raw: Seq[(String, Seq[Double])],
+                 small: Option[(String, Seq[(String, Double)])],
+                 large: Option[(String, Seq[(String, Double)])]): String = {
+      val results = medians(raw)
       val qs = jsonMap(results.map { case (k, v) => k -> jsonNum(v) })
+      val spread = jsonMap(raw.map { case (k, ts) =>
+        k -> s"[${jsonNum(ts.min)},${jsonNum(ts.max)}]"
+      })
       val total = results.map(_._2).sum
-      val twoScale = small.map { case (smallDir, sm) =>
+      val resultsMap = results.toMap
+      val smallPart = small.map { case (smallDir, sm) =>
         val smMap = sm.toMap
         val ratios = results.flatMap { case (k, v) =>
           smMap.get(k).filter(_ > 0).map(s => k -> (v / s))
         }
-        // flag only queries whose primary median is big enough to be
-        // data-bound (overhead-dominated sub-second timings ratio ~1
-        // regardless of plan shape); 12 = 10x data + 20% shuffle/log slack
-        val flagged = ratios.filter { case (k, r) =>
-          r > 12.0 && results.toMap.getOrElse(k, 0.0) > 0.5
-        }.map(_._1)
         s""","sf_small":"$smallDir","runs_small":$runsSmall,""" +
           s""""queries_small":${jsonMap(sm.map { case (k, v) => k -> jsonNum(v) })},""" +
-          s""""scaling":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })},""" +
-          s""""scaling_flagged":${flagged.map(jstr).mkString("[", ",", "]")}"""
+          s""""scaling":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
       }.getOrElse("")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median","queries":$qs,"sf":"$sfDir",$envJson%s$twoScale%s}"""
+      val largePart = large.map { case (largeDir, lg) =>
+        val ratios = lg.flatMap { case (k, v) =>
+          resultsMap.get(k).filter(_ > 0).map(d => k -> (v / d))
+        }
+        s""","sf_large":"$largeDir","runs_large":$runsLarge,""" +
+          s""""queries_large":${jsonMap(lg.map { case (k, v) => k -> jsonNum(v) })},""" +
+          s""""scaling_large":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
+      }.getOrElse("")
+      val flagged =
+        small.map { case (_, sm) => flaggedOf(results, sm.toMap, 0.5) }.getOrElse(Nil) ++
+        large.map { case (_, lg) => flaggedOf(lg, resultsMap, 2.0) }.getOrElse(Nil)
+      val flaggedPart =
+        if (small.isEmpty && large.isEmpty) ""
+        else s""","scaling_flagged":${flagged.map(f => jstr(f._1)).distinct.mkString("[", ",", "]")}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median",""" +
+        f""""queries":$qs%s,"spread":$spread%s,"sf":"$sfDir",$envJson%s$smallPart%s$largePart%s$flaggedPart%s}"""
     }
     // BENCH.json is rewritten after EVERY query so a killed run still leaves
     // the medians measured so far (the driver's parser reads this file).
@@ -114,8 +148,8 @@ object Bench {
       ()
     }
     def runSuite(dir: String, nRuns: Int,
-                 onResult: Seq[(String, Double)] => Unit): Seq[(String, Double)] = {
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+                 onResult: Seq[(String, Seq[Double])] => Unit): Seq[(String, Seq[Double])] = {
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
       selected.foreach { case (name, fn) =>
         val times = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
@@ -125,21 +159,31 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
-        results += (name -> median(times))
+        results += (name -> times)
         onResult(results.toSeq)
       }
       results.toSeq
     }
-    val results = runSuite(sfDir, runs, rs => writeFile(jsonLine(rs, None)))
+    val raw = runSuite(sfDir, runs, rs => writeFile(jsonLine(rs, None, None)))
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
       if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "skip")
     val small =
       if (smallDir == "skip" || smallDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) None
-      else Some(smallDir -> runSuite(smallDir, runsSmall, _ => ()))
-    val line = jsonLine(results, small)
+      else Some(smallDir -> medians(runSuite(smallDir, runsSmall, _ => ())))
+    writeFile(jsonLine(raw, small, None))
+    // the scaled-up decade only runs when the primary IS sf0.1 (the driver's
+    // per-round configuration) or the dir is set explicitly — a filtered
+    // iteration run shouldn't silently pay the 10x pass
+    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_LARGE",
+      if (sfDir.contains("sf0.1")) "testdata/sf1" else "skip")
+    val large =
+      if (largeDir == "skip" || largeDir == sfDir ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(largeDir))) None
+      else Some(largeDir -> medians(runSuite(largeDir, runsLarge, _ => ())))
+    val line = jsonLine(raw, small, large)
     writeFile(line)
-    results.sortBy(-_._2).foreach { case (k, v) =>
+    medians(raw).sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] $v%8.3f s  $k")
     }
     println(line)

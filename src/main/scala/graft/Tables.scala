@@ -23,12 +23,15 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); with
+  /** The driver's `events.ts` is parquet TIMESTAMP(NANOS); with
     * `spark.sql.legacy.parquet.nanosAsLong=true` it scans as LongType
     * nanos-since-epoch. Exposed here both ways: `ts_ns` (exact long) and
     * `ts` (micros-truncated timestamp — Spark's native precision). Integer
     * `div` avoids the double-rounding a float division would introduce on
-    * ~1.7e18 nanosecond values.
+    * ~1.7e18 nanosecond values. The `ScaleUp`-generated sf1 dataset stores
+    * `ts` as native TIMESTAMP(MICROS) (Spark cannot write nanos); there
+    * `ts_ns` is derived as micros*1000 so both dataset generations present
+    * the same two-column contract.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
@@ -37,7 +40,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw
+      case _ => raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
