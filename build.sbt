@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] executor launch resolves the dist's scala version from
+// this env var (spark-class normally exports it via load-spark-env.sh; a
+// plain forked JVM doesn't) — without it WorkerCommandBuilder dies with
+// "Cannot find any build directories".
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+run / envVars += "SPARK_SCALA_VERSION" -> "2.13"
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -48,6 +48,31 @@ import org.apache.spark.sql.functions._
   * (defaults: /root/testdata/sf0.1  testdata/sf1  10).
   */
 object ScaleUp {
+
+  import org.apache.spark.sql.Column
+
+  /** Seed-keyed vocabulary isomorphism: every word maps through a pure
+    * function of (word, seed) — ~20% kept, ~80% relabeled to a hash-derived
+    * pseudo-word. Within one seed this preserves word-level equality (exact
+    * copies stay exact copies, shingle Jaccard is invariant), while texts
+    * from different seeds share ~1% of their vocabulary.
+    */
+  private[graft] def revocab(text: Column, seed: Int): Column =
+    array_join(
+      transform(split(text, " "), w =>
+        when(pmod(hash(w, lit(seed)), lit(10)) < 2, w)
+          .otherwise(concat(lit("w"), pmod(hash(w, lit(seed), lit(7919)), lit(50021))))),
+      " ")
+
+  /** Deterministic per-(id, dim, seed) jitter of at most ±0.01 — enough to
+    * break exact-distance ties while keeping the cluster geometry the
+    * IVF/PQ recall gates measure.
+    */
+  private[graft] def jitterEmbedding(emb: Column, id: Column, seed: Int): Column =
+    transform(emb, (x, i) =>
+      (x + (pmod(hash(id, i, lit(seed)), lit(1001)).cast("double") / 1000.0 - 0.5) * 0.02)
+        .cast("float"))
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("testdata/sf1")
@@ -129,13 +154,7 @@ object ScaleUp {
     val documents = read("documents")
     val nDoc = span(documents, "doc_id")
     write(tile(documents) { (df, c) =>
-      val text =
-        if (c == 0) col("text")
-        else array_join(
-          transform(split(col("text"), " "), w =>
-            when(pmod(hash(w, lit(c)), lit(10)) < 2, w)
-              .otherwise(concat(lit("w"), pmod(hash(w, lit(c), lit(7919)), lit(50021))))),
-          " ")
+      val text = if (c == 0) col("text") else revocab(col("text"), c)
       df.withColumn("doc_id", col("doc_id") + lit(c * nDoc))
         .withColumn("text", text)
         .withColumn("n_chars", length(col("text")).cast("long"))
@@ -146,11 +165,8 @@ object ScaleUp {
     val nVec = span(embeddings, "vec_id")
     val embFactor = math.max(1, (factor * 4) / 10)
     write(tile(embeddings, embFactor) { (df, c) =>
-      val emb =
-        if (c == 0) col("embedding")
-        else transform(col("embedding"), (x, i) =>
-          (x + (pmod(hash(col("vec_id"), i, lit(c)), lit(1001)).cast("double") / 1000.0 - 0.5) * 0.02)
-            .cast("float"))
+      val emb = if (c == 0) col("embedding")
+        else jitterEmbedding(col("embedding"), col("vec_id"), c)
       df.withColumn("vec_id", col("vec_id") + lit(c * nVec))
         .withColumn("embedding", emb)
     }, "embeddings", 2)

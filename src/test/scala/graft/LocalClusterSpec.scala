@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Serialization-boundary proof (the half of the 100 TB story `local[n]`
+  * cannot show): in local mode driver and executors share ONE JVM, so
+  * broadcast values, custom `Aggregator` buffers (bounded top-k rows, HLL
+  * register arrays, Bloom bitsets), task closures and codegen'd custom
+  * Expressions are never actually serialized across a process boundary.
+  * `local-cluster[2,4,mem]` launches TWO REAL executor JVMs through the
+  * SPARK_HOME distribution — every task binary, closure, broadcast and
+  * partial-aggregation buffer crosses process boundaries exactly as on a
+  * multi-executor cluster.
+  *
+  * Method: each representative query's rows are computed under plain
+  * `local[4]` first (the configuration the whole oracle-gated suite runs
+  * in), then the SAME query re-runs under local-cluster and must match row
+  * for row. Representatives chosen for what they serialize:
+  *
+  *  - q43: RDD k-means — `broadcast` centroids + iterative task closures
+  *    (`KMeansRDD.scala:40`);
+  *  - q30: bounded top-k — typed `Aggregator` with an `Encoder`-serialized
+  *    mutable buffer (`TopKAggregator`);
+  *  - q45: HLL distinct — 4 KiB register-array buffers merged ACROSS
+  *    executors (partial → final crosses the wire);
+  *  - q90: Bloom prefilter — MB-scale bitset aggregation buffers + the
+  *    codegen'd probe expression compiled on executors;
+  *  - q22: MinHash LSH — custom codegen Expressions + the ReusedExchange
+  *    signature subtree shipped as shuffle blocks between processes;
+  *  - q92: weighted stratified sample — A-ES keyed typed aggregator.
+  */
+class LocalClusterSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val queryNames = Seq(
+    "q43_kmeans_rdd",
+    "q30_knn_topk_agg",
+    "q45_hll_distinct",
+    "q90_bloom_incremental_dedup",
+    "q22_minhash_neardups",
+    "q92_weighted_sample")
+
+  private def rows(spark: SparkSession, name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
+
+  private def stopAndClear(s: SparkSession): Unit = {
+    s.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  // JDK17 module opens for the executor JVMs (the build injects these into
+  // the test JVM via javaOptions; launched executors need them explicitly)
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  test("representative suite is row-identical across a real executor-process boundary (local-cluster[2,4])") {
+    assume(new java.io.File(sys.env.getOrElse("SPARK_HOME", "/opt/spark"), "bin").isDirectory,
+      "local-cluster needs a SPARK_HOME distribution to launch executor JVMs")
+
+    // expected rows under the canonical single-JVM session
+    SparkSession.getActiveSession.foreach(stopAndClear)
+    val local = Sessions.local("cluster-spec-expected", cores = 4)
+    val expected = try queryNames.map(n => n -> rows(local, n)).toMap
+    finally stopAndClear(local)
+
+    // same engine semantics as Sessions.local, master swapped for a real
+    // 2-process cluster; executors inherit the test JVM's full classpath so
+    // graft classes + codegen'd expressions resolve in the executor JVMs
+    val cluster = SparkSession.builder()
+      .master("local-cluster[2,4,2048]")
+      .appName("cluster-spec")
+      .config("spark.executor.memory", "1536m")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpens)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+      .getOrCreate()
+    try {
+      cluster.sparkContext.setLogLevel("WARN")
+      // the boundary is real only if executors are separate processes
+      assert(cluster.sparkContext.master.startsWith("local-cluster"), cluster.sparkContext.master)
+      for (name <- queryNames) {
+        val got = rows(cluster, name)
+        assert(got == expected(name),
+          s"$name diverged across the executor-process boundary:\n" +
+            s"  local:   ${expected(name).take(5).mkString(" | ")}\n" +
+            s"  cluster: ${got.take(5).mkString(" | ")}")
+      }
+    } finally stopAndClear(cluster)
+  }
+}

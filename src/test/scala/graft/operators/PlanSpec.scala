@@ -431,6 +431,76 @@ class PlanSpec extends SparkSpec {
       s"q124 moments not partially aggregated below the exchange:\n$plan")
   }
 
+  test("q116 components: the propagation round is an equi-join + min-agg; the histogram stays window-free") {
+    // the per-round body of ConnectedComponents.components (the part that
+    // touches every edge at 100 TB) must plan as a keyed equi-join feeding a
+    // min-aggregation WITH map-side partial combine — a nested-loop there is
+    // the O(V·E) disaster, and losing the partial agg ships every incoming
+    // label over the wire instead of one min per (vertex, partition).
+    import org.apache.spark.sql.functions.{col, min => minCol}
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val pairs = graft.dedup.MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      .select(col("id1").cast("long").as("s"), col("id2").cast("long").as("d"))
+    val edges = pairs.union(pairs.select(col("d").as("s"), col("s").as("d")))
+      .filter(col("s") =!= col("d")).distinct()
+    val labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id"))
+    // one propagation round, exactly as ConnectedComponents.components builds it
+    val incoming = edges.join(labels, col("s") === col("id"))
+      .select(col("d").as("id"), col("label"))
+    val round = labels.union(incoming).groupBy("id").agg(minCol("label").as("label"))
+    round.collect()
+    val plan = planOf(round)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q116 propagation round has a non-equi join:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q116 propagation round lost map-side partial min:\n$plan")
+    // the composed histogram query: aggregates over the k-sized component
+    // table only — no window anywhere, and the only global sort is the
+    // cosmetic ORDER BY over the histogram rows
+    val df = graft.SparkEntry.queries("q116_component_histogram")(spark, sf("sf0.001"))
+    df.collect()
+    val hist = planOf(df)
+    assert(!hist.contains("Window"), s"q116 histogram plans a window:\n$hist")
+    val ranges = hist.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(ranges <= 1, s"q116 sorts more than the final histogram ($ranges):\n$hist")
+  }
+
+  test("q127 incremental rollup: on a date-partitioned store the delta side scans ONLY the delta partitions") {
+    // q127's whole claim is O(delta) maintenance: the base rollup is stored
+    // state, and the increment must reach the parquet scan as a PARTITION
+    // filter (pruning whole directories), never a post-scan row filter over
+    // the full event store. Stage a d-partitioned copy (the layout a real
+    // event store ships) and assert both sides prune at the partition level.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup_spec").toString
+    Tables.events(spark, sf("sf0.001"))
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("d").parquet(dir)
+    val store = spark.read.parquet(dir)
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val cut = lit("2024-01-25").cast("date")
+    val base = rollup(store.filter(col("d") < cut))
+    val delta = rollup(store.filter(col("d") >= cut))
+    val merged = base.unionByName(delta)
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sum_cents")).cast("long").as("sum_cents"))
+    val fmt = formatted(merged)
+    // both scans prune on d at the partition level; no row-level d filter
+    val partFilters = fmt.linesIterator.filter(_.contains("PartitionFilters")).toList
+    assert(partFilters.size == 2, s"expected 2 partitioned scans:\n$fmt")
+    assert(partFilters.exists(_.contains("<")) && partFilters.exists(_.contains(">=")),
+      s"delta/base cut did not reach the partition level:\n$fmt")
+    // and the merge keeps map-side partial aggregation of the mergeable state
+    merged.collect()
+    val plan = planOf(merged)
+    assert(plan.contains("partial_"), s"q127 merge lost partial aggregation:\n$plan")
+  }
+
   test("q128 attribution: as-of merge-scan window present; every join stays equi") {
     // the attribution path inherits q36's merge-scan (one keyed shuffle,
     // running last() window); the 'direct' recovery anti-join ships only
