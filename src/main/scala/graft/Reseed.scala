@@ -62,7 +62,7 @@ object Reseed {
                  keys: org.apache.spark.sql.Column*) = {
       val u = pmod(hash(keys :+ lit(seed) :+ lit(salt): _*), lit(10001))
         .cast("double") / 10000.0 // uniform [0,1] on a 1e-4 grid
-      round(c * (1.0 - pct + u * 2.0 * pct), 2)
+      round(c * (lit(1.0 - pct) + u * (2.0 * pct)), 2)
     }
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
@@ -85,7 +85,7 @@ object Reseed {
       .withColumn("value",
         greatest(lit(1L),
           round(round(col("value") * 100) *
-            (0.8 + pmod(hash(col("event_id"), lit(seed), lit(3)), lit(4001))
+            (lit(0.8) + pmod(hash(col("event_id"), lit(seed), lit(3)), lit(4001))
               .cast("double") / 10000.0)).cast("long"))
           .cast("double") / 100.0),
       "events", 8)

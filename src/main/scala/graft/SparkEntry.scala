@@ -380,14 +380,17 @@ object SparkEntry {
       // least 2 of the exact top-3 (recall@3 >= 2/3)? The oracle predicts
       // `true` for every query — any regression in the quantizer, probe
       // selection, or scoring flips the hash. Operating point (nLists=8,
-      // maxIter=4, full-corpus training, nProbe=5) measured to hold the
-      // floor at sf0.01 AND sf0.1; at 100 TB the quantizer would train on a
-      // sample (trainCentroidsNative's sampleFraction) — full-corpus here
-      // keeps the seeded pipeline deterministic for the gate.
+      // maxIter=4, full-corpus training, nProbe=6) measured to hold the
+      // floor at sf0.01 (both generator seeds — nProbe=5 lost one query's
+      // 3rd neighbor to an unprobed list on the seed-2 jittered embeddings,
+      // the round-7 differential run's one catch) AND sf0.1; at 100 TB the
+      // quantizer would train on a sample (trainCentroidsNative's
+      // sampleFraction) — full-corpus here keeps the seeded pipeline
+      // deterministic for the gate.
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 5)
       val cents = Knn.trainCentroidsNative(emb, nLists = 8, seed = 1L, maxIter = 4)
-      val ivf = Knn.ivf(emb, q, cents, k = 3, nProbe = 5)
+      val ivf = Knn.ivf(emb, q, cents, k = 3, nProbe = 6)
         .select(col("query_id"), col("neighbor_id"))
       val exact = Knn.bruteForce(emb, q, k = 3)
         .select(col("query_id"), col("neighbor_id"))
