@@ -8,8 +8,17 @@ matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over views
 named after the TESTDATA tables, and compares: column names (sorted), row
 counts, and values (rows sorted, NaN-safe, float-exact). Exit 1 on any
 mismatch; prints a per-query PASS/FAIL table with first-diff details.
+
+Each per-query line is printed (flushed) as it completes, with elapsed
+seconds, so a long run shows progress instead of buffering everything to the
+end. ORACLE_TIMEOUT_S (env, seconds, default unset = no limit) interrupts
+any single DuckDB oracle that exceeds the budget and records it as TIMEOUT
+— an sf1-sized oracle can take hours in DuckDB even when the engine side is
+fine, and a timed-out oracle is a statement about DuckDB's cost, not about
+engine correctness, so TIMEOUT does not fail the gate by itself; it exits 2
+to distinguish "green but incomplete" from fully green.
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, time, threading
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -48,51 +57,78 @@ def main():
         elif os.path.exists(p):  # driver's single-file layout
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
-    results, failed = [], []
+    timeout_s = float(os.environ.get("ORACLE_TIMEOUT_S", "0")) or None
+    results, failed, timed_out = [], [], []
     qdirs = sorted(d for d in glob.glob(os.path.join(out_dir, "*")) if os.path.isdir(d))
+
+    def emit(name, status, detail, t0):
+        results.append((name, status, detail))
+        print(f"{name:<28}  {status:<10}  [{time.monotonic() - t0:7.1f}s]  {detail}",
+              flush=True)
+
+    def timed_oracle(sql):
+        # watchdog: con.interrupt() aborts the running DuckDB statement; the
+        # call then raises InterruptException, which the caller maps to TIMEOUT
+        timer = threading.Timer(timeout_s, con.interrupt) if timeout_s else None
+        if timer:
+            timer.start()
+        try:
+            return rows_of(con.sql(sql))
+        finally:
+            if timer:
+                timer.cancel()
+
     for qd in qdirs:
+        t0 = time.monotonic()
         name = os.path.basename(qd)
         files = glob.glob(os.path.join(qd, "*.parquet"))
         if not files:
-            results.append((name, "EMPTY-OUT", "no parquet written"))
+            emit(name, "EMPTY-OUT", "no parquet written", t0)
             failed.append(name)
             continue
         got_cols, got_types, got_rows = rows_of(con.sql(
             f"SELECT * FROM read_parquet({files!r})"))
         if name not in oracle:
-            results.append((name, "ROWS-ONLY", f"{len(got_rows)} rows"))
+            emit(name, "ROWS-ONLY", f"{len(got_rows)} rows", t0)
             continue
         try:
-            exp_cols, exp_types, exp_rows = rows_of(con.sql(oracle[name]))
+            exp_cols, exp_types, exp_rows = timed_oracle(oracle[name])
+        except duckdb.InterruptException:
+            emit(name, "TIMEOUT", f"oracle exceeded {timeout_s:.0f}s in DuckDB", t0)
+            timed_out.append(name)
+            continue
         except Exception as e:
-            results.append((name, "ORACLE-ERR", str(e).splitlines()[0][:100]))
-            failed.append(name)
+            msg = str(e).splitlines()[0][:100]
+            if "INTERRUPT" in msg.upper():
+                emit(name, "TIMEOUT", f"oracle exceeded {timeout_s:.0f}s in DuckDB", t0)
+                timed_out.append(name)
+            else:
+                emit(name, "ORACLE-ERR", msg, t0)
+                failed.append(name)
             continue
         if got_cols != exp_cols:
-            results.append((name, "FAIL-COLS", f"spark={got_cols} duckdb={exp_cols}"))
+            emit(name, "FAIL-COLS", f"spark={got_cols} duckdb={exp_cols}", t0)
             failed.append(name)
         elif got_types != exp_types:
-            results.append((name, "FAIL-TYPES",
-                            f"spark={list(zip(got_cols, got_types))} "
-                            f"duckdb={list(zip(exp_cols, exp_types))}"))
+            emit(name, "FAIL-TYPES",
+                 f"spark={list(zip(got_cols, got_types))} "
+                 f"duckdb={list(zip(exp_cols, exp_types))}", t0)
             failed.append(name)
         elif len(got_rows) != len(exp_rows):
-            results.append((name, "FAIL-COUNT", f"spark={len(got_rows)} duckdb={len(exp_rows)}"))
+            emit(name, "FAIL-COUNT", f"spark={len(got_rows)} duckdb={len(exp_rows)}", t0)
             failed.append(name)
         else:
             diff = next((i for i, (g, e) in enumerate(zip(got_rows, exp_rows)) if g != e), None)
             if diff is None:
-                results.append((name, "PASS", f"{len(got_rows)} rows"))
+                emit(name, "PASS", f"{len(got_rows)} rows", t0)
             else:
-                results.append((name, "FAIL-VALS",
-                                f"row {diff}: spark={got_rows[diff]} duckdb={exp_rows[diff]}"))
+                emit(name, "FAIL-VALS",
+                     f"row {diff}: spark={got_rows[diff]} duckdb={exp_rows[diff]}", t0)
                 failed.append(name)
-    w = max(len(n) for n, _, _ in results) if results else 10
-    for n, st, detail in results:
-        print(f"{n:<{w}}  {st:<10}  {detail}")
-    print(f"\n{len(results) - len(failed)}/{len(results)} ok; "
-          f"{sum(1 for _, s, _ in results if s == 'PASS')} oracle-matched")
-    sys.exit(1 if failed else 0)
+    print(f"\n{len(results) - len(failed) - len(timed_out)}/{len(results)} ok; "
+          f"{sum(1 for _, s, _ in results if s == 'PASS')} oracle-matched"
+          + (f"; {len(timed_out)} oracle-timeout: {timed_out}" if timed_out else ""))
+    sys.exit(1 if failed else (2 if timed_out else 0))
 
 
 if __name__ == "__main__":
