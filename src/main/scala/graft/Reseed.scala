@@ -80,8 +80,10 @@ object Reseed {
       "lineitem", 8)
 
     // value: ±20% of the cent amount, floored at 1 cent (domain stays > 0)
-    write(read("events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = read("events")
+    write(events
+      .withColumn("ts",
+        expr(s"timestamp_micros(${ScaleUp.eventsTsMicrosExpr(events)})"))
       .withColumn("value",
         greatest(lit(1L),
           round(round(col("value") * 100) *

@@ -73,6 +73,18 @@ object ScaleUp {
       (x + (pmod(hash(id, i, lit(seed)), lit(1001)).cast("double") / 1000.0 - 0.5) * 0.02)
         .cast("float"))
 
+  /** SQL fragment turning the source `ts` column into micros-since-epoch,
+    * whichever dataset generation it came from: LongType nanos (older
+    * driver data scanned under nanosAsLong) or native TIMESTAMP micros —
+    * LTZ (our generators' output) or NTZ (current driver data; the cast is
+    * wall-value-exact under the pinned UTC session tz).
+    */
+  private[graft] def eventsTsMicrosExpr(events: DataFrame): String =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000"
+      case _ => "unix_micros(cast(ts as timestamp))"
+    }
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("testdata/sf1")
@@ -138,17 +150,19 @@ object ScaleUp {
         .withColumn("l_suppkey", col("l_suppkey") + lit(c * nSupp))
     }, "lineitem", 16)
 
-    // source ts is TIMESTAMP(NANOS) = LongType under nanosAsLong; Spark
-    // cannot write nanos back, so sf1 ships ts as native TIMESTAMP(MICROS)
-    // (+copy microseconds to break cross-copy exact ties) and Tables.events
-    // re-derives ts_ns from it
+    // source ts arrives either as LongType nanos (older driver data under
+    // nanosAsLong) or native TIMESTAMP micros (current generation) — same
+    // dual contract Tables.events handles. Output always ships native
+    // TIMESTAMP(MICROS) (Spark cannot write nanos back), +copy microseconds
+    // to break cross-copy exact ties; Tables.events re-derives ts_ns.
     val events = read("events")
+    val tsMicros = eventsTsMicrosExpr(events)
     val nEv = span(events, "event_id")
     val nUser = events.agg(max(col("user_id"))).head.getLong(0) + 1L
     write(tile(events) { (df, c) =>
       df.withColumn("event_id", col("event_id") + lit(c * nEv))
         .withColumn("user_id", col("user_id") + lit(c * nUser))
-        .withColumn("ts", expr(s"timestamp_micros(ts div 1000 + $c)"))
+        .withColumn("ts", expr(s"timestamp_micros($tsMicros + $c)"))
     }, "events", 8)
 
     val documents = read("documents")

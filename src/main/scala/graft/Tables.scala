@@ -40,7 +40,13 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      case _ =>
+        // native TIMESTAMP generation — arrives as LTZ (our generators'
+        // output) or NTZ (current driver data). Session tz is pinned UTC,
+        // so the NTZ->LTZ cast is wall-value-exact; normalizing keeps one
+        // canonical ts type (TIMESTAMP) for every downstream comparison.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

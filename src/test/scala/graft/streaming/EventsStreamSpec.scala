@@ -8,10 +8,17 @@ import java.nio.file.Files
 class EventsStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Stage the batch events parquet as a stream-source directory. */
+  /** Stage the batch events as a stream-source directory. Goes through
+    * Tables.events (not a raw parquet read) so `ts` is staged as Long NANOS
+    * regardless of which dataset generation shipped the source — readEvents
+    * declares ts: LongType nanos, and a raw micros-generation file would
+    * otherwise scan its micros straight into that column (1970-era windows).
+    */
   private lazy val streamDir: String = {
     val dir = Files.createTempDirectory("graft_stream").toString
-    spark.read.parquet(sf("sf0.001") + "/events.parquet")
+    graft.Tables.events(spark, sf("sf0.001"))
+      .select($"event_id", $"ts_ns".as("ts"), $"user_id",
+        $"event_type", $"value", $"props")
       .repartition(3) // several files → several micro-batch splits
       .write.mode("overwrite").parquet(dir)
     dir
