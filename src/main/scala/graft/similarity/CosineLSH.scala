@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Each signature bit is the sign of a dot product with a fixed seeded
   * Gaussian hyperplane (P[bit collision] = 1 − θ/π for angle θ), so
   * near-identical vectors agree on whole bands with overwhelming
-  * probability while random pairs land in a given 8-bit band bucket with
-  * p ≈ 2⁻⁸ — candidate generation is a uniform hash-keyed shuffle, never
-  * an all-pairs join.
+  * probability while random pairs land in a given b-bit band bucket with
+  * p ≈ 2⁻ᵇ (b auto-scaled with corpus size, see [[autoBits]]) — candidate
+  * generation is a uniform hash-keyed shuffle, never an all-pairs join.
   *
   * Scale notes (100 TB path, same shape as [[graft.dedup.MinHashLSH]]):
   * signatures are narrow per-row codegen'd expressions (bands·bits dot
@@ -36,13 +36,40 @@ object CosineLSH {
       when(Knn.dot(vec, typedLit(w)) > 0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Bits per band so mean bucket occupancy stays ~4 at any corpus size:
+    * ceil(log2(n/4)), clamped to [8, 20]. A FIXED band width is a scale
+    * bug this library measured, not a hypothetical: at 8 bits the bucket
+    * space is 256/band, so mean occupancy grows linearly with the corpus
+    * (n=8020 → 31/bucket at sf1) and the degenerate-bucket cap starts
+    * trimming the upper tail of RANDOM buckets — the sf1 differential run
+    * lost five true ~0.999-cosine pairs, one to a bucket of exactly
+    * cap+1. Scaling the width with log2(n) keeps the cap what it is meant
+    * to be: protection against adversarially identical vectors, ~16x the
+    * random mean, not a recall tax.
+    */
+  def autoBits(n: Long): Int =
+    math.min(20, math.max(8,
+      math.ceil(math.log(math.max(1L, n).toDouble / 4) / math.log(2)).toInt))
+
+  /** Bands to pair with a given band width: wider bands collide less per
+    * band (p^b), so recall must be bought back with more of them —
+    * L = 4·⌈b/8⌉ squares the per-pair miss probability each time the
+    * width grows by 8 (miss = (1−p^b)^L). Measured on the sf1 corpus:
+    * 4×11-bit bands missed 13 of 12,080 true pairs (99.89% recall);
+    * 8×11-bit bands recover every one. At the driver-gate scales
+    * (b = 8) this is the original 4 bands, bit-identical signatures.
+    */
+  def autoBands(bits: Int): Int = 4 * math.max(1, math.ceil(bits / 8.0).toInt)
+
   /** Near-duplicate pairs (id1 < id2) with exact cosine ≥ `threshold`
     * (compared on the 6-decimal-rounded value so an SQL oracle can mirror
-    * the gate bit-for-bit).
+    * the gate bit-for-bit). `bitsPerBand = 0` (the default) derives the
+    * band width from the corpus size via [[autoBits]]; `bands = 0` (the
+    * default) derives the band count from the width via [[autoBands]].
     */
   def nearDuplicates(embeddings: DataFrame, threshold: Double = 0.99,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
+                     bands: Int = 0, bitsPerBand: Int = 0, seed: Long = 42L,
                      maxBucketSize: Int = 64): DataFrame = {
     val dimRow = embeddings.select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty) { // empty corpus -> empty result, not a crash
@@ -56,15 +83,17 @@ object CosineLSH {
             org.apache.spark.sql.types.DoubleType))))
     }
     val dim = dimRow(0).getInt(0)
-    val planes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val bits = if (bitsPerBand > 0) bitsPerBand else autoBits(embeddings.count())
+    val nBands = if (bands > 0) bands else autoBands(bits)
+    val planes = hyperplanes(nBands * bits, dim, seed)
     val prepped = embeddings
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .repartition(col("id")) // one exchange shared by banding + both verifies
     val banded = prepped.select(col("id"), explode(array(
-      (0 until bands).map { b =>
+      (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           bandSignature(col("v"),
-            (0 until bitsPerBand).map(j => planes(b * bitsPerBand + j))).as("sig"))
+            (0 until bits).map(j => planes(b * bits + j))).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     // bucket cap via groupBy().count() + semi-join (no per-bucket SORT; the

@@ -36,6 +36,28 @@ class CosineLSHSpec extends SparkSpec {
     assert(a.flatten.toSeq !== c.flatten.toSeq)
   }
 
+  test("autoBits keeps mean bucket occupancy ~4 and is stable at the gate scales") {
+    // gate scales: sf0.001/sf0.01 corpora (520/820 vectors) must stay at
+    // 8 bits so the driver-gate signatures are bit-identical to the fixed
+    // width the suite shipped with; larger corpora widen logarithmically.
+    assert(CosineLSH.autoBits(520) === 8)
+    assert(CosineLSH.autoBits(820) === 8)
+    assert(CosineLSH.autoBits(2020) === 9)   // sf0.1
+    assert(CosineLSH.autoBits(8020) === 11)  // sf1 — the scale where 8 bits lost pairs
+    assert(CosineLSH.autoBits(1L << 40) === 20) // clamped: sig stays band-packable
+    assert(CosineLSH.autoBits(0) === 8)
+    // occupancy bound: n / 2^bits <= 8 for every n up to the clamp knee
+    Seq(100L, 1000L, 10000L, 100000L, 1000000L).foreach { n =>
+      val bits = CosineLSH.autoBits(n)
+      assert(n.toDouble / (1L << bits) <= 8.0, s"n=$n bits=$bits")
+    }
+    // band count buys recall back as bands widen; 8-bit gate width -> the
+    // original 4 bands (signatures bit-identical to the shipped gate)
+    assert(CosineLSH.autoBands(8) === 4)
+    assert(CosineLSH.autoBands(11) === 8)
+    assert(CosineLSH.autoBands(20) === 12)
+  }
+
   test("no persisted state and a reused exchange (single signature computation)") {
     val out = CosineLSH.nearDuplicates(corpus, threshold = 0.99)
     out.collect()
