@@ -32,9 +32,11 @@ import org.apache.spark.sql.SparkSession
   * 3; set =skip to disable), and — when the scaled-up dataset exists — at a
   * 10x-LARGER scale (SPARK_GRAFT_SF_DIR_LARGE, default `testdata/sf1`
   * under the working directory, the output of `graft.ScaleUp`;
-  * SPARK_GRAFT_BENCH_RUNS_LARGE runs, default 2). The JSON then carries
-  * `queries_small`/`queries_large` and per-query `scaling` (primary/small)
-  * and `scaling_large` (large/primary) ratios — one ratio per decade. A
+  * SPARK_GRAFT_BENCH_RUNS_LARGE runs, default 3 — see the inline note).
+  * The JSON then carries `queries_small`/`queries_large` (each with its
+  * own min/max `spread_small`/`spread_large`) and per-query `scaling`
+  * (primary/small) and `scaling_large` (large/primary) ratios — one
+  * ratio per decade. A
   * query whose time grows FASTER than the 10x data — ratio above 12 (20%
   * shuffle/log slack) with a non-overhead-dominated numerator median —
   * lands in `scaling_flagged`. This converts the 100 TB plan-shape argument
@@ -65,7 +67,12 @@ object Bench {
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val runsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SMALL", "3").toInt.max(1)
-    val runsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_LARGE", "2").toInt.max(1)
+    // 3 runs minimum at the large scale: its first run pays whole-stage
+    // codegen JIT + allocator growth on 10x data (measured 116 s vs 33 s
+    // steady-state on q123), and a median of TWO runs is an average that
+    // keeps half of that warm-up — the r7 q123 "superlinear" flag was
+    // exactly this artifact.
+    val runsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_LARGE", "3").toInt.max(1)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
@@ -104,36 +111,42 @@ object Bench {
         den.get(k).filter(_ > 0).map(d => k -> (v / d))
       }.filter { case (k, r) => r > 12.0 && numMap.getOrElse(k, 0.0) > minNumerator }
     }
-    def jsonLine(raw: Seq[(String, Seq[Double])],
-                 small: Option[(String, Seq[(String, Double)])],
-                 large: Option[(String, Seq[(String, Double)])]): String = {
-      val results = medians(raw)
-      val qs = jsonMap(results.map { case (k, v) => k -> jsonNum(v) })
-      val spread = jsonMap(raw.map { case (k, ts) =>
+    def spreadJson(raw: Seq[(String, Seq[Double])]): String =
+      jsonMap(raw.map { case (k, ts) =>
         k -> s"[${jsonNum(ts.min)},${jsonNum(ts.max)}]"
       })
+    def jsonLine(raw: Seq[(String, Seq[Double])],
+                 small: Option[(String, Seq[(String, Seq[Double])])],
+                 large: Option[(String, Seq[(String, Seq[Double])])]): String = {
+      val results = medians(raw)
+      val qs = jsonMap(results.map { case (k, v) => k -> jsonNum(v) })
+      val spread = spreadJson(raw)
       val total = results.map(_._2).sum
       val resultsMap = results.toMap
-      val smallPart = small.map { case (smallDir, sm) =>
+      val smallPart = small.map { case (smallDir, smRaw) =>
+        val sm = medians(smRaw)
         val smMap = sm.toMap
         val ratios = results.flatMap { case (k, v) =>
           smMap.get(k).filter(_ > 0).map(s => k -> (v / s))
         }
         s""","sf_small":"$smallDir","runs_small":$runsSmall,""" +
           s""""queries_small":${jsonMap(sm.map { case (k, v) => k -> jsonNum(v) })},""" +
+          s""""spread_small":${spreadJson(smRaw)},""" +
           s""""scaling":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
       }.getOrElse("")
-      val largePart = large.map { case (largeDir, lg) =>
+      val largePart = large.map { case (largeDir, lgRaw) =>
+        val lg = medians(lgRaw)
         val ratios = lg.flatMap { case (k, v) =>
           resultsMap.get(k).filter(_ > 0).map(d => k -> (v / d))
         }
         s""","sf_large":"$largeDir","runs_large":$runsLarge,""" +
           s""""queries_large":${jsonMap(lg.map { case (k, v) => k -> jsonNum(v) })},""" +
+          s""""spread_large":${spreadJson(lgRaw)},""" +
           s""""scaling_large":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
       }.getOrElse("")
       val flagged =
-        small.map { case (_, sm) => flaggedOf(results, sm.toMap, 0.5) }.getOrElse(Nil) ++
-        large.map { case (_, lg) => flaggedOf(lg, resultsMap, 2.0) }.getOrElse(Nil)
+        small.map { case (_, sm) => flaggedOf(results, medians(sm).toMap, 0.5) }.getOrElse(Nil) ++
+        large.map { case (_, lg) => flaggedOf(medians(lg), resultsMap, 2.0) }.getOrElse(Nil)
       val flaggedPart =
         if (small.isEmpty && large.isEmpty) ""
         else s""","scaling_flagged":${flagged.map(f => jstr(f._1)).distinct.mkString("[", ",", "]")}"""
@@ -170,7 +183,7 @@ object Bench {
     val small =
       if (smallDir == "skip" || smallDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) None
-      else Some(smallDir -> medians(runSuite(smallDir, runsSmall, _ => ())))
+      else Some(smallDir -> runSuite(smallDir, runsSmall, _ => ()))
     writeFile(jsonLine(raw, small, None))
     // the scaled-up decade only runs when the primary IS sf0.1 (the driver's
     // per-round configuration) or the dir is set explicitly — a filtered
@@ -180,7 +193,7 @@ object Bench {
     val large =
       if (largeDir == "skip" || largeDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(largeDir))) None
-      else Some(largeDir -> medians(runSuite(largeDir, runsLarge, _ => ())))
+      else Some(largeDir -> runSuite(largeDir, runsLarge, _ => ()))
     val line = jsonLine(raw, small, large)
     writeFile(line)
     medians(raw).sortBy(-_._2).foreach { case (k, v) =>
