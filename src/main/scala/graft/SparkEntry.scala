@@ -1012,24 +1012,20 @@ object SparkEntry {
       // the frame (cents <= 1e4, 100-row frame — far inside long), so
       // both engines derive identical doubles and identical verdicts.
       // Only full frames judge (n = 100), keeping the gate warm-up-free.
-      // SCALE HONESTY: the window partitions by event_type, and the events
-      // table has ~5 distinct types — so parallelism is CARDINALITY-BOUNDED
-      // (each type's full history sorts in one task; no global sort, but
-      // also no more than |types| tasks). That is fine for a dashboard-
-      // cardinality dimension; for a high-volume 100 TB run, pre-partition
-      // by (event_type, coarse time range) and carry the trailing 99 rows
-      // of each range boundary forward so frames spanning a cut still see
-      // their full window — the standard frame-carryover split.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(-99, 0)
+      // SCALE: the naive form partitions the window by event_type (~5
+      // distinct values) — cardinality-bounded parallelism, each type's
+      // full history sorted in ONE task. This is the frame-carryover
+      // split instead (operators.RollingWindow): rows chunk by a
+      // data-derived time width, each chunk replays its trailing 99 rows
+      // into the next, the window runs per (type, chunk) — bit-identical
+      // moments (RollingWindowSpec proves it against the naive plan),
+      // task count grows with the data. The oracle keeps the naive SQL
+      // formulation, so the gate cross-checks the split every run.
       val ev = Tables.events(s, dir)
-        .select(col("event_type"), col("event_id"), col("ts"),
+        .select(col("event_type"), col("event_id"), col("ts"), col("ts_ns"),
           round(col("value") * 100).cast("long").as("cents"))
-      val stats = ev
-        .withColumn("n", count(lit(1)).over(w))
-        .withColumn("sm", sum(col("cents")).over(w))
-        .withColumn("sq", sum(col("cents") * col("cents")).over(w))
+      val stats = graft.operators.RollingWindow.trailingMoments(
+          ev, "event_type", "ts", "event_id", "ts_ns", "cents", 100)
         .filter(col("n") === 100)
         .withColumn("mean", col("sm").cast("double") / col("n").cast("double"))
         .withColumn("variance",
