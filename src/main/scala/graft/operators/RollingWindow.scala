@@ -78,7 +78,10 @@ object RollingWindow {
   def trailingMoments(events: DataFrame, partCol: String, tsCol: String,
                       idCol: String, tsNsCol: String, valueCol: String,
                       k: Int): DataFrame = {
-    val day = floor(col(tsNsCol) / lit(NanosPerDay)).cast("long")
+    // integer `div`, not floor(double /): ts_ns ~ 1.7e18 exceeds a double's
+    // exact-integer range, and the driver-side width validation below uses
+    // exact integer arithmetic — the two must agree on every boundary row
+    val day = expr(s"$tsNsCol div ${NanosPerDay}L")
     val dayCounts = events.groupBy(col(partCol).as("p"), day.as("d"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
@@ -92,7 +95,7 @@ object RollingWindow {
     // broadcast join back are both cheap at any scale.
     val rawChunk =
       if (w == 0L) lit(0L) // naive fallback: one chunk per part
-      else floor(col(tsNsCol) / lit(NanosPerDay * w)).cast("long")
+      else expr(s"$tsNsCol div ${NanosPerDay * w}L")
     val chunkIds = events.select(col(partCol), rawChunk.as("__rawc")).distinct()
     val wIdx = Window.partitionBy(col(partCol)).orderBy(col("__rawc"))
     val mapping = chunkIds
