@@ -1376,6 +1376,97 @@ object SparkEntry {
             .as("within_tolerance"))
         .orderBy(col("d"))
     }),
+    "q130_bloom_join" -> ((s, dir) => {
+      // runtime Bloom-filter join pruning: monthly revenue of lineitems
+      // belonging to 1995's URGENT orders. The dimension filter keeps ~3%
+      // of orders, so ~97% of lineitem rows cannot join — but a plain plan
+      // still shuffles ALL of them on l_orderkey. BloomJoin builds a ~KB
+      // bitset over the filtered orderkeys and probes it AT THE SCAN, so
+      // the exchange carries only true matches plus the sub-1%
+      // false-positive sliver; the join then removes the sliver —
+      // bit-identical to the plain join the oracle runs.
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT"
+          && year(col("o_orderdate")) === 1995)
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      graft.operators.BloomJoin
+        .prunedInnerJoin(li, "l_orderkey", urgent, "o_orderkey")
+        .groupBy(month(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")
+            * (lit(100L) - round(col("l_discount") * 100).cast("long")))
+            / lit(10000.0)).as("revenue"))
+        .orderBy(col("month"))
+    }),
+    "q131_sketch_quantiles" -> ((s, dir) => {
+      // trailing-7-day p50/p95 per day from STORED daily histogram
+      // sketches: the log-bucket histogram (eps = 1% guaranteed relative
+      // error, the DDSketch construction) is kept as plain
+      // (day, bucket, cnt) rows, so the trailing window is a day-grid
+      // merge over metadata-sized sketch rows — raw events are scanned
+      // ONCE, never per window (q129's sliding-sketch pattern, for
+      // quantiles instead of distincts).
+      import graft.operators.HistogramQuantile
+      val eps = 0.01
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("value"))
+      val daily = HistogramQuantile.sketch(ev, Seq("d"), col("value"), eps)
+      val dayGrid = daily.select(col("d")).distinct()
+      val merged = dayGrid.as("g").join(daily.as("s"),
+          col("s.d") >= date_sub(col("g.d"), 6) && col("s.d") <= col("g.d"))
+        .groupBy(col("g.d").as("d"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+      val est = HistogramQuantile.quantiles(merged, "d", eps, Seq(0.5, 0.95))
+      // GATE SIDE — DO NOT SHIP: replicates raw values 7x and sorts every
+      // window, purely to power the tolerance booleans below; the
+      // production path is the sketch side above.
+      val exact = dayGrid.as("g").join(ev.as("e"),
+          col("e.d") >= date_sub(col("g.d"), 6) && col("e.d") <= col("g.d"))
+        .groupBy(col("g.d").as("d"))
+        .agg(count(lit(1)).as("n_exact"),
+          array_sort(collect_list(col("value"))).as("xs"))
+        .select(col("d"), col("n_exact"),
+          element_at(col("xs"), ceil(lit(0.5) * col("n_exact")).cast("int"))
+            .as("exact_p50"),
+          element_at(col("xs"), ceil(lit(0.95) * col("n_exact")).cast("int"))
+            .as("exact_p95"))
+      est.join(exact, Seq("d"))
+        .select(col("d"), col("n_exact").as("n"),
+          col("exact_p50"), col("exact_p95"),
+          (abs(col("est_p50") / col("exact_p50") - 1.0) <= 3 * eps).as("p50_ok"),
+          (abs(col("est_p95") / col("exact_p95") - 1.0) <= 3 * eps).as("p95_ok"))
+        .orderBy(col("d"))
+    }),
+    "q132_kcore_peeling" -> ((s, dir) => {
+      // k-core peeling trace over the WEIGHTED part co-purchase graph
+      // (pairs sharing >= 2 orders — the weight cut keeps the graph sparse
+      // and gives the peel real multi-round dynamics; the unweighted graph
+      // collapses in one round). 5 fixed rounds of "drop vertices with
+      // induced degree < 3": each round is one degree agg + two
+      // semi-joins (q105's Pregel-as-joins discipline), and the per-round
+      // survivor counts are the term-for-term-oracleable output.
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
+          && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("a"), col("b"))
+      graft.operators.KCore.peelRounds(edges, k = 3, rounds = 5)
+    }),
+    "q133_prefix_filter_join" -> ((s, dir) =>
+      // EXACT Jaccard >= 4/5 similarity self-join via df-ordered prefix
+      // filtering (PPJoin) — the recall-GUARANTEED near-dup join: unlike
+      // the LSH family (q22/q23/q55) the candidate set provably contains
+      // every qualifying pair, so the oracle is the full brute-force
+      // all-pairs join and the compare is exact equality, not a recall
+      // gate. Sizes stay integers; no float decides membership.
+      graft.dedup.PrefixFilterJoin
+        .similarPairs(Tables.documents(s, dir), num = 4, den = 5, n = 3)
+        .orderBy(col("id1"), col("id2"))),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -3080,6 +3171,110 @@ object SparkEntry {
                 TRUE AS within_tolerance
          FROM days g JOIN pairs p ON p.d BETWEEN g.d - 6 AND g.d
          GROUP BY g.d ORDER BY g.d""",
+    "q130_bloom_join" ->
+      // the PLAIN join — the Bloom prune is row-volume-only (false
+      // positives die in the join), so results must be bit-identical
+      s"""SELECT CAST(month(o_orderdate) AS INT) AS month,
+                 COUNT(*) AS n_lines,
+                 SUM($centsPrice * (100 - $centsDisc)) / 10000.0 AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+          GROUP BY 1 ORDER BY month""",
+    "q131_sketch_quantiles" ->
+      // exact side re-derived with the same ceil-rank definition; the
+      // sketch estimates are engine-internal, pinned by the 3*eps
+      // TRUE-gates (eps = 1% log-bucket width)
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d, value FROM events),
+              days AS (SELECT DISTINCT d FROM ev),
+              w AS (SELECT g.d, e.value
+                    FROM days g JOIN ev e ON e.d BETWEEN g.d - 6 AND g.d),
+              agg AS (SELECT d, COUNT(*) AS n, list_sort(list(value)) AS xs
+                      FROM w GROUP BY 1)
+         SELECT d, n,
+                xs[CAST(ceil(0.5 * n) AS INT)] AS exact_p50,
+                xs[CAST(ceil(0.95 * n) AS INT)] AS exact_p95,
+                TRUE AS p50_ok, TRUE AS p95_ok
+         FROM agg ORDER BY d""",
+    "q132_kcore_peeling" ->
+      // the 5 peel rounds unrolled as chained CTEs (q105's unrolling
+      // pattern): same weighted edge build, same degree >= 3 keep rule
+      """WITH e0 AS MATERIALIZED (SELECT a, b FROM (
+                SELECT x.l_partkey AS a, y.l_partkey AS b, COUNT(*) AS w
+                FROM lineitem x JOIN lineitem y
+                  ON x.l_orderkey = y.l_orderkey
+                WHERE x.l_partkey < y.l_partkey GROUP BY 1, 2)
+              WHERE w >= 2),
+            k1 AS MATERIALIZED (SELECT v FROM (SELECT v, COUNT(*) AS deg FROM
+                     (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+                     GROUP BY 1) WHERE deg >= 3),
+            e1 AS MATERIALIZED (SELECT a, b FROM e0 WHERE a IN (SELECT v FROM k1)
+                                         AND b IN (SELECT v FROM k1)),
+            k2 AS MATERIALIZED (SELECT v FROM (SELECT v, COUNT(*) AS deg FROM
+                     (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+                     GROUP BY 1) WHERE deg >= 3),
+            e2 AS MATERIALIZED (SELECT a, b FROM e1 WHERE a IN (SELECT v FROM k2)
+                                         AND b IN (SELECT v FROM k2)),
+            k3 AS MATERIALIZED (SELECT v FROM (SELECT v, COUNT(*) AS deg FROM
+                     (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+                     GROUP BY 1) WHERE deg >= 3),
+            e3 AS MATERIALIZED (SELECT a, b FROM e2 WHERE a IN (SELECT v FROM k3)
+                                         AND b IN (SELECT v FROM k3)),
+            k4 AS MATERIALIZED (SELECT v FROM (SELECT v, COUNT(*) AS deg FROM
+                     (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+                     GROUP BY 1) WHERE deg >= 3),
+            e4 AS MATERIALIZED (SELECT a, b FROM e3 WHERE a IN (SELECT v FROM k4)
+                                         AND b IN (SELECT v FROM k4)),
+            k5 AS MATERIALIZED (SELECT v FROM (SELECT v, COUNT(*) AS deg FROM
+                     (SELECT a AS v FROM e4 UNION ALL SELECT b FROM e4)
+                     GROUP BY 1) WHERE deg >= 3),
+            e5 AS MATERIALIZED (SELECT a, b FROM e4 WHERE a IN (SELECT v FROM k5)
+                                         AND b IN (SELECT v FROM k5))
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS round,
+                  (SELECT COUNT(*) FROM k1) AS n_vertices,
+                  (SELECT COUNT(*) FROM e1) AS n_edges,
+                  (SELECT COUNT(*) FROM e1) = (SELECT COUNT(*) FROM e0)
+                    AS converged
+           UNION ALL
+           SELECT CAST(2 AS INT), (SELECT COUNT(*) FROM k2),
+                  (SELECT COUNT(*) FROM e2),
+                  (SELECT COUNT(*) FROM e2) = (SELECT COUNT(*) FROM e1)
+           UNION ALL
+           SELECT CAST(3 AS INT), (SELECT COUNT(*) FROM k3),
+                  (SELECT COUNT(*) FROM e3),
+                  (SELECT COUNT(*) FROM e3) = (SELECT COUNT(*) FROM e2)
+           UNION ALL
+           SELECT CAST(4 AS INT), (SELECT COUNT(*) FROM k4),
+                  (SELECT COUNT(*) FROM e4),
+                  (SELECT COUNT(*) FROM e4) = (SELECT COUNT(*) FROM e3)
+           UNION ALL
+           SELECT CAST(5 AS INT), (SELECT COUNT(*) FROM k5),
+                  (SELECT COUNT(*) FROM e5),
+                  (SELECT COUNT(*) FROM e5) = (SELECT COUNT(*) FROM e4))
+         ORDER BY round""",
+    "q133_prefix_filter_join" ->
+      // FULL brute-force all-pairs Jaccard — prefix filtering promises
+      // exact recall, so the whole O(n^2) space is the oracle (same
+      // gram builder as q26; grams-as-strings vs engine 64-bit hashes,
+      // identical set sizes absent collisions). Quadratic by design:
+      // affordable at the gate scale, the engine's prefix join replaces
+      // exactly this at 100 TB.
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+                    FROM documents),
+              g AS (SELECT doc_id,
+                           CASE WHEN len(t) >= 3
+                                THEN list_distinct([t[i:i+2] for i in range(1, len(t) - 1)])
+                                ELSE [t] END AS grams
+                    FROM n)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+                  AS inter_size,
+                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+                  AS union_size
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.grams, b.grams)) * 5
+               >= len(list_distinct(list_concat(a.grams, b.grams))) * 4
+         ORDER BY id1, id2""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

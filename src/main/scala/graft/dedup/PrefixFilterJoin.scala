@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT similarity self-join via df-ordered prefix filtering — the
+  * recall-guaranteed complement to the LSH family. MinHash/SimHash/cosine
+  * LSH trade recall for cost (a true pair can land in no shared bucket);
+  * prefix filtering enumerates a candidate superset that PROVABLY contains
+  * every pair with Jaccard >= t, then verifies exactly — the SSJoin/PPJoin
+  * construction (Chaudhuri et al., ICDE 2006; Xiao et al., WWW 2008).
+  *
+  * The filtering principle: order every document's token set by one global
+  * total order and take each set's first ℓ − ⌈t·ℓ⌉ + 1 tokens as its
+  * prefix. If J(A,B) >= t then |A∩B| >= ⌈t·max(ℓa,ℓb)⌉, and two sets with
+  * an intersection that large MUST share at least one token inside these
+  * prefixes — so joining on prefix tokens misses nothing. The global order
+  * is ascending document frequency (rarest first): prefixes then hold each
+  * document's RAREST tokens, and the candidate join's per-token fan-out is
+  * bounded by the df of rare tokens instead of the df of "the ". A size
+  * filter (5·min(ℓa,ℓb) >= 4·max — a necessary condition for J >= 4/5)
+  * prunes candidates before the verify.
+  *
+  * Threshold arithmetic is exact-rational throughout (t = num/den over
+  * longs): ⌈t·ℓ⌉ is (num·ℓ + den − 1) div den, and the final gate is
+  * den·|A∩B| >= num·|A∪B| — no float ever decides membership, so the
+  * result is bit-stable and oracle-matchable.
+  *
+  * Shuffle shape at 100 TB: tokenize (narrow) → one gram-keyed exchange for
+  * df → one doc-keyed exchange to assemble df-sorted gram arrays → prefix
+  * explode (prefix rows only, ~(1−t)·ℓ per doc) → one gram-keyed candidate
+  * join → semi-join-pruned verify over candidate docs only. No all-pairs
+  * stage anywhere; every join is an equi-join.
+  */
+object PrefixFilterJoin {
+
+  /** ⌈(num·ℓ)/den⌉ in exact long arithmetic. */
+  private def ceilMul(l: org.apache.spark.sql.Column, num: Long, den: Long) =
+    floor((l.cast("long") * num + (den - 1)) / den).cast("long")
+
+  /** All pairs (id1 < id2) with char-n-gram Jaccard >= num/den, exactly.
+    * Output: id1, id2, inter_size, union_size (longs; the caller gets the
+    * similarity as inter/union — kept as exact integers so the result is
+    * engine-independent).
+    */
+  def similarPairs(documents: DataFrame, num: Long, den: Long, n: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"threshold must be a rational in (0,1]: $num/$den")
+    // distinct gram-hash set per doc; normalization staged as its own
+    // projection (never inlined into transform lambdas — see NgramJaccard)
+    val grams = documents
+      .select(col(idCol).as("id"), NgramJaccard.normalized(col(textCol)).as("t"))
+      .select(col("id"), NgramJaccard.charNgramHashes(col("t"), n).as("grams"))
+    val tokens = grams.select(col("id"), explode(col("grams")).as("g"))
+    val df = tokens.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // assemble each doc's grams sorted by the global (df asc, gram) order;
+    // struct sort is lexicographic by field position
+    val sorted = tokens.join(df, "g")
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("sorted"))
+      .select(col("id"), col("sorted"), size(col("sorted")).cast("long").as("len"))
+    // prefix length ℓ − ⌈t·ℓ⌉ + 1; explode only the prefix rows
+    val prefix = sorted
+      .select(col("id"), col("len"),
+        explode(slice(col("sorted"), lit(1),
+          (col("len") - ceilMul(col("len"), num, den) + 1).cast("int")))
+          .as("p"))
+      .select(col("id"), col("len"), col("p.g").as("g"))
+    // candidates: shared prefix token + the size-ratio necessary condition
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.g") === col("y.g") && col("x.id") < col("y.id")
+          && least(col("x.len"), col("y.len")) * den
+             >= greatest(col("x.len"), col("y.len")) * num)
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    // exact verify over candidate docs only (semi-join-pruned gram fetch)
+    val g1 = grams.select(col("id").as("id1"), col("grams").as("gr1"))
+    val g2 = grams.select(col("id").as("id2"), col("grams").as("gr2"))
+    cands.join(g1, "id1").join(g2, "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("gr1"), col("gr2"))).cast("long").as("inter_size"),
+        size(array_union(col("gr1"), col("gr2"))).cast("long").as("union_size"))
+      .filter(col("inter_size") * den >= col("union_size") * num)
+  }
+}
