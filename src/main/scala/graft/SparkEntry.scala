@@ -1459,13 +1459,17 @@ object SparkEntry {
     }),
     "q133_prefix_filter_join" -> ((s, dir) =>
       // EXACT Jaccard >= 4/5 similarity self-join via df-ordered prefix
-      // filtering (PPJoin) — the recall-GUARANTEED near-dup join: unlike
-      // the LSH family (q22/q23/q55) the candidate set provably contains
-      // every qualifying pair, so the oracle is the full brute-force
-      // all-pairs join and the compare is exact equality, not a recall
-      // gate. Sizes stay integers; no float decides membership.
+      // filtering (PPJoin) over word-5-gram shingles — the
+      // recall-GUARANTEED near-dup join: unlike the LSH family
+      // (q22/q23/q55) the candidate set provably contains every
+      // qualifying pair, so the oracle is the full brute-force all-pairs
+      // join and the compare is exact equality, not a recall gate. Sizes
+      // stay integers; no float decides membership. (Word shingles, not
+      // char n-grams: prefix filtering needs token cardinality — see the
+      // operator's scaladoc for the measured 4-orders-of-magnitude gap.)
       graft.dedup.PrefixFilterJoin
-        .similarPairs(Tables.documents(s, dir), num = 4, den = 5, n = 3)
+        .similarPairs(Tables.documents(s, dir), num = 4, den = 5,
+          shingleWords = 5)
         .orderBy(col("id1"), col("id2"))),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
@@ -3255,23 +3259,24 @@ object SparkEntry {
     "q133_prefix_filter_join" ->
       // FULL brute-force all-pairs Jaccard — prefix filtering promises
       // exact recall, so the whole O(n^2) space is the oracle (same
-      // gram builder as q26; grams-as-strings vs engine 64-bit hashes,
-      // identical set sizes absent collisions). Quadratic by design:
-      // affordable at the gate scale, the engine's prefix join replaces
-      // exactly this at 100 TB.
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
-                    FROM documents),
-              g AS (SELECT doc_id,
-                           CASE WHEN len(t) >= 3
-                                THEN list_distinct([t[i:i+2] for i in range(1, len(t) - 1)])
-                                ELSE [t] END AS grams
-                    FROM n)
+      // word-5-gram shingle builder as q22's, shingles-as-strings vs
+      // engine 64-bit hashes — identical set sizes absent collisions).
+      // Quadratic by design: affordable at the gate scale, the engine's
+      // prefix join replaces exactly this at 100 TB.
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 5
+                            THEN list_distinct([array_to_string(tk[i:i+4], ' ')
+                                                for i in range(1, len(tk) - 3)])
+                            ELSE [array_to_string(tk, ' ')] END AS grams
+                     FROM toks)
          SELECT a.doc_id AS id1, b.doc_id AS id2,
                 CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
                   AS inter_size,
                 CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
                   AS union_size
-         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          WHERE len(list_intersect(a.grams, b.grams)) * 5
                >= len(list_distinct(list_concat(a.grams, b.grams))) * 4
          ORDER BY id1, id2""",

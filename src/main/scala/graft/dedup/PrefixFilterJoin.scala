@@ -17,46 +17,58 @@ import org.apache.spark.sql.functions._
   * prefixes — so joining on prefix tokens misses nothing. The global order
   * is ascending document frequency (rarest first): prefixes then hold each
   * document's RAREST tokens, and the candidate join's per-token fan-out is
-  * bounded by the df of rare tokens instead of the df of "the ". A size
-  * filter (5·min(ℓa,ℓb) >= 4·max — a necessary condition for J >= 4/5)
-  * prunes candidates before the verify.
+  * bounded by the df of rare tokens. A size filter (den·min(ℓa,ℓb) >=
+  * num·max — a necessary condition for J >= num/den) prunes candidates
+  * before the verify.
+  *
+  * Tokens are WORD w-gram shingles (the [[MinHashLSH]] kernel), not char
+  * n-grams — prefix filtering lives or dies on token cardinality. Measured
+  * on the 5k-doc corpus: char 3-grams give ~380 distinct grams, so every
+  * "rare" prefix token still hits ~1000 docs and the candidate join
+  * explodes to ~5·10⁷ slots; word 5-grams give ~240k distinct shingles
+  * and ~2.4·10³ candidate slots — four orders of magnitude, same corpus.
   *
   * Threshold arithmetic is exact-rational throughout (t = num/den over
-  * longs): ⌈t·ℓ⌉ is (num·ℓ + den − 1) div den, and the final gate is
-  * den·|A∩B| >= num·|A∪B| — no float ever decides membership, so the
-  * result is bit-stable and oracle-matchable.
+  * longs): ⌈t·ℓ⌉ is ⌈(num·ℓ)/den⌉ in integer arithmetic, and the final
+  * gate is den·|A∩B| >= num·|A∪B| — no float ever decides membership, so
+  * the result is bit-stable and oracle-matchable.
   *
-  * Shuffle shape at 100 TB: tokenize (narrow) → one gram-keyed exchange for
-  * df → one doc-keyed exchange to assemble df-sorted gram arrays → prefix
-  * explode (prefix rows only, ~(1−t)·ℓ per doc) → one gram-keyed candidate
-  * join → semi-join-pruned verify over candidate docs only. No all-pairs
-  * stage anywhere; every join is an equi-join.
+  * Shuffle shape at 100 TB: shingle (narrow codegen kernel) → one
+  * shingle-keyed exchange for df → one doc-keyed exchange to assemble
+  * df-sorted shingle arrays → prefix explode (~(1−t)·ℓ rows per doc) →
+  * one shingle-keyed candidate join → semi-join-pruned verify over
+  * candidate docs only. No all-pairs stage anywhere; every join is an
+  * equi-join.
   */
 object PrefixFilterJoin {
 
-  /** ⌈(num·ℓ)/den⌉ in exact long arithmetic. */
-  private def ceilMul(l: org.apache.spark.sql.Column, num: Long, den: Long) =
-    floor((l.cast("long") * num + (den - 1)) / den).cast("long")
-
-  /** All pairs (id1 < id2) with char-n-gram Jaccard >= num/den, exactly.
-    * Output: id1, id2, inter_size, union_size (longs; the caller gets the
-    * similarity as inter/union — kept as exact integers so the result is
-    * engine-independent).
+  /** ⌈(num·ℓ)/den⌉ — exact for ℓ·num far below 2^53 (the double division
+    * below is exact up to there; set sizes are bounded by document token
+    * counts, orders of magnitude under the limit).
     */
-  def similarPairs(documents: DataFrame, num: Long, den: Long, n: Int = 3,
-                   textCol: String = "text",
+  private def ceilMul(l: org.apache.spark.sql.Column, num: Long, den: Long) =
+    ceil((l.cast("long") * num).cast("double") / den).cast("long")
+
+  /** All pairs (id1 < id2) with word-`shingleWords`-gram Jaccard
+    * >= num/den, exactly. Output: id1, id2, inter_size, union_size
+    * (longs; the similarity is inter/union — kept as exact integers so
+    * the result is engine-independent).
+    */
+  def similarPairs(documents: DataFrame, num: Long, den: Long,
+                   shingleWords: Int = 5, textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold must be a rational in (0,1]: $num/$den")
-    // distinct gram-hash set per doc; normalization staged as its own
-    // projection (never inlined into transform lambdas — see NgramJaccard)
+    // distinct 64-bit shingle-hash set per doc (same tokenization and
+    // short-doc whole-text fallback as MinHashLSH.signatures / q22)
     val grams = documents
-      .select(col(idCol).as("id"), NgramJaccard.normalized(col(textCol)).as("t"))
-      .select(col("id"), NgramJaccard.charNgramHashes(col("t"), n).as("grams"))
+      .select(col(idCol).as("id"), split(trim(col(textCol)), " +").as("toks"))
+      .select(col("id"),
+        MinHashExprs.shingleHashes(col("toks"), shingleWords).as("grams"))
     val tokens = grams.select(col("id"), explode(col("grams")).as("g"))
     val df = tokens.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    // assemble each doc's grams sorted by the global (df asc, gram) order;
-    // struct sort is lexicographic by field position
+    // assemble each doc's shingles sorted by the global (df asc, hash)
+    // order; struct sort is lexicographic by field position
     val sorted = tokens.join(df, "g")
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("sorted"))

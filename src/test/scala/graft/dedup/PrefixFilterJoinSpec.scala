@@ -10,14 +10,17 @@ import org.apache.spark.sql.functions._
 class PrefixFilterJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Brute-force char-3-gram Jaccard pairs at >= num/den, in plain Scala. */
-  private def bruteForce(docs: Seq[(Long, String)], num: Long, den: Long)
-      : Set[(Long, Long, Long, Long)] = {
-    def grams(t: String): Set[String] = {
-      val n = t.trim.toLowerCase.replaceAll("\\s+", " ")
-      if (n.length >= 3) n.sliding(3).toSet else Set(n)
+  /** Brute-force word-w-gram Jaccard pairs at >= num/den, in plain Scala
+    * (same tokenization + short-doc fallback as the engine kernel).
+    */
+  private def bruteForce(docs: Seq[(Long, String)], num: Long, den: Long,
+                         w: Int): Set[(Long, Long, Long, Long)] = {
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split(" +").toSeq
+      if (ws.length >= w) ws.sliding(w).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
     }
-    val g = docs.map { case (id, t) => id -> grams(t) }.toMap
+    val g = docs.map { case (id, t) => id -> shingles(t) }.toMap
     (for {
       (a, sa) <- g; (b, sb) <- g if a < b
       inter = (sa & sb).size.toLong
@@ -26,9 +29,10 @@ class PrefixFilterJoinSpec extends SparkSpec {
     } yield (a, b, inter, uni)).toSet
   }
 
-  private def engine(docs: Seq[(Long, String)], num: Long, den: Long)
-      : Set[(Long, Long, Long, Long)] =
-    PrefixFilterJoin.similarPairs(docs.toDF("doc_id", "text"), num, den)
+  private def engine(docs: Seq[(Long, String)], num: Long, den: Long,
+                     w: Int = 5): Set[(Long, Long, Long, Long)] =
+    PrefixFilterJoin.similarPairs(docs.toDF("doc_id", "text"), num, den,
+        shingleWords = w)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
 
@@ -37,41 +41,40 @@ class PrefixFilterJoinSpec extends SparkSpec {
     val docs = Seq(
       1L -> base,
       2L -> base,                                  // exact copy
-      3L -> (base + " again"),                     // near copy
+      3L -> (base + " again and again today"),     // near copy
       4L -> base.replace("quick", "slow"),         // small edit
-      5L -> "completely different text about distributed query engines",
-      6L -> "completely different text about distributed query planners",
+      5L -> "completely different text about distributed query engines and planners",
+      6L -> "completely different text about distributed query planners and engines",
       7L -> "unrelated short doc",
-      8L -> ("the quick brown fox " * 4),          // repetitive
-      9L -> (base.substring(0, 30)),               // truncation
-      10L -> "another singleton document with its own words entirely")
-    val expected = bruteForce(docs, 4, 5)
+      8L -> ((base + " ") * 3).trim,               // repetitive expansion
+      9L -> base.split(" ").take(8).mkString(" "), // truncation
+      10L -> "another singleton document with its own words entirely distinct")
+    val expected = bruteForce(docs, 3, 5, 5)
     assert(expected.nonEmpty, "fixture must contain true pairs")
-    assert(engine(docs, 4, 5) == expected)
+    assert(engine(docs, 3, 5) == expected)
+    // and at the production threshold too
+    assert(engine(docs, 4, 5) == bruteForce(docs, 4, 5, 5))
   }
 
   test("threshold boundary is inclusive (>= num/den, exact rational)") {
-    // two docs engineered to share exactly 4 of 5 union grams is hard by
-    // hand with char-3-grams; instead check both thresholds bracket the
-    // measured similarity of a known pair
-    val docs = Seq(1L -> "abcdefgh", 2L -> "abcdefgX")
-    // grams(1): abc bcd cde def efg fgh (6); grams(2): abc..efg + fgX (6)
-    // inter = 5, union = 7 -> J = 5/7
-    assert(engine(docs, 5, 7) == Set((1L, 2L, 5L, 7L)))  // >= 5/7: kept
-    assert(engine(docs, 3, 4) == Set.empty)              // >= 3/4: dropped
+    // "a b c d e f" -> shingles {a b c d e, b c d e f}
+    // "a b c d e g" -> shingles {a b c d e, b c d e g}
+    // inter = 1, union = 3 -> J = 1/3 exactly
+    val docs = Seq(1L -> "a b c d e f", 2L -> "a b c d e g")
+    assert(engine(docs, 1, 3) == Set((1L, 2L, 1L, 3L)))  // >= 1/3: kept
+    assert(engine(docs, 1, 2) == Set.empty)              // >= 1/2: dropped
   }
 
-  test("short texts (below gram width) fall back to whole-string grams") {
-    val docs = Seq(1L -> "ab", 2L -> "ab", 3L -> "cd")
-    // "ab" normalizes to a single gram; identical docs J=1
+  test("short texts (below shingle width) fall back to whole-text shingles") {
+    val docs = Seq(1L -> "tiny doc", 2L -> "tiny doc", 3L -> "other doc")
     assert(engine(docs, 4, 5) == Set((1L, 2L, 1L, 1L)))
   }
 
   test("no self-pairs and no reversed duplicates") {
-    val docs = Seq(1L -> "same text here", 2L -> "same text here",
-      3L -> "same text here")
-    val pairs = engine(docs, 4, 5)
-    assert(pairs == Set((1L, 2L, 12L, 12L), (1L, 3L, 12L, 12L),
-      (2L, 3L, 12L, 12L)))
+    val t = "five whole words right here exactly once"
+    val docs = Seq(1L -> t, 2L -> t, 3L -> t)
+    // 7 words -> 3 shingles; identical docs share all 3
+    assert(engine(docs, 4, 5) == Set((1L, 2L, 3L, 3L), (1L, 3L, 3L, 3L),
+      (2L, 3L, 3L, 3L)))
   }
 }
