@@ -40,7 +40,9 @@ object ExplainDump {
     "q116_component_histogram" -> "component histogram: aggregates over the k-sized (checkpointed) component table, no window",
     "q127_incremental_rollup" -> "incremental rollup: base ∪ delta merge with partial aggs (PlanSpec proves partition-level pruning on a date-partitioned store)",
     "q128_attribution" -> "attribution: as-of merge-scan window + keys-only anti-join, every join equi",
-    "q129_sliding_distinct" -> "sliding distinct: one sketch pass, k-sized day-grid merge, events never revisited")
+    "q129_sliding_distinct" -> "sliding distinct: one sketch pass, k-sized day-grid merge, events never revisited",
+    "q130_bloom_join" -> "runtime Bloom-filter join: codegen'd bitset probe planted below the join — the probe-side exchange carries pruned rows only",
+    "q133_prefix_filter_join" -> "prefix-filter similarity join: df-sorted prefix explode → ONE shingle-keyed candidate equi-join → semi-join-pruned exact verify, no all-pairs stage")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
@@ -55,10 +57,24 @@ object ExplainDump {
     val q = graft.similarity.ProductQuantization.normalized(
         emb.filter(col("vec_id") === 0), "embedding", "nvec")
       .select(col("nvec")).collect()(0).getSeq[Double](0).toArray
+    val eps = 0.01
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.to_date(col("ts")).as("d"),
+        col("value"))
+    val daily = graft.operators.HistogramQuantile.sketch(ev, Seq("d"), col("value"), eps)
+    val grid = daily.select(col("d")).distinct()
+    val merged = grid.as("g").join(daily.as("s"),
+        col("s.d") >= org.apache.spark.sql.functions.date_sub(col("g.d"), 6)
+          && col("s.d") <= col("g.d"))
+      .groupBy(col("g.d").as("d"), col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
     Seq((
       "q95_pq_ann (production ADC search path)",
       "PQ ANN: codes-only scan with LUT literals — zero joins/windows before the bounded top-k aggregate (q95's oracle side adds a brute-force recall gate; this is the half a user ships)",
-      graft.similarity.ProductQuantization.search(codes, Seq((0L, q)), cb, k = 5)))
+      graft.similarity.ProductQuantization.search(codes, Seq((0L, q)), cb, k = 5)), (
+      "q131_sketch_quantiles (production sketch path)",
+      "histogram quantiles: ONE raw-data pass builds (day, bucket, cnt) sketch rows; the trailing window and the quantile extraction run over metadata-sized sketch rows only (q131's oracle side adds a 7x-replicating exact gate; this is the half a user ships)",
+      graft.operators.HistogramQuantile.quantiles(merged, "d", eps, Seq(0.5, 0.95))))
   }
 
   def main(args: Array[String]): Unit = {
