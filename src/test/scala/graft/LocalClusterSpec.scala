@@ -28,7 +28,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    codegen'd probe expression compiled on executors;
   *  - q22: MinHash LSH — custom codegen Expressions + the ReusedExchange
   *    signature subtree shipped as shuffle blocks between processes;
-  *  - q92: weighted stratified sample — A-ES keyed typed aggregator.
+  *  - q92: weighted stratified sample — A-ES keyed typed aggregator;
+  *  - q130: runtime Bloom join — the collected bitset re-enters the plan
+  *    as a BinaryType literal that must ship inside task binaries to the
+  *    executor JVMs, where the codegen'd probe reads it;
+  *  - q133: prefix-filter join — shingle-kernel codegen + struct-array
+  *    sort buffers crossing the candidate-join shuffle.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -39,7 +44,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q45_hll_distinct",
     "q90_bloom_incremental_dedup",
     "q22_minhash_neardups",
-    "q92_weighted_sample")
+    "q92_weighted_sample",
+    "q130_bloom_join",
+    "q133_prefix_filter_join")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
