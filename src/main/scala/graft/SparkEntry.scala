@@ -1471,6 +1471,53 @@ object SparkEntry {
         .similarPairs(Tables.documents(s, dir), num = 4, den = 5,
           shingleWords = 5)
         .orderBy(col("id1"), col("id2"))),
+    "q134_unigram_perplexity" -> ((s, dir) =>
+      // CCNet-style statistical quality scoring: every document's
+      // cross-entropy under the corpus's own unigram LM — the classic
+      // perplexity filter of LLM data pipelines. Cross-engine determinism:
+      // per-token-type surprisal is rounded to 9dp ONCE and summed as
+      // tf-weighted exact DECIMALs (order-independent), so the only float
+      // step is the final division of already-equal operands (see
+      // operators.UnigramLM scaladoc for the scale shape: tf-row join,
+      // vocab never broadcast, no data-sized windows).
+      graft.operators.UnigramLM
+        .crossEntropy(Parallelize.ensure(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+    "q135_zorder_layout" -> ((s, dir) => {
+      // Z-order (Morton) layout clustering: events written as 16
+      // disjoint-z-range files on (user_id, minute-since-corpus-start) vs
+      // a hash-scattered control layout of the same rows. A 2-D box
+      // predicate (low-eighth user band x 2-day span, bounds derived from
+      // a broadcast 1-row aggregate) then finds all its rows in a few
+      // z-files but is sprayed across the control files — the min/max
+      // file-skipping story that makes multi-dim point/range lookups
+      // feasible at 100 TB. The aggregates are layout-invariant (oracle
+      // computes them from the source table); the layout evidence is the
+      // TRUE-gated file-locality booleans, deterministic per dataset.
+      val (zDir, pDir, nFiles) = stagedZOrderEvents(s, dir)
+      def boxAgg(path: String, tag: String): DataFrame = {
+        val df = s.read.parquet(path)
+        val b = df.agg(max(col("user_id")).as("mu"), min(col("ts")).as("t0"))
+        // input_file_name() is nondeterministic to Catalyst: project it to
+        // a plain column BEFORE the aggregate or the agg is rejected
+        df.withColumn("fname", input_file_name())
+          .crossJoin(broadcast(b))
+          .filter(col("user_id") * 8 <= col("mu")
+            && col("ts") >= col("t0") + expr("INTERVAL 2 DAYS")
+            && col("ts") < col("t0") + expr("INTERVAL 4 DAYS"))
+          .agg(count(lit(1)).as(s"n_rows_$tag"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as(s"sum_$tag"),
+            countDistinct(col("fname")).as(s"nf_$tag"))
+      }
+      boxAgg(zDir, "z").crossJoin(boxAgg(pDir, "p"))
+        .select(col("n_rows_z").as("n_rows"), col("sum_z").as("sum_value"),
+          // decimal-exact sums of the same rows: bit-equal across layouts
+          (col("n_rows_z") === col("n_rows_p")
+            && col("sum_z") === col("sum_p")).as("layouts_agree"),
+          (col("nf_z") * 4 <= lit(nFiles)).as("z_clustered"),
+          (col("nf_z") <= col("nf_p")).as("z_no_worse"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -2125,6 +2172,39 @@ object SparkEntry {
         .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
     }
     out.toString
+  }
+
+  /** Stage the events table twice for q135: once Z-ORDER clustered on
+    * (user_id, minute-since-corpus-start) — both dims fit the operator's
+    * 16-bit lanes up to sf1 (user_id <= 15k, a 30-day span is 43k minutes;
+    * wider domains are the caller's quantization job) — and once
+    * hash-scattered on event_id as the control layout. Same 16-file count
+    * on both sides so the locality comparison isolates ORDER, not file
+    * granularity. Staged once per (dir, /tmp) like the other fixtures.
+    */
+  private def stagedZOrderEvents(s: SparkSession, dir: String): (String, String, Int) = {
+    val nFiles = 16
+    val key = FixtureKey(dir)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val zOut = java.nio.file.Paths.get(tmp, s"graft_zorder_events_$key")
+    val pOut = java.nio.file.Paths.get(tmp, s"graft_hashlay_events_$key")
+    if (!java.nio.file.Files.exists(zOut.resolve("_SUCCESS"))
+        || !java.nio.file.Files.exists(pOut.resolve("_SUCCESS"))) {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val t0 = ev.agg(min(col("ts")).as("t0"))
+      val withMinute = ev.crossJoin(broadcast(t0))
+        .withColumn("minute",
+          floor((col("ts").cast("long") - col("t0").cast("long")) / 60))
+        .drop("t0")
+      graft.operators.ZOrder
+        .cluster(withMinute, col("user_id"), col("minute"), nFiles)
+        .drop("minute", "zval")
+        .write.mode("overwrite").parquet(zOut.toString)
+      ev.repartition(nFiles, col("event_id"))
+        .write.mode("overwrite").parquet(pOut.toString)
+    }
+    (zOut.toString, pOut.toString, nFiles)
   }
 
   /** Stage the documents table as JSONL (the training-corpus wire format) at
@@ -3280,6 +3360,44 @@ object SparkEntry {
          WHERE len(list_intersect(a.grams, b.grams)) * 5
                >= len(list_distinct(list_concat(a.grams, b.grams))) * 4
          ORDER BY id1, id2""",
+    "q134_unigram_perplexity" ->
+      // same tokenization as q49, same round-9 DECIMAL surprisal carried
+      // exactly through the tf-weighted sum (order-independent on both
+      // engines); ln parity per the q82 precedent
+      """WITH tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM (SELECT doc_id,
+                             unnest(string_split_regex(trim(text), ' +'))
+                               AS token
+                           FROM documents)
+                     WHERE length(token) > 0 GROUP BY 1, 2),
+              vocab AS (SELECT token, SUM(tf) AS c FROM tf GROUP BY 1),
+              tot AS (SELECT SUM(c) AS n_total FROM vocab),
+              terms AS (SELECT doc_id, tf,
+                          CAST(tf AS DECIMAL(9,0)) *
+                          CAST(round(-ln(CAST(c AS DOUBLE) / n_total), 9)
+                               AS DECIMAL(19,9)) AS term
+                        FROM tf JOIN vocab USING (token), tot)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                round(CAST(SUM(term) AS DOUBLE)
+                      / CAST(SUM(tf) AS DOUBLE), 6) AS cross_entropy
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "q135_zorder_layout" ->
+      // layout-invariant aggregates straight from the source table (same
+      // derived box bounds, same decimal-exact value sum); the file-
+      // locality booleans are layout-internal and TRUE-gated — the z
+      // layout's disjoint z-ranges put the box in <= 4 of 16 files at
+      // every tested scale, the hash control never beats it
+      """WITH b AS (SELECT MAX(user_id) AS mu, MIN(ts) AS t0 FROM events),
+              box AS (SELECT e.value FROM events e, b
+                      WHERE e.user_id * 8 <= b.mu
+                        AND e.ts >= b.t0 + INTERVAL 2 DAY
+                        AND e.ts < b.t0 + INTERVAL 4 DAY)
+         SELECT COUNT(*) AS n_rows,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_value,
+                TRUE AS layouts_agree, TRUE AS z_clustered,
+                TRUE AS z_no_worse
+         FROM box""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,
