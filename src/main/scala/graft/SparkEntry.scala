@@ -1479,7 +1479,7 @@ object SparkEntry {
       // tf-weighted exact DECIMALs (order-independent), so the only float
       // step is the final division of already-equal operands (see
       // operators.UnigramLM scaladoc for the scale shape: tf-row join,
-      // vocab never broadcast, no data-sized windows).
+      // vocab join unhinted so AQE sizes it, no data-sized windows).
       graft.operators.UnigramLM
         .crossEntropy(Parallelize.ensure(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),

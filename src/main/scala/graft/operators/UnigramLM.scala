@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * vocab aggregation, one token-keyed equi-join (tf rows, not raw token
   * occurrences — bounded by distinct doc×token, with AQE handling the
   * stop-word skew), one doc-keyed aggregation. No window over data-sized
-  * partitions, nothing collected; vocab is joined, never broadcast, because
-  * a 100 TB corpus's vocabulary does not fit a broadcast.
+  * partitions, nothing collected; the vocab join carries NO broadcast hint,
+  * so size-based planning broadcasts it only while the measured vocab fits
+  * and falls back to the token-keyed shuffle join when a 100 TB corpus's
+  * vocabulary doesn't (PlanSpec pins the unhinted form).
   */
 object UnigramLM {
 

@@ -42,7 +42,8 @@ object ExplainDump {
     "q128_attribution" -> "attribution: as-of merge-scan window + keys-only anti-join, every join equi",
     "q129_sliding_distinct" -> "sliding distinct: one sketch pass, k-sized day-grid merge, events never revisited",
     "q130_bloom_join" -> "runtime Bloom-filter join: codegen'd bitset probe planted below the join — the probe-side exchange carries pruned rows only",
-    "q133_prefix_filter_join" -> "prefix-filter similarity join: df-sorted prefix explode → ONE shingle-keyed candidate equi-join → semi-join-pruned exact verify, no all-pairs stage")
+    "q133_prefix_filter_join" -> "prefix-filter similarity join: df-sorted prefix explode → ONE shingle-keyed candidate equi-join → semi-join-pruned exact verify, no all-pairs stage",
+    "q134_unigram_perplexity" -> "unigram perplexity: tf-row token-keyed join, UNHINTED so AQE broadcasts only while the vocab fits (it does here) and shuffles at 100 TB; exact DECIMAL term sums in partial aggs, no window")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
@@ -74,7 +75,15 @@ object ExplainDump {
       graft.similarity.ProductQuantization.search(codes, Seq((0L, q)), cb, k = 5)), (
       "q131_sketch_quantiles (production sketch path)",
       "histogram quantiles: ONE raw-data pass builds (day, bucket, cnt) sketch rows; the trailing window and the quantile extraction run over metadata-sized sketch rows only (q131's oracle side adds a 7x-replicating exact gate; this is the half a user ships)",
-      graft.operators.HistogramQuantile.quantiles(merged, "d", eps, Seq(0.5, 0.95))))
+      graft.operators.HistogramQuantile.quantiles(merged, "d", eps, Seq(0.5, 0.95))), (
+      "q135_zorder_layout (production cluster path)",
+      "z-order clustering: codegen'd Morton interleave + ONE range exchange + in-partition (non-global) sort — the whole cost of the layout write; q135's gate query adds the hash control layout and the box probes, which exist only to be checked",
+      graft.operators.ZOrder.cluster(
+        graft.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .withColumn("minute", org.apache.spark.sql.functions
+            .floor(col("ts").cast("long") / 60)),
+        col("user_id"), col("minute"), numFiles = 16)))
   }
 
   def main(args: Array[String]): Unit = {

@@ -513,4 +513,50 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"q128 plans a non-equi join:\n$plan")
   }
+
+  test("q134 perplexity: vocab join is UNHINTED equi (AQE decides), no window appears") {
+    // a 100 TB corpus's vocabulary cannot ride a broadcast, so the vocab
+    // join must NOT carry a broadcast hint — size-based planning then
+    // broadcasts only while the measured vocab fits (it does at test
+    // scale) and falls back to a token-keyed shuffle join beyond. The
+    // only EXPLICIT broadcast is the 1-row corpus total.
+    val df = graft.SparkEntry.queries("q134_unigram_perplexity")(spark, sf("sf0.001"))
+    val logical = df.queryExecution.analyzed.toString
+    val hinted = logical.linesIterator.filter(_.contains("ResolvedHint")).toSeq
+    assert(hinted.size == 1 && !hinted.head.contains("token"),
+      s"q134 should hint ONLY the 1-row total, found:\n${hinted.mkString("\n")}")
+    df.collect()
+    val plan = planOf(df)
+    // the vocab join must be keyed on token (equi); the only nested loop
+    // allowed is the deliberate 1-row corpus-total broadcast cross join
+    val tokenJoins = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("token")).toSeq
+    assert(tokenJoins.nonEmpty, s"q134 lost the vocab join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q134 plans a cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"q134 grew a window:\n$plan")
+  }
+
+  test("ZOrder.cluster: exactly one range exchange + a non-global sort, interleave stays codegen") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val df = ZOrder.cluster(
+      Tables.events(spark, sf("sf0.001"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .withColumn("minute", floor(col("ts").cast("long") / 60)),
+      col("user_id"), col("minute"), numFiles = 8)
+    df.collect()
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.count(_.contains("rangepartitioning")) == 1,
+      s"cluster needs ONE range exchange:\n$plan")
+    assert(exchanges.size == 1, s"cluster grew extra exchanges:\n$plan")
+    // the sort must be within-partition (global=false): a global sort here
+    // would re-shuffle what the range exchange already ordered
+    val sorts = plan.linesIterator.filter(_.contains("Sort ")).toSeq
+    assert(sorts.nonEmpty && sorts.forall(_.contains("false")),
+      s"cluster's sort is global:\n$plan")
+    // codegen spans print as `*(n)` prefixes in this plan form; the
+    // interleave projection must sit inside one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("shiftleft")),
+      s"interleave fell out of codegen:\n$plan")
+  }
 }
