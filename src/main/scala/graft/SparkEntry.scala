@@ -1518,6 +1518,33 @@ object SparkEntry {
           (col("nf_z") * 4 <= lit(nFiles)).as("z_clustered"),
           (col("nf_z") <= col("nf_p")).as("z_no_worse"))
     }),
+    "q136_editdist_dedup" -> ((s, dir) =>
+      // entity-resolution near-dup join: customer names within Levenshtein
+      // distance 1 via SymSpell deletion-neighborhood blocking — recall is
+      // a THEOREM (dedup.EditDistanceJoin scaladoc), so the oracle is the
+      // full all-pairs brute force and the compare is exact equality
+      // (q133's discipline, for edit distance instead of shingle sets).
+      graft.dedup.EditDistanceJoin
+        .similarPairs(Tables.customer(s, dir), "c_custkey", "c_name")
+        .orderBy(col("id1"), col("id2"))),
+    "q137_ks_drift" -> ((s, dir) => {
+      // two-sample Kolmogorov-Smirnov drift gate between the value
+      // distributions of the lexicographic min/max event types (q125's
+      // derived-slices pattern — no hardcoded type list). Integer-exact:
+      // cents bucketing by integer floor-division and the |ca*nb - cb*na|
+      // DECIMAL maximum; the only float is the final division of
+      // bit-equal operands (operators.KsDrift scaladoc).
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val sides = ev.agg(min(col("event_type")).as("sa"),
+        max(col("event_type")).as("sb"))
+      val labeled = ev.crossJoin(broadcast(sides))
+        .filter(col("event_type") === col("sa")
+          || col("event_type") === col("sb"))
+        .withColumn("side",
+          when(col("event_type") === col("sa"), lit("A")).otherwise(lit("B")))
+      graft.operators.KsDrift.ks(labeled, "side", "A", "B", "value",
+        centsPerBucket = 100)
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -3398,6 +3425,52 @@ object SparkEntry {
                 TRUE AS layouts_agree, TRUE AS z_clustered,
                 TRUE AS z_no_worse
          FROM box""",
+    "q136_editdist_dedup" ->
+      // FULL brute-force all-pairs Levenshtein — deletion-neighborhood
+      // blocking promises exact recall, so the whole O(n^2) space is the
+      // oracle (quadratic by design, affordable at the gate scale; the
+      // engine's variant join replaces exactly this at 100 TB)
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+                a.c_name AS s1, b.c_name AS s2,
+                CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id1, id2""",
+    "q137_ks_drift" ->
+      // same derived min/max sides, same integer cents buckets, same
+      // exact DECIMAL |ca*nb - cb*na| maximum; only the final division
+      // is float, applied to already-equal operands
+      """WITH s AS (SELECT MIN(event_type) AS sa, MAX(event_type) AS sb
+                    FROM events),
+              lab AS (SELECT CASE WHEN event_type = s.sa
+                               THEN 'A' ELSE 'B' END AS side,
+                        CAST(floor(CAST(round(value * 100) AS BIGINT) / 100)
+                             AS BIGINT) AS bucket
+                      FROM events, s
+                      WHERE event_type = s.sa OR event_type = s.sb),
+              c AS (SELECT bucket,
+                      SUM(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS ca,
+                      SUM(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS cb
+                    FROM lab GROUP BY 1),
+              cum AS (SELECT bucket,
+                        SUM(ca) OVER (ORDER BY bucket) AS cum_a,
+                        SUM(cb) OVER (ORDER BY bucket) AS cum_b
+                      FROM c),
+              t AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+              g AS (SELECT bucket,
+                      abs(CAST(cum_a AS DECIMAL(18,0))
+                            * CAST(t.n_b AS DECIMAL(18,0))
+                          - CAST(cum_b AS DECIMAL(18,0))
+                            * CAST(t.n_a AS DECIMAL(18,0))) AS gap
+                    FROM cum, t),
+              m AS (SELECT MAX(gap) AS max_gap FROM g)
+         SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+                (SELECT MIN(bucket) FROM g, m WHERE g.gap = m.max_gap)
+                  AS ks_at_bucket,
+                round(CAST(m.max_gap AS DOUBLE)
+                      / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 9)
+                  AS ks
+         FROM t, m""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

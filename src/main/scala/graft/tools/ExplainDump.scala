@@ -43,7 +43,9 @@ object ExplainDump {
     "q129_sliding_distinct" -> "sliding distinct: one sketch pass, k-sized day-grid merge, events never revisited",
     "q130_bloom_join" -> "runtime Bloom-filter join: codegen'd bitset probe planted below the join — the probe-side exchange carries pruned rows only",
     "q133_prefix_filter_join" -> "prefix-filter similarity join: df-sorted prefix explode → ONE shingle-keyed candidate equi-join → semi-join-pruned exact verify, no all-pairs stage",
-    "q134_unigram_perplexity" -> "unigram perplexity: tf-row token-keyed join, UNHINTED so AQE broadcasts only while the vocab fits (it does here) and shuffles at 100 TB; exact DECIMAL term sums in partial aggs, no window")
+    "q134_unigram_perplexity" -> "unigram perplexity: tf-row token-keyed join, UNHINTED so AQE broadcasts only while the vocab fits (it does here) and shuffles at 100 TB; exact DECIMAL term sums in partial aggs, no window",
+    "q136_editdist_dedup" -> "edit-distance join: deletion-variant explode → ONE variant-keyed candidate equi-join → distinct → codegen levenshtein verify; no all-pairs stage, recall by theorem",
+    "q137_ks_drift" -> "KS drift: ONE data-sized (side,bucket) partial agg; the cumulative window and max-gap pass run over the metadata-sized bucket table (1-row broadcasts for sides/totals/max)")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be

@@ -33,7 +33,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    as a BinaryType literal that must ship inside task binaries to the
   *    executor JVMs, where the codegen'd probe reads it;
   *  - q133: prefix-filter join — shingle-kernel codegen + struct-array
-  *    sort buffers crossing the candidate-join shuffle.
+  *    sort buffers crossing the candidate-join shuffle;
+  *  - q134: unigram perplexity — DECIMAL(29,9) partial-sum buffers merged
+  *    across executors (exactness must survive the wire, not just the
+  *    math);
+  *  - q136: edit-distance join — deletion-variant explode + the
+  *    levenshtein codegen verify compiled on executor JVMs.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -46,7 +51,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q22_minhash_neardups",
     "q92_weighted_sample",
     "q130_bloom_join",
-    "q133_prefix_filter_join")
+    "q133_prefix_filter_join",
+    "q134_unigram_perplexity",
+    "q136_editdist_dedup")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq

@@ -559,4 +559,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("shiftleft")),
       s"interleave fell out of codegen:\n$plan")
   }
+
+  test("q136 edit-distance join: candidate join is equi on the variant, no nested loop anywhere") {
+    // the deletion-neighborhood join must stay a variant-keyed equi join:
+    // a nested loop here IS the all-pairs blowup the blocking exists to
+    // avoid (q136 has no 1-row broadcast frames, so NO nested loop at all
+    // is legitimate)
+    val df = graft.SparkEntry.queries("q136_editdist_dedup")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("Join"), s"q136 lost the candidate join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q136 plans a non-equi join:\n$plan")
+  }
+
+  test("q137 KS drift: one data-sized partial agg; ONE window over the staged bucket table") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // the only pass over raw rows is the (side,bucket) count — it must
+    // partial-aggregate map-side
+    val ev = Tables.events(spark, sf("sf0.001"))
+      .select(when(col("event_type") < lit("m"), "A").otherwise("B").as("side"),
+        col("value"))
+    val counts = KsDrift.bucketCounts(ev, "side", "A", "B", "value", 100)
+    counts.collect()
+    assert(planOf(counts).contains("partial_sum"),
+      s"bucketCounts lost the map-side partial agg:\n${planOf(counts)}")
+    // the composed statistic references the bucket table from the window,
+    // the totals and the final agg — localCheckpoint staging means the
+    // final plan holds exactly ONE window (over checkpointed bucket rows,
+    // not raw data) and never re-derives the data-sized agg
+    val df = graft.SparkEntry.queries("q137_ks_drift")(spark, sf("sf0.001"))
+    df.collect()
+    val plan = planOf(df)
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.size == 1, s"q137 should have ONE window pass:\n$plan")
+    assert(windows.head.contains("ca#") || windows.head.contains("cum"),
+      s"q137's window runs over raw rows, not bucket counts:\n${windows.head}")
+    assert(!plan.contains("partial_sum") || !plan.contains("events.parquet"),
+      s"q137 re-derives the data-sized agg past the checkpoint:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q137 plans a cartesian:\n$plan")
+  }
 }
