@@ -1545,6 +1545,29 @@ object SparkEntry {
       graft.operators.KsDrift.ks(labeled, "side", "A", "B", "value",
         centsPerBucket = 100)
     }),
+    "q138_image_phash_dedup" -> ((s, dir) => {
+      // image near-dup grouping by 64-bit perceptual average-hash: the
+      // engine DECODES real PNG pixels (zlib + filters + raster) and
+      // hashes the 8x8 coarse light/dark layout with strict integer
+      // cross-product thresholds (PngCodec.aHash64); images with the same
+      // band structure collide — SimHash for the image modality. The
+      // oracle re-derives every hash from the closed-form image
+      // construction (q28's discipline), so a decode or grid-boundary bug
+      // breaks the gate. Narrow mapPartitions decode, then one k-sized
+      // hash agg; payloads never shuffle.
+      import graft.multimodal.Multimodal.PngCodec
+      import s.implicits._
+      s.read.parquet(stagedPngMedia(s, dir))
+        .filter(col("media_type") === "image")
+        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) => (id, PngCodec.aHash64(p)) })
+        .toDF("media_id", "ahash")
+        .groupBy(col("ahash"))
+        .agg(count(lit(1)).as("n_images"),
+          min(col("media_id")).as("first_id"),
+          max(col("media_id")).as("last_id"))
+        .orderBy(col("ahash"))
+    }),
     "q107_event_transitions" -> ((s, dir) => {
       // per-user event-sequence transition counts (the Markov-bigram
       // features session-based training data needs): each user's events
@@ -3471,6 +3494,44 @@ object SparkEntry {
                       / (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 9)
                   AS ks
          FROM t, m""",
+    "q138_image_phash_dedup" ->
+      // every aHash re-derived from the closed-form two-band construction
+      // (PngCodec.imageParams, reproduced literally like q28): cell
+      // column j covers x in [ceil(jW/8), ceil((j+1)W/8)); rows are
+      // constant, so bit (i,j) reduces to rowsum_j*W > rowTotal*width_j,
+      // independent of i — the hash is the column byte replicated 8x,
+      // built in HUGEINT then wrapped to the signed 64-bit value the
+      // engine's Long arithmetic produces
+      """WITH imgs AS (SELECT doc_id,
+                         CAST(n_chars % 64 + 16 AS BIGINT) AS w,
+                         (doc_id % 256) + (n_chars % 256)
+                           + ((doc_id * 31 + 7) % 256) AS la,
+                         ((doc_id * 7 + 13) % 256) + ((n_chars * 5 + 3) % 256)
+                           + ((doc_id + n_chars) % 256) AS lb
+                       FROM documents WHERE doc_id % 3 = 0),
+              cols AS (SELECT doc_id, w, la, lb, j,
+                         (j * w + 7) // 8 AS xlo,
+                         ((j + 1) * w + 7) // 8 AS xhi
+                       FROM imgs, range(8) t(j)),
+              bits AS (SELECT doc_id,
+                         CASE WHEN (GREATEST(0, LEAST(w // 2, xhi) - xlo) * la
+                                    + (xhi - xlo
+                                       - GREATEST(0, LEAST(w // 2, xhi) - xlo))
+                                      * lb) * w
+                                   > ((w // 2) * la + (w - w // 2) * lb)
+                                     * (xhi - xlo)
+                              THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bitval
+                       FROM cols),
+              hashes AS (SELECT doc_id,
+                           CAST(SUM(bitval) AS HUGEINT)
+                             * 72340172838076673 AS v
+                         FROM bits GROUP BY 1)
+         SELECT CAST(CASE WHEN v >= 9223372036854775808
+                          THEN v - 18446744073709551616 ELSE v END
+                     AS BIGINT) AS ahash,
+                COUNT(*) AS n_images, MIN(doc_id) AS first_id,
+                MAX(doc_id) AS last_id
+         FROM hashes GROUP BY 1 ORDER BY ahash""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -118,6 +118,50 @@ object Multimodal {
       decodeRegion(img, 0, img.getHeight)
     }
 
+    /** 64-bit perceptual average-hash (aHash) of a decoded image: the
+      * raster is partitioned into an 8x8 grid (pixel (x,y) belongs to cell
+      * (floor(8y/h), floor(8x/w)) — i.e. cell column j covers
+      * x ∈ [ceil(jw/8), ceil((j+1)w/8))), each cell's luma is its summed
+      * r+g+b, and bit i*8+j is set iff the cell's MEAN luma STRICTLY
+      * exceeds the whole image's — compared in exact integer cross-products
+      * (cellSum * totalPixels > totalSum * cellPixels), so no float ever
+      * decides a bit. Perceptually similar images (same coarse light/dark
+      * layout) collide on the hash regardless of exact pixel values or
+      * dimensions — the image-modality analogue of SimHash, and the
+      * blocking key for image near-dup grouping (q138).
+      */
+    def aHash64(payload: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"aHash needs >=8x8 pixels, got ${w}x$h")
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val i = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          val c = i * 8 + x * 8 / w
+          sums(c) += luma
+          counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = sums.sum
+      val n = w.toLong * h
+      var hash = 0L
+      var c = 0
+      while (c < 64) {
+        if (sums(c) * n > total * counts(c)) hash |= 1L << c
+        c += 1
+      }
+      hash
+    }
+
     /** Band decode for one filmstrip frame: rows [y0, y0+h). */
     def decodeRegion(img: java.awt.image.BufferedImage, y0: Int, h: Int): ImageStats = {
       var (sr, sg, sb) = (0L, 0L, 0L)

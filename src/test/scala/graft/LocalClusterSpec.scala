@@ -38,7 +38,10 @@ import org.scalatest.funsuite.AnyFunSuite
   *    across executors (exactness must survive the wire, not just the
   *    math);
   *  - q136: edit-distance join — deletion-variant explode + the
-  *    levenshtein codegen verify compiled on executor JVMs.
+  *    levenshtein codegen verify compiled on executor JVMs;
+  *  - q138: image perceptual hash — the ImageIO decode + aHash closure
+  *    runs INSIDE executor JVMs (javax.imageio static state, codec
+  *    object serialization), payloads read from parquet executor-side.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -53,7 +56,8 @@ class LocalClusterSpec extends AnyFunSuite {
     "q130_bloom_join",
     "q133_prefix_filter_join",
     "q134_unigram_perplexity",
-    "q136_editdist_dedup")
+    "q136_editdist_dedup",
+    "q138_image_phash_dedup")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq

@@ -59,4 +59,70 @@ class PngCodecSpec extends AnyFunSuite {
       PngCodec.decodeStats("not a png at all".getBytes)
     }
   }
+
+  /** The q138 oracle's closed form: rows are constant, so the hash is the
+    * column byte (bit_j = rowsum_j*W > rowTotal*width_j, cell column j
+    * covering x in [ceil(jW/8), ceil((j+1)W/8))) replicated into all 8
+    * grid rows.
+    */
+  private def closedFormAHash(docId: Long, nChars: Long): Long = {
+    val p = PngCodec.imageParams(docId, nChars)
+    val (w, half) = (p.w.toLong, (p.w / 2).toLong)
+    val la = p.rA.toLong + p.gA + p.bA
+    val lb = p.rB.toLong + p.gB + p.bB
+    val rowTotal = half * la + (w - half) * lb
+    var byte = 0L
+    for (j <- 0L until 8L) {
+      val (xlo, xhi) = ((j * w + 7) / 8, ((j + 1) * w + 7) / 8)
+      val l = math.max(0L, math.min(half, xhi) - xlo)
+      val rowsum = l * la + (xhi - xlo - l) * lb
+      if (rowsum * w > rowTotal * (xhi - xlo)) byte |= 1L << j
+    }
+    (0 until 8).foldLeft(0L)((acc, i) => acc | (byte << (8 * i)))
+  }
+
+  test("aHash64 of decoded pixels matches the closed form across parameter space") {
+    for (docId <- Seq(0L, 3L, 47L, 48L, 255L, 256L, 301L, 499L);
+         nChars <- Seq(16L, 63L, 64L, 100L, 255L, 256L, 1000L, 4095L)) {
+      assert(PngCodec.aHash64(PngCodec.encodeImage(docId, nChars))
+        === closedFormAHash(docId, nChars), s"doc=$docId n=$nChars")
+    }
+  }
+
+  test("aHash64 is perceptual: a uniform image hashes to 0, band order flips the bits") {
+    def solid(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // no cell strictly exceeds the global mean on a constant raster
+    assert(PngCodec.aHash64(solid(0x123456, 33, 17)) === 0L)
+    def bands(l: Int, r: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64)
+        img.setRGB(x, y, if (x < 32) l else r)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val brightLeft = PngCodec.aHash64(bands(0xFFFFFF, 0x000000))
+    val brightRight = PngCodec.aHash64(bands(0x000000, 0xFFFFFF))
+    // exact complements: every cell is strictly above or below the mean
+    assert((brightLeft ^ brightRight) === -1L)
+    // dimension-independent: same structure at another size, same hash
+    def bandsAt(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0xFFFFFF else 0x000000)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(PngCodec.aHash64(bandsAt(128, 48)) === brightLeft)
+  }
 }
