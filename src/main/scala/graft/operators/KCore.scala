@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * endpoints, groupBy vertex) + TWO semi-joins filtering the edge table to
   * surviving endpoints — all equi-key exchanges, no windows, no collects.
   * The edge table SHRINKS monotonically round over round, so later rounds
-  * cost less than earlier ones; `localCheckpoint` after each round cuts the
-  * exponentially deepening lineage exactly as PageRank does (at cluster
-  * scale: `checkpoint` to the fault-tolerant store instead — a lost executor
-  * would otherwise replay the whole peel chain).
+  * cost less than earlier ones; [[graft.IterState.checkpoint]] after each
+  * round cuts the exponentially deepening lineage exactly as PageRank does,
+  * and the previous round's blocks are released the moment the next round
+  * is materialized — at most two edge tables are ever pinned, and none
+  * remain after return (the trace itself is driver-built and k-sized). At
+  * cluster scale: `checkpoint` to the fault-tolerant store instead — a
+  * lost executor would otherwise replay the whole peel chain.
   *
   * Rounds are FIXED (caller-chosen), and per-round survivor counts are the
   * output — a deterministic, term-for-term-oracleable trace of the peeling
@@ -41,8 +44,9 @@ object KCore {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    var e = edges.select(col("a").cast("long").as("a"),
-      col("b").cast("long").as("b")).localCheckpoint()
+    var (e, releaseE) = graft.IterState.checkpoint(
+      edges.select(col("a").cast("long").as("a"),
+        col("b").cast("long").as("b")))
     var prevEdges = e.count()
     val trace = Seq.newBuilder[(Int, Long, Long, Boolean)]
     var r = 1
@@ -51,18 +55,20 @@ object KCore {
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select(col("v"))
-      val e2 = e
+      val (e2, releaseE2) = graft.IterState.checkpoint(e
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val nv = keep.count()
+        .select(col("a"), col("b")))
+      val nv = keep.count() // keep reads e: count BEFORE releasing e
       val ne = e2.count()
       trace += ((r, nv, ne, ne == prevEdges))
       prevEdges = ne
+      releaseE()
       e = e2
+      releaseE = releaseE2
       r += 1
     }
+    releaseE() // the trace is driver-side; no round state survives the call
     trace.result()
       .toDF("round", "n_vertices", "n_edges", "converged")
       .orderBy(col("round"))

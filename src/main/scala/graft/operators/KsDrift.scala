@@ -58,10 +58,11 @@ object KsDrift {
   def ks(df: DataFrame, sideCol: String, sideA: String, sideB: String,
          valueCol: String, centsPerBucket: Int): DataFrame = {
     // the bucket table is referenced by the window AND the totals — stage
-    // it with localCheckpoint (the PageRank/CC precedent) so the raw data
-    // is scanned ONCE, not re-aggregated per reference
-    val counts = bucketCounts(df, sideCol, sideA, sideB, valueCol,
-      centsPerBucket).localCheckpoint()
+    // it file-backed (IterState.copyOut) so the raw data is scanned ONCE,
+    // not re-aggregated per reference, and nothing stays pinned in the
+    // block manager after the call (the r7 localCheckpoint here leaked)
+    val counts = graft.IterState.copyOut(
+      bucketCounts(df, sideCol, sideA, sideB, valueCol, centsPerBucket))
     // cumulative counts up the bucket ladder: window over the
     // metadata-sized bucket table (value range / width rows, not data);
     // the single-partition window is deliberate and k-sized

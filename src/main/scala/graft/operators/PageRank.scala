@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: per iteration exactly one edge-keyed join and one
   * dst-keyed aggregate; the edge list (with out-degrees attached once) is
   * the only large operand and is reused across iterations; ranks are
-  * 16 B/node. `localCheckpoint` after each iteration caps plan growth the
-  * same way the label-propagation loop does. Magnitudes are bounded by the
+  * 16 B/node. [[graft.IterState.checkpoint]] after each iteration caps plan
+  * growth the same way the label-propagation loop does, each iteration
+  * releasing the previous one's blocks once the new ranks are materialized;
+  * the final ranks are copied out file-backed so no block-manager state
+  * survives the call. Magnitudes are bounded by the
   * conserved total mass (n_nodes * 10^6), so the scaled multiply stays far
   * inside a signed long for any graph below ~10^12 nodes.
   */
@@ -38,6 +41,7 @@ object PageRank {
     val nodes = e.select(col("s").as("id"))
       .union(e.select(col("d").as("id"))).distinct().persist()
     var ranks = nodes.withColumn("r", lit(1000000L))
+    var releaseRanks: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val contribs = ewd.join(ranks, ewd("s") === ranks("id"))
         .select(col("d"), expr("r div dg").as("c"))
@@ -45,10 +49,24 @@ object PageRank {
       val next = nodes.join(contribs, nodes("id") === contribs("d"), "left")
         .select(nodes("id"),
           expr("150000L + (850000L * coalesce(cs, 0L)) div 1000000L").as("r"))
-      ranks = if (checkpoint) next.localCheckpoint() else next
+      if (checkpoint) {
+        val (ck, rel) = graft.IterState.checkpoint(next)
+        releaseRanks() // ck is materialized; previous iteration's blocks go
+        ranks = ck
+        releaseRanks = rel
+      } else ranks = next
     }
-    ewd.unpersist()
-    nodes.unpersist()
-    ranks.select(col("id"), col("r").as("rank_millionths"))
+    val res = ranks.select(col("id"), col("r").as("rank_millionths"))
+    if (checkpoint) {
+      val out = graft.IterState.copyOut(res)
+      releaseRanks()
+      ewd.unpersist()
+      nodes.unpersist()
+      out
+    } else {
+      ewd.unpersist()
+      nodes.unpersist()
+      res
+    }
   }
 }
