@@ -39,12 +39,21 @@ object HistogramQuantile {
     exp((bucket.cast("double") + 1.0) * math.log1p(eps))
 
   /** One histogram row per (groupCols..., bucket): the storable sketch.
-    * `value` must be strictly positive (log bucketing).
+    * `value` must be strictly positive (log bucketing) — enforced row-wise:
+    * a non-positive value would make `log` NULL, land every such row in a
+    * NULL bucket that still counts toward `n` and sorts FIRST up the
+    * cumulative ladder, silently skewing every quantile. `raise_error`
+    * fails the job at the offending row instead.
     */
   def sketch(df: DataFrame, groupCols: Seq[String], value: Column,
-             eps: Double): DataFrame =
-    df.groupBy((groupCols.map(col) :+ bucketOf(value, eps).as("bucket")): _*)
+             eps: Double): DataFrame = {
+    val guarded = when(value > 0, bucketOf(value, eps))
+      .otherwise(raise_error(concat(
+        lit("HistogramQuantile.sketch requires value > 0 (log bucketing); got "),
+        value.cast("string"))))
+    df.groupBy((groupCols.map(col) :+ guarded.as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Quantile estimates from (already merged) histogram rows
     * (`groupCol`, `bucket`, `cnt`): for each probability p, the estimate

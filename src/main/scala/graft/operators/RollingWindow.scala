@@ -77,14 +77,28 @@ object RollingWindow {
     */
   def trailingMoments(events: DataFrame, partCol: String, tsCol: String,
                       idCol: String, tsNsCol: String, valueCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, maxProbeGroups: Int = 1 << 20): DataFrame = {
     // integer `div`, not floor(double /): ts_ns ~ 1.7e18 exceeds a double's
     // exact-integer range, and the driver-side width validation below uses
     // exact integer arithmetic — the two must agree on every boundary row
     val day = expr(s"$tsNsCol div ${NanosPerDay}L")
-    val dayCounts = events.groupBy(col(partCol).as("p"), day.as("d"))
+    // the width probe collects the (part, day) count table — metadata-sized
+    // for a bounded partCol (|parts| x |days|), but UNBOUNDED if a caller
+    // passes a high-cardinality partCol. The limit caps what ever reaches
+    // the driver: one row past the bound is enough to prove the overflow,
+    // and the job fails fast instead of materializing millions of rows
+    // driver-side (r7 verdict task 5).
+    val collected = events.groupBy(col(partCol).as("p"), day.as("d"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
+      .limit(maxProbeGroups + 1)
+      .collect()
+    require(collected.length <= maxProbeGroups,
+      s"trailingMoments width probe exceeds $maxProbeGroups (part, day) " +
+        s"groups — partCol '$partCol' is too high-cardinality for a " +
+        "driver-side width choice; pre-bucket the partition column or " +
+        "raise maxProbeGroups")
+    val dayCounts =
+      collected.map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSeq
     val w = chooseWidthDays(dayCounts, k)
 
     val frame = Window.partitionBy(col("__part_chunk"))

@@ -63,4 +63,13 @@ class HistogramQuantileSpec extends SparkSpec {
     assert(p50 == p95)
     assert(math.abs(p50 / 42.0 - 1.0) <= 2 * eps)
   }
+
+  test("non-positive values fail the sketch instead of skewing quantiles") {
+    val df = Seq(("g", 5.0), ("g", 0.0), ("g", 9.0)).toDF("grp", "v")
+    val e = intercept[Exception] {
+      HistogramQuantile.sketch(df, Seq("grp"), col("v"), eps).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("value > 0")
+      || e.getCause != null && e.getCause.getMessage.contains("value > 0"))
+  }
 }

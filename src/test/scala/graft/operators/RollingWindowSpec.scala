@@ -100,4 +100,20 @@ class RollingWindowSpec extends SparkSpec {
     val want = collectKeyed(naive(ev, k))
     assert(got === want)
   }
+
+  test("high-cardinality partCol fails fast at the probe, not the collect") {
+    // 50k distinct partition keys x 1 day = 50k probe groups against a
+    // 1000-group bound: the guard must reject BEFORE materializing the
+    // unbounded (part, day) table driver-side
+    val wide = spark.range(50000).selectExpr(
+      "CAST(id AS STRING) AS p", "id",
+      "id * 1000000L AS ts_ns",
+      "CAST(timestamp_micros(id * 1000) AS TIMESTAMP) AS ts",
+      "id % 7 AS v")
+    val e = intercept[IllegalArgumentException] {
+      RollingWindow.trailingMoments(wide, "p", "ts", "id", "ts_ns", "v",
+        k = 10, maxProbeGroups = 1000)
+    }
+    assert(e.getMessage.contains("high-cardinality"))
+  }
 }
