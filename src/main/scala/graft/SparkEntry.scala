@@ -664,29 +664,35 @@ object SparkEntry {
         .toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
         .orderBy(col("media_id"))
     }),
-    "q29_frame_samples" -> ((s, dir) => {
+    "q29_frame_samples" -> ((s, dir) =>
       // "video" = PNG filmstrip (frames stacked vertically): decode the
       // container ONCE per row, then slice per-frame raster bands — the
       // frame-sampling shape of a real clip pipeline with the JDK as codec
-      import graft.multimodal.Multimodal.PngCodec
+      graft.multimodal.Multimodal
+        .sampleFrames(s.read.parquet(stagedPngMedia(s, dir)))
+        .orderBy(col("media_id"), col("frame_idx"))),
+    "q139_audio_features" -> ((s, dir) => {
+      // REAL JDK WAV decode over opaque binary payloads (the audio
+      // analogue of q28): the fixture stages actual RIFF/WAV PCM whose
+      // stereo samples are a closed-form modular ramp of (doc_id,
+      // n_chars); the query must parse the container (fmt chunk, frame
+      // layout, LE 16-bit sign extension) and sum real samples per
+      // channel, and the oracle re-derives every statistic from the
+      // documents table alone. A wrong frame size, channel order, or
+      // sign bit breaks the hash. Payloads stay narrow (scan ->
+      // mapPartitions -> fixed-width stats); only stats reach a shuffle.
+      import graft.multimodal.Multimodal.WavCodec
       import s.implicits._
-      s.read.parquet(stagedPngMedia(s, dir))
-        .filter(col("media_type") === "video")
+      s.read.parquet(stagedWavMedia(s, dir))
+        .filter(col("media_type") === "audio")
         .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val nF = PngCodec.filmFrames
-          it.flatMap { case (id, p) =>
-            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-            require(img != null, s"media $id: payload is not a decodable image")
-            val hF = img.getHeight / nF
-            (0 until nF).iterator.map { f =>
-              val st = PngCodec.decodeRegion(img, f * hF, hF)
-              (id, f, st.width, st.height, st.sum_r, st.sum_g, st.sum_b)
-            }
-          }
-        }
-        .toDF("media_id", "frame_idx", "width", "frame_height", "sum_r", "sum_g", "sum_b")
-        .orderBy(col("media_id"), col("frame_idx"))
+        .mapPartitions(_.map { case (id, p) =>
+          val st = WavCodec.decodeStats(p)
+          (id, st.channels, st.sampleRate, st.frames, st.sumLeft, st.sumRight)
+        })
+        .toDF("media_id", "n_channels", "sample_rate", "n_frames",
+          "sum_left", "sum_right")
+        .orderBy(col("media_id"))
     }),
     // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
     "q40_kmeans_full" -> ((s, dir) => {
@@ -2339,6 +2345,31 @@ object SparkEntry {
     out.toString
   }
 
+  /** Stage real WAV PCM payloads for the audio query: one stereo clip per
+    * doc_id % 3 == 1 (the modality slot the PNG fixture leaves free),
+    * samples a closed-form modular ramp of (doc_id, n_chars). Encoding
+    * runs executor-side in the staging write; `_SUCCESS` guard, staged
+    * once per (dir, /tmp) like the other fixtures.
+    */
+  private def stagedWavMedia(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_wav_media_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      import s.implicits._
+      import graft.multimodal.Multimodal.WavCodec
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .filter(pmod(col("doc_id"), lit(3)) === 1)
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, nc) =>
+          (id, "audio", WavCodec.encodeWav(id, nc))
+        })
+        .toDF("media_id", "media_type", "payload")
+        .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
   private def stagedJsonlDocs(s: SparkSession, dir: String): String = {
     val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
@@ -3532,6 +3563,28 @@ object SparkEntry {
                 COUNT(*) AS n_images, MIN(doc_id) AS first_id,
                 MAX(doc_id) AS last_id
          FROM hashes GROUP BY 1 ORDER BY ahash""",
+    "q139_audio_features" ->
+      // every WAV statistic re-derived from the closed-form stereo ramp
+      // (WavCodec.audioParams, reproduced literally like q28/q138): the
+      // engine parses the RIFF container and sums REAL decoded samples;
+      // the oracle expands the same per-frame modular ramp from the
+      // documents table and sums it exactly
+      """WITH aud AS (SELECT doc_id,
+                        CAST(n_chars % 700 + 160 AS BIGINT) AS n_frames,
+                        (doc_id * 131 + 7) % 65536 AS a0,
+                        (n_chars * 17 + 3) % 65536 AS b0,
+                        (doc_id * 89 + 11) % 65536 AS a1,
+                        (n_chars * 29 + 5) % 65536 AS b1
+                      FROM documents WHERE doc_id % 3 = 1),
+              s AS (SELECT doc_id, n_frames, a0, b0, a1, b1,
+                      unnest(range(n_frames)) AS i
+                    FROM aud)
+         SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS n_channels,
+                CAST(8000 AS INTEGER) AS sample_rate,
+                CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+                CAST(SUM((a0 + i * b0) % 65536 - 32768) AS BIGINT) AS sum_left,
+                CAST(SUM((a1 + i * b1) % 65536 - 32768) AS BIGINT) AS sum_right
+         FROM s GROUP BY doc_id ORDER BY media_id""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -13,12 +13,13 @@ import org.apache.spark.sql.types._
   * through the JDK's `javax.imageio` (zlib inflate, PNG filters, raster
   * iteration — no external dependency). "Video" rows are PNG filmstrips
   * (frames stacked vertically in one image), the JDK-decodable stand-in
-  * for a frame-extracted clip. Only AUDIO (and true video containers)
-  * remain stubbed via [[StubDecoder]] — this container has no media
-  * libraries beyond the JDK — and everything Spark-side (schema, encoders,
-  * partitioning, batch iteration, null handling) is identical between the
-  * real and stubbed paths, so swapping a true codec in is a one-object
-  * change.
+  * for a frame-extracted clip. AUDIO decode is REAL too: [[WavCodec]]
+  * encodes and decodes actual RIFF/WAV PCM through the JDK's
+  * `javax.sound.sampled` (container header parse, frame/channel layout,
+  * little-endian 16-bit sample reassembly — the r7 "no JDK codec" claim
+  * was wrong and is hereby retired). Only true video CONTAINERS (mp4 et
+  * al.) have no JDK codec; the filmstrip stand-in covers the
+  * frame-sampling shape.
   *
   * Scale notes: payloads never pass through a shuffle here (all transforms
   * are narrow); at 100 TB the payload column stays columnar-compressed in
@@ -179,6 +180,92 @@ object Multimodal {
     }
   }
 
+  /** Real RIFF/WAV PCM encode/decode via JDK `javax.sound.sampled`.
+    *
+    * Same oracle discipline as [[PngCodec]]: the synthetic clips are
+    * DETERMINISTIC CLOSED-FORM functions of `(doc_id, n_chars)` — stereo
+    * 16-bit PCM whose sample `i` on each channel is the modular ramp
+    * `((a + i*b) mod 65536) - 32768` — so a SQL oracle re-derives frame
+    * counts and per-channel sample sums from the documents table alone,
+    * while the engine must actually parse the WAV container: RIFF header,
+    * fmt chunk (channels / rate / bits / endianness), data chunk, and
+    * little-endian signed 16-bit interleaved frame reassembly. A wrong
+    * frame size, channel order, or sign extension breaks the hash gate.
+    */
+  object WavCodec {
+    val sampleRateHz = 8000
+    val channels = 2
+
+    /** Closed-form clip parameters; reproduced literally in
+      * `SparkEntry.oracleSql(q139)` — change BOTH or neither.
+      */
+    final case class AudioParams(nFrames: Int, a0: Long, b0: Long,
+                                 a1: Long, b1: Long)
+    def audioParams(docId: Long, nChars: Long): AudioParams = AudioParams(
+      nFrames = (nChars % 700 + 160).toInt,
+      a0 = (docId * 131 + 7) % 65536, b0 = (nChars * 17 + 3) % 65536,
+      a1 = (docId * 89 + 11) % 65536, b1 = (nChars * 29 + 5) % 65536)
+
+    private def sampleOf(a: Long, b: Long, i: Int): Int =
+      (((a + i.toLong * b) % 65536) - 32768).toInt
+
+    /** Stereo 16-bit little-endian PCM, wrapped in a real WAV container by
+      * `AudioSystem.write` (the JDK emits the RIFF/fmt/data chunks).
+      */
+    def encodeWav(docId: Long, nChars: Long): Array[Byte] = {
+      val p = audioParams(docId, nChars)
+      val raw = new Array[Byte](p.nFrames * channels * 2)
+      var i = 0
+      while (i < p.nFrames) {
+        val l = sampleOf(p.a0, p.b0, i)
+        val r = sampleOf(p.a1, p.b1, i)
+        raw(4 * i) = (l & 0xff).toByte
+        raw(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        raw(4 * i + 2) = (r & 0xff).toByte
+        raw(4 * i + 3) = ((r >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRateHz.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, p.nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    final case class AudioStats(channels: Int, sampleRate: Int,
+                                frames: Long, sumLeft: Long, sumRight: Long)
+
+    /** Full decode: WAV container parse + per-channel signed sample sums.
+      * Mono clips report their single channel as left, 0 right.
+      */
+    def decodeStats(payload: Array[Byte]): AudioStats = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian signed PCM, got $fmt")
+      val ch = fmt.getChannels
+      val data = ais.readAllBytes()
+      val frameBytes = 2 * ch
+      val nFrames = data.length / frameBytes
+      var (sl, sr) = (0L, 0L)
+      var f = 0
+      while (f < nFrames) {
+        val base = f * frameBytes
+        sl += (((data(base + 1) & 0xff) << 8) | (data(base) & 0xff)).toShort
+        if (ch > 1)
+          sr += (((data(base + 3) & 0xff) << 8) | (data(base + 2) & 0xff)).toShort
+        f += 1
+      }
+      AudioStats(ch, fmt.getSampleRate.toInt, nFrames.toLong, sl, sr)
+    }
+  }
+
   /** Typed media row: opaque payload + metadata. */
   final case class MediaRow(
       media_id: Long,
@@ -204,100 +291,140 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("duration_ms", LongType, nullable = false)))
 
-  /** Derive a deterministic media table from `documents` (TESTDATA has no
-    * binary column): the UTF-8 bytes of the text stand in for an encoded
-    * payload; metadata is derived from doc properties. This is fixture
-    * plumbing — the downstream operators neither know nor care.
+  /** Derive a REAL media table from `documents` (TESTDATA has no binary
+    * column): every payload is an actually-encoded container — PNG stills
+    * for doc_id % 3 == 0, WAV PCM clips for % 3 == 1, PNG filmstrips
+    * ("video") for % 3 == 2 — with metadata derived from the same closed
+    * forms the codecs use. Encoding runs executor-side per partition;
+    * nothing is collected.
     */
-  def fromDocuments(documents: DataFrame): DataFrame =
-    documents.select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col("text"), "UTF-8").as("payload"),
-      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
-      (pmod(col("n_chars"), lit(480)) + 1).cast("int").as("height"),
-      (col("n_chars") * 10).as("duration_ms"))
-
-  /** The stubbed "codec": deterministic pseudo-decode of a payload.
-    * A real implementation would wrap an image/audio library here; the
-    * signature (bytes in, fixed-width float features out) is the contract.
-    */
-  object StubDecoder {
-    val featureDim = 8
-
-    /** ??? in spirit: a real decoder goes here. The stub folds payload bytes
-      * into `featureDim` deterministic accumulators.
-      */
-    def decodeAndExtract(payload: Array[Byte]): Array[Float] = {
-      val acc = new Array[Float](featureDim)
-      var i = 0
-      while (i < payload.length) {
-        acc(i % featureDim) += (payload(i) & 0xff) / 255.0f
-        i += 1
-      }
-      acc
-    }
-
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-      h
-    }
+  def fromDocuments(documents: DataFrame): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("n_chars")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        (id % 3) match {
+          case 0 =>
+            val p = PngCodec.imageParams(id, nc)
+            MediaRow(id, "image", PngCodec.encodeImage(id, nc), p.w, p.h, 0L)
+          case 1 =>
+            val p = WavCodec.audioParams(id, nc)
+            MediaRow(id, "audio", WavCodec.encodeWav(id, nc), 0, 0,
+              p.nFrames.toLong * 1000 / WavCodec.sampleRateHz)
+          case _ =>
+            val w = PngCodec.imageParams(id, nc).w
+            val h = PngCodec.frameHeight(id) * PngCodec.filmFrames
+            MediaRow(id, "video", PngCodec.encodeFilmstrip(id, nc), w, h, 0L)
+        }
+      }).toDF()
   }
 
-  /** Partition-batched feature extraction (mapPartitions ≈ mapInPandas):
-    * the decoder is instantiated once per partition, rows stream through it,
-    * and nothing is collected. Null payloads yield zero-feature rows rather
-    * than poisoning the partition.
+  private def checksumOf(payload: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    h
+  }
+
+  val featureDim = 8
+
+  /** Partition-batched feature extraction (mapPartitions ≈ mapInPandas)
+    * with REAL decoders per modality: images/filmstrips go through the
+    * PNG raster ([[PngCodec.decodeStats]]), audio through the WAV frame
+    * reader ([[WavCodec.decodeStats]]); the features are fixed-width
+    * per-modality summaries (dims + mean channel intensities / frame
+    * count + mean sample amplitudes). Rows stream through one decoder
+    * instantiation per partition and nothing is collected. Null payloads
+    * yield zero-feature rows rather than poisoning the partition.
     */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "media_type", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init (a real codec would allocate its context here)
-        val dim = StubDecoder.featureDim
+        val dim = featureDim
         it.map { case (id, mtype, payload) =>
           if (payload == null)
             MediaFeatures(id, mtype, 0, 0L, new Array[Float](dim))
-          else
-            MediaFeatures(id, mtype, payload.length,
-              StubDecoder.checksum(payload),
-              StubDecoder.decodeAndExtract(payload))
+          else {
+            val f = new Array[Float](dim)
+            mtype match {
+              case "image" | "video" =>
+                val st = PngCodec.decodeStats(payload)
+                val n = st.width.toFloat * st.height
+                f(0) = st.width.toFloat; f(1) = st.height.toFloat
+                f(2) = st.sum_r / n; f(3) = st.sum_g / n; f(4) = st.sum_b / n
+              case "audio" =>
+                val st = WavCodec.decodeStats(payload)
+                f(0) = st.channels.toFloat; f(1) = st.sampleRate.toFloat
+                f(2) = st.frames.toFloat
+                f(3) = st.sumLeft.toFloat / st.frames
+                f(4) = st.sumRight.toFloat / st.frames
+              case _ => ()
+            }
+            MediaFeatures(id, mtype, payload.length, checksumOf(payload), f)
+          }
         }
       }
   }
 
-  /** Frame sampling for `video` rows: deterministically slice the payload
-    * into `nFrames` equal byte ranges ("frames") and emit one row each —
-    * the explode-shaped operator a real video pipeline needs, with the
-    * decode stubbed.
+  /** Frame sampling for `video` rows: decode the filmstrip container ONCE
+    * per row, then emit one row per constant-color band — real raster
+    * region decode, the explode-shaped operator a clip pipeline needs
+    * (q29 runs exactly this).
     */
-  def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
+  def sampleFrames(media: DataFrame, nFrames: Int = PngCodec.filmFrames): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
     media
       .filter(col("media_type") === "video" && col("payload").isNotNull)
-      .withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
-      .select(
-        col("media_id"), col("frame_idx"),
-        expr("substring(payload, " +
-          s"cast(frame_idx * length(payload) / $nFrames as int) + 1, " +
-          s"cast((frame_idx + 1) * length(payload) / $nFrames as int) - " +
-          s"cast(frame_idx * length(payload) / $nFrames as int))").as("frame_bytes"))
-      .withColumn("frame_checksum", xxhash64(col("frame_bytes")))
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, p) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          require(img != null, s"media $id: payload is not a decodable image")
+          val hF = img.getHeight / nFrames
+          (0 until nFrames).iterator.map { f =>
+            val st = PngCodec.decodeRegion(img, f * hF, hF)
+            (id, f, st.width, st.height, st.sum_r, st.sum_g, st.sum_b)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "width", "frame_height",
+        "sum_r", "sum_g", "sum_b")
   }
 
-  /** "Resize" stub for images: emits target dims + a payload truncated
-    * proportionally — exercises binary slicing + metadata rewrite.
+  /** Real image resize (nearest neighbour, integer arithmetic — no AWT
+    * interpolation, so output pixels are deterministic across JVMs):
+    * decode, sample source pixel (x*sw/tw, y*sh/th) per target pixel,
+    * re-encode PNG. Emits rewritten metadata + the new payload.
     */
-  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame =
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
     media
       .filter(col("media_type") === "image" && col("payload").isNotNull)
-      .select(
-        col("media_id"),
-        lit(targetW).as("width"),
-        lit(targetH).as("height"),
-        expr(s"substring(payload, 1, greatest(cast(length(payload) * $targetW / greatest(width, $targetW) as int), 1))")
-          .as("payload"))
+      .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        require(src != null, s"media $id: payload is not a decodable image")
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val sy = y * src.getHeight / targetH
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y, src.getRGB(x * src.getWidth / targetW, sy))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (id, targetW, targetH, bos.toByteArray)
+      })
+      .toDF("media_id", "width", "height", "payload")
+  }
 }

@@ -21,19 +21,56 @@ class MultimodalSpec extends SparkSpec {
     assert(media.select("media_type").distinct().count() === 3)
   }
 
-  test("extractFeatures: one feature row per media row, checksums match a local recompute") {
+  test("every payload is a real decodable container of its modality") {
+    val rows = media.orderBy("media_id").limit(9)
+      .select("media_id", "media_type", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    assert(rows.map(_._2).toSet === Set("image", "audio", "video"))
+    rows.foreach {
+      case (_, "audio", p) =>
+        val st = Multimodal.WavCodec.decodeStats(p)
+        assert(st.channels === 2 && st.sampleRate === 8000)
+        assert(st.frames > 0)
+      case (id, _, p) =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+        assert(img != null, s"media $id payload is not a decodable PNG")
+    }
+  }
+
+  test("WavCodec round-trip: decoded stats equal the closed-form ramp") {
+    for ((id, nc) <- Seq((1L, 37L), (4L, 999L), (7L, 0L))) {
+      val p = Multimodal.WavCodec.audioParams(id, nc)
+      val st = Multimodal.WavCodec.decodeStats(
+        Multimodal.WavCodec.encodeWav(id, nc))
+      assert(st.channels === 2 && st.sampleRate === 8000)
+      assert(st.frames === p.nFrames.toLong)
+      def ramp(a: Long, b: Long): Long =
+        (0 until p.nFrames).map(i => ((a + i.toLong * b) % 65536) - 32768).sum
+      assert(st.sumLeft === ramp(p.a0, p.b0))
+      assert(st.sumRight === ramp(p.a1, p.b1))
+    }
+  }
+
+  test("extractFeatures: real per-modality decode, checksums match payloads") {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() === media.count())
-    val sample = media.orderBy("media_id").limit(3)
-      .select("media_id", "payload").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    val got = feats.filter($"media_id" < 3).collect()
+    val byId = feats.filter($"media_id" < 6).collect()
       .map(f => f.media_id -> f).toMap
-    sample.foreach { case (id, payload) =>
-      assert(got(id).checksum === Multimodal.StubDecoder.checksum(payload))
-      assert(got(id).n_bytes === payload.length)
-      assert(got(id).features.toSeq ===
-        Multimodal.StubDecoder.decodeAndExtract(payload).toSeq)
+    val src = media.filter($"media_id" < 6)
+      .select("media_id", "media_type", "payload").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    src.foreach { case (id, mtype, payload) =>
+      val f = byId(id)
+      assert(f.n_bytes === payload.length)
+      mtype match {
+        case "image" | "video" =>
+          val st = Multimodal.PngCodec.decodeStats(payload)
+          assert(f.features(0) === st.width.toFloat)
+          assert(f.features(1) === st.height.toFloat)
+        case "audio" =>
+          val st = Multimodal.WavCodec.decodeStats(payload)
+          assert(f.features(2) === st.frames.toFloat)
+      }
     }
   }
 
@@ -46,25 +83,43 @@ class MultimodalSpec extends SparkSpec {
     assert(z.features.forall(_ == 0.0f))
   }
 
-  test("sampleFrames: nFrames rows per video, byte ranges tile the payload") {
+  test("sampleFrames: real raster bands reassemble the whole-image sums") {
     val vids = media.filter($"media_type" === "video")
-    val frames = Multimodal.sampleFrames(media, nFrames = 4)
-    assert(frames.count() === vids.count() * 4)
-    // frame bytes concatenated == original payload, per video
-    val orig = vids.orderBy("media_id").limit(2).collect()
+    val frames = Multimodal.sampleFrames(media)
+    val nF = Multimodal.PngCodec.filmFrames
+    assert(frames.count() === vids.count() * nF)
+    // per-frame channel sums must add up to the full filmstrip's decode
+    val ids = vids.orderBy("media_id").limit(2).collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
-    orig.keys.foreach { id =>
-      val glued = frames.filter($"media_id" === id).orderBy("frame_idx")
-        .collect().flatMap(_.getAs[Array[Byte]]("frame_bytes"))
-      assert(glued.toSeq === orig(id).toSeq, s"frames of media $id don't tile payload")
+    ids.foreach { case (id, payload) =>
+      val whole = Multimodal.PngCodec.decodeStats(payload)
+      val parts = frames.filter($"media_id" === id)
+        .select("sum_r", "sum_g", "sum_b").collect()
+      assert(parts.map(_.getLong(0)).sum === whole.sum_r)
+      assert(parts.map(_.getLong(1)).sum === whole.sum_g)
+      assert(parts.map(_.getLong(2)).sum === whole.sum_b)
     }
   }
 
-  test("resizeImages rewrites metadata and shrinks payloads") {
-    val imgs = Multimodal.resizeImages(media, 32, 32)
+  test("resizeImages re-encodes real pixels at the target dims") {
+    val imgs = Multimodal.resizeImages(media, 32, 24)
     assert(imgs.count() === media.filter($"media_type" === "image").count())
-    val r = imgs.limit(5).collect()
-    assert(r.forall(_.getInt(1) === 32))
-    assert(r.forall(row => row.getAs[Array[Byte]]("payload").length >= 1))
+    val origs = media.filter($"media_type" === "image").orderBy("media_id")
+      .limit(3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    val r = imgs.orderBy("media_id").limit(3).collect()
+    r.foreach { row =>
+      assert(row.getInt(1) === 32 && row.getInt(2) === 24)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("payload")))
+      assert(img.getWidth === 32 && img.getHeight === 24)
+      // nearest-neighbour identity: target corners sample source corners
+      // (x=0 -> src 0; x=31 -> src floor(31*sw/32), in the right half for
+      // every source width), so the two-tone split survives the resize
+      val orig = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(origs(row.getLong(0))))
+      assert(img.getRGB(0, 0) === orig.getRGB(0, 0))
+      assert(img.getRGB(31, 0) === orig.getRGB(orig.getWidth - 1, 0))
+    }
   }
 }
