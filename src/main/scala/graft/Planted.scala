@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Deterministic PLANTED fixtures for the scale-gate queries (q140–q146).
+  *
+  * The seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136)
+  * cannot be independently verified at sf1: their only oracle is the
+  * brute-force all-pairs scan the operator exists to replace (measured:
+  * the 5000-doc restriction alone exceeds 10 minutes in DuckDB). The
+  * planted-subset gates close that hole (r7 verdict task 4): each gate
+  * unions a SMALL deterministic planted corpus into the real one at query
+  * time (the q23/q71 injection precedent), runs the REAL operator over the
+  * combined corpus at whatever scale the gate runs, and restricts the
+  * OUTPUT to planted ids — where the expected rows are CLOSED-FORM
+  * arithmetic, not a quadratic scan, so the oracle is exact and affordable
+  * at every scale.
+  *
+  * Why the restriction is sound:
+  *   - planted vocabulary (`pg<g>x<j>` / `pm<g>x<m>` tokens) is disjoint
+  *     from the organic corpus and across groups, so TRUE similarity
+  *     between a planted doc and anything outside its own group is 0 —
+  *     planted components can never merge with organic ones through a
+  *     correct engine (candidate verification is exact Jaccard);
+  *   - pair LISTINGS restricted to "both ids planted" are exact for ANY
+  *     subset (a pair with one end outside is excluded on both sides);
+  *   - planted ids start at [[base]], far above every organic key at any
+  *     tested scale, so `id1 >= base` selects exactly planted-planted
+  *     pairs (listings order id1 < id2).
+  *
+  * What the combined-corpus run proves at sf1 that sf0.01 cannot: the
+  * banding/blocking/verify joins execute against the full 50k-doc corpus
+  * (bucket populations, skew handling, candidate-cap behavior, join
+  * shapes) and must still recover every planted pair exactly.
+  *
+  * The construction (reproduced literally in the q140–q146 oracle SQL —
+  * change BOTH or neither):
+  *   - 40 near-dup groups g (sizes 2 + g%3): member 0 = the group's
+  *     30-token base vocabulary; member m >= 1 appends ONE member-specific
+  *     token. Word-3-gram Jaccard: 28/29 vs member 0, 28/30 between
+  *     non-base members; word-5-gram: 26/27 and 26/28 — high enough that
+  *     banded-LSH recall is certain, above both the 0.3 (q22) and 4/5
+  *     (q133) thresholds.
+  *   - 8 exact-dup pairs e in 40..47: two identical 12-token docs.
+  *   - 10 singletons s in 48..57 with 10+(s-48) tokens: pair with nothing;
+  *     they gate the singleton paths (histogram bucket 1, chain keep-all).
+  *   - 20 customer groups p (sizes 3 for even p, 2 for odd): names
+  *     "Planted Entity <tag> A|B|AB" with tag = the 2-digit group id
+  *     tripled, so names within a group are pairwise Levenshtein 1 and
+  *     names across groups are >= 2 (a single edit cannot change a
+  *     tripled 2-digit tag into another).
+  */
+object Planted {
+
+  /** Above every organic key at every tested scale (doc_id < 5e4,
+    * c_custkey < 1.5e5 at sf1; two orders of magnitude of headroom).
+    */
+  val base = 900000000L
+
+  val nearGroups = 40
+  def groupSize(g: Int): Int = 2 + g % 3
+  val exactPairs = 8
+  val singletons = 10
+
+  private def baseTokens(g: Int, n: Int): Seq[String] =
+    (0 until n).map(j => s"pg${g}x$j")
+
+  /** (doc_id, text, lang, source, n_chars) rows, schema-aligned with the
+    * TESTDATA documents table; lang/source = "planted" so chain gates can
+    * slice the planted stats with one filter.
+    */
+  def docRows: Seq[(Long, String, String, String, Long)] = {
+    val near = for {
+      g <- 0 until nearGroups
+      m <- 0 until groupSize(g)
+    } yield {
+      val toks = baseTokens(g, 30) ++ (if (m == 0) Nil else Seq(s"pm${g}x$m"))
+      val text = toks.mkString(" ")
+      (base + g * 10L + m, text, "planted", "planted", text.length.toLong)
+    }
+    val exact = for {
+      e <- nearGroups until (nearGroups + exactPairs)
+      m <- 0 until 2
+    } yield {
+      val text = baseTokens(e, 12).mkString(" ")
+      (base + e * 10L + m, text, "planted", "planted", text.length.toLong)
+    }
+    val single = (0 until singletons).map { j =>
+      val e = nearGroups + exactPairs + j
+      val text = baseTokens(e, 10 + j).mkString(" ")
+      (base + e * 10L, text, "planted", "planted", text.length.toLong)
+    }
+    near ++ exact ++ single
+  }
+
+  def docCount: Long = docRows.size.toLong
+
+  def docs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    docRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  val custGroups = 20
+  def custSize(p: Int): Int = if (p % 2 == 0) 3 else 2
+  def custName(p: Int, m: Int): String = {
+    val tag = f"$p%02d" * 3
+    val suffix = m match { case 0 => "A"; case 1 => "B"; case _ => "AB" }
+    s"Planted Entity $tag $suffix"
+  }
+
+  /** (c_custkey, c_name) rows for the edit-distance gate. */
+  def customerRows: Seq[(Long, String)] = for {
+    p <- 0 until custGroups
+    m <- 0 until custSize(p)
+  } yield (base + p * 10L + m, custName(p, m))
+
+  def customers(s: SparkSession): DataFrame = {
+    import s.implicits._
+    customerRows.toDF("c_custkey", "c_name")
+  }
+}

@@ -694,6 +694,108 @@ object SparkEntry {
           "sum_left", "sum_right")
         .orderBy(col("media_id"))
     }),
+    // --- planted-subset scale gates (q140–q146): sf1 evidence for the
+    //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
+    //     whose only direct oracle is the brute-force all-pairs scan the
+    //     operator exists to replace (unaffordable in DuckDB beyond the
+    //     sf0.01 scale). Each gate unions the deterministic Planted corpus
+    //     (disjoint vocabulary -> provably isolated from organic docs; see
+    //     graft.Planted scaladoc) into the REAL corpus, runs the REAL
+    //     operator over the combined input at whatever scale the gate
+    //     runs, and restricts the OUTPUT to planted ids — where the
+    //     expected rows are closed-form arithmetic. At sf1 the banding/
+    //     blocking/verify joins must therefore execute against the full
+    //     50k-doc corpus and still recover every planted pair exactly. ---
+    "q140_planted_neardup_pairs" -> ((s, dir) =>
+      // q22's operator (MinHash LSH banding + exact-Jaccard verify) over
+      // corpus+planted; expected planted pairs and their exact Jaccards
+      // follow from the group construction
+      MinHashLSH.nearDuplicates(
+          Parallelize.ensure(Tables.documents(s, dir))
+            .unionByName(Planted.docs(s)),
+          threshold = 0.3)
+        .filter(col("id1") >= Planted.base)
+        .orderBy(col("id1"), col("id2"))),
+    "q141_planted_components" -> ((s, dir) => {
+      // q65's operator (label propagation over the LSH pair graph);
+      // planted components can never merge with organic ones (exact
+      // verification + disjoint vocabulary), so canonical = group base id
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .unionByName(Planted.docs(s))
+      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
+        .filter(col("doc_id") >= Planted.base)
+        .orderBy(col("doc_id"))
+    }),
+    "q142_planted_component_histogram" -> ((s, dir) => {
+      // q116's aggregation over the planted slice: group sizes 2/3/4 by
+      // construction + the 8 exact pairs in bucket 2 + 10 singletons
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .unionByName(Planted.docs(s))
+      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      val comp = graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
+        .filter(col("doc_id") >= Planted.base)
+      val sizes = comp.groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("size"))
+      val nondup = Planted.docCount - comp.count()
+      val hist = sizes.groupBy(col("size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      import s.implicits._
+      hist.unionByName(Seq((1L, nondup)).toDF("size", "n_clusters"))
+        .groupBy(col("size"))
+        .agg(sum(col("n_clusters")).as("n_clusters"))
+        .orderBy(col("size"))
+    }),
+    "q143_planted_dedup_chain" -> ((s, dir) => {
+      // q68's full chain (exact dedup -> LSH pairs -> components -> drop
+      // non-canonical -> per-lang stats) over corpus+planted, sliced to
+      // the planted language: 58 kept docs / 1441 tokens by construction
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .unionByName(Planted.docs(s))
+      val exactDeduped = ExactDedup.deduplicate(docs)
+      val pairs = MinHashLSH.nearDuplicates(exactDeduped, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      val cleaned = graft.dedup.ConnectedComponents.deduplicate(exactDeduped, pairs)
+      cleaned.filter(col("lang") === "planted")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+    "q144_planted_dedup_staged" -> ((s, dir) => {
+      // q76's staged form of the same chain: the exact-deduped
+      // corpus+planted is staged to the lang-partitioned parquet layout,
+      // then LSH -> components -> stats run over the staged copy
+      val deduped = s.read.parquet(stagedPlantedDedupedDocs(s, dir))
+      val pairs = MinHashLSH.nearDuplicates(deduped, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      val cleaned = graft.dedup.ConnectedComponents.deduplicate(deduped, pairs)
+      cleaned.filter(col("lang") === "planted")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+    "q145_planted_prefix_join" -> ((s, dir) =>
+      // q133's operator (PPJoin prefix filtering, exact recall theorem)
+      // over corpus+planted at threshold 4/5 on word-5-gram shingles
+      graft.dedup.PrefixFilterJoin
+        .similarPairs(Tables.documents(s, dir).unionByName(Planted.docs(s)),
+          num = 4, den = 5, shingleWords = 5)
+        .filter(col("id1") >= Planted.base)
+        .orderBy(col("id1"), col("id2"))),
+    "q146_planted_editdist" -> ((s, dir) =>
+      // q136's operator (SymSpell deletion-variant blocking + exact
+      // levenshtein verify) over customer+planted names; tripled 2-digit
+      // group tags keep cross-group distances >= 2
+      graft.dedup.EditDistanceJoin
+        .similarPairs(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+          .unionByName(Planted.customers(s)), "c_custkey", "c_name")
+        .filter(col("id1") >= Planted.base)
+        .orderBy(col("id1"), col("id2"))),
     // --- full iterative K-means + elbow (rows-only: not SQL-expressible) ---
     "q40_kmeans_full" -> ((s, dir) => {
       val pts = eventPoints(s, dir)
@@ -2215,6 +2317,22 @@ object SparkEntry {
     out.toString
   }
 
+  /** q144's fixture: the exact-deduped corpus+planted staged through the
+    * lang-partitioned sink — stagedExactDedupedDocs with the Planted
+    * corpus unioned in before the dedup. Staged once per dir.
+    */
+  private def stagedPlantedDedupedDocs(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_planted_dedup_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      ExactDedup.deduplicate(
+          Tables.documents(s, dir).unionByName(Planted.docs(s)))
+        .write.mode("overwrite").partitionBy("lang").parquet(out.toString)
+    }
+    out.toString
+  }
+
   /** Stage documents as a lang-partitioned parquet layout (`lang=en/...`
     * directories) — the partitioned-sink half of q61; staged once per dir.
     */
@@ -3585,6 +3703,101 @@ object SparkEntry {
                 CAST(SUM((a0 + i * b0) % 65536 - 32768) AS BIGINT) AS sum_left,
                 CAST(SUM((a1 + i * b1) % 65536 - 32768) AS BIGINT) AS sum_right
          FROM s GROUP BY doc_id ORDER BY media_id""",
+    // --- planted-subset gate oracles: pure closed-form arithmetic over
+    //     the Planted construction (graft.Planted scaladoc reproduces the
+    //     derivations); no table scan, affordable at every scale ---
+    "q140_planted_neardup_pairs" ->
+      // near groups g (size 2+g%3): member m>=1 appends ONE token to the
+      // 30-token base -> 3-gram jaccard 28/29 vs member 0, 28/30 between
+      // non-base members; exact pairs e in 40..47 at jaccard 1.0
+      """WITH sizes AS (SELECT g, 2 + g % 3 AS k FROM range(40) t(g)),
+              m AS (SELECT g, m1.m AS m1, m2.m AS m2
+                    FROM sizes, range(4) m1(m), range(4) m2(m)
+                    WHERE m1.m < m2.m AND m2.m < k),
+              near AS (SELECT 900000000 + g*10 + m1 AS id1,
+                         900000000 + g*10 + m2 AS id2,
+                         CAST(28 AS DOUBLE) /
+                           (CASE WHEN m1 = 0 THEN 29 ELSE 30 END) AS jaccard
+                       FROM m),
+              exact AS (SELECT 900000000 + e*10 AS id1,
+                          900000000 + e*10 + 1 AS id2,
+                          CAST(1.0 AS DOUBLE) AS jaccard
+                        FROM range(40, 48) t(e))
+         SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2, jaccard
+         FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
+         ORDER BY id1, id2""",
+    "q141_planted_components" ->
+      // every near-group/exact-pair member labels to its group's base id;
+      // singletons are in no pair and must be absent
+      """WITH members AS (
+           SELECT 900000000 + g*10 + m AS doc_id,
+                  900000000 + g*10 AS canonical_id
+           FROM range(40) t(g), range(4) mm(m) WHERE m < 2 + g % 3
+           UNION ALL
+           SELECT 900000000 + e*10 + m, 900000000 + e*10
+           FROM range(40, 48) t(e), range(2) mm(m))
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(canonical_id AS BIGINT) AS canonical_id
+         FROM members ORDER BY doc_id""",
+    "q142_planted_component_histogram" ->
+      // sizes 2+g%3 over g in 0..39 -> 14/13/13 groups of size 2/3/4;
+      // + 8 exact pairs in bucket 2; + 10 singletons in bucket 1
+      """SELECT CAST(size AS BIGINT) AS size,
+                CAST(n_clusters AS BIGINT) AS n_clusters
+         FROM (VALUES (1, 10), (2, 22), (3, 13), (4, 13)) v(size, n_clusters)
+         ORDER BY size""",
+    "q143_planted_dedup_chain" ->
+      // kept docs: 40 group canonicals (30 tokens) + 8 exact-pair
+      // canonicals (12 tokens) + 10 singletons (10+j tokens, j=0..9)
+      // -> 58 docs, 40*30 + 8*12 + 145 = 1441 tokens
+      """SELECT 'planted' AS lang, CAST(58 AS BIGINT) AS n_docs,
+                CAST(1441 AS BIGINT) AS total_tokens""",
+    // the staged variant must land on the identical planted stats
+    "q144_planted_dedup_staged" ->
+      """SELECT 'planted' AS lang, CAST(58 AS BIGINT) AS n_docs,
+                CAST(1441 AS BIGINT) AS total_tokens""",
+    "q145_planted_prefix_join" ->
+      // word-5-gram shingles: 26 base; member m>=1 adds one -> inter 26,
+      // union 27 (vs member 0) or 28 (between non-base members), all
+      // above the 4/5 threshold; exact pairs at 8/8
+      """WITH sizes AS (SELECT g, 2 + g % 3 AS k FROM range(40) t(g)),
+              m AS (SELECT g, m1.m AS m1, m2.m AS m2
+                    FROM sizes, range(4) m1(m), range(4) m2(m)
+                    WHERE m1.m < m2.m AND m2.m < k),
+              near AS (SELECT 900000000 + g*10 + m1 AS id1,
+                         900000000 + g*10 + m2 AS id2, 26 AS inter_size,
+                         CASE WHEN m1 = 0 THEN 27 ELSE 28 END AS union_size
+                       FROM m),
+              exact AS (SELECT 900000000 + e*10 AS id1,
+                          900000000 + e*10 + 1 AS id2, 8, 8
+                        FROM range(40, 48) t(e))
+         SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                CAST(inter_size AS BIGINT) AS inter_size,
+                CAST(union_size AS BIGINT) AS union_size
+         FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
+         ORDER BY id1, id2""",
+    "q146_planted_editdist" ->
+      // groups p (3 members for even p, 2 for odd): A/B/AB suffixes are
+      // pairwise levenshtein 1; tripled 2-digit tags keep cross-group
+      // distances >= 2, so exactly the within-group pairs qualify
+      """WITH p AS (SELECT p, CASE WHEN p % 2 = 0 THEN 3 ELSE 2 END AS k,
+                      'Planted Entity ' ||
+                        repeat(lpad(CAST(p AS VARCHAR), 2, '0'), 3) || ' '
+                        AS pre
+                    FROM range(20) t(p)),
+              m AS (SELECT p.p, pre, m1.m AS m1, m2.m AS m2
+                    FROM p, range(3) m1(m), range(3) m2(m)
+                    WHERE m1.m < m2.m AND m2.m < k),
+              named AS (SELECT 900000000 + p*10 + m1 AS id1,
+                          900000000 + p*10 + m2 AS id2,
+                          pre || CASE m1 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+                                 ELSE 'AB' END AS s1,
+                          pre || CASE m2 WHEN 0 THEN 'A' WHEN 1 THEN 'B'
+                                 ELSE 'AB' END AS s2
+                        FROM m)
+         SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+                s1, s2, CAST(1 AS INT) AS dist
+         FROM named ORDER BY id1, id2""",
     "q107_event_transitions" ->
       // same per-user (ts, event_id) total order
       """WITH e AS (SELECT user_id, event_id, event_type,
