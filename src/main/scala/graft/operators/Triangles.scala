@@ -28,8 +28,23 @@ object Triangles {
     * no triangle are absent. Orientation-invariant: the same set of
     * triangles exists under any acyclic orientation, so results match a
     * plain id-ordered oracle.
+    *
+    * The oriented edge table feeds THREE consumers (both wedge-join sides
+    * and the closure join). The wedge sides share an exchange on `s`, but
+    * the closure join repartitions on (t1, t2) — a different key — so
+    * without materialization the whole orient subtree (scan + two degree
+    * joins) recomputes for it, and under memory pressure the r7 bench saw
+    * q123 swing 37–624 s at sf1 on identical plans. The orient table is
+    * therefore checkpointed eagerly (computed ONCE, read three times from
+    * blocks) and released after the vertex-sized result is copied out
+    * file-backed — no persisted state survives the call
+    * ([[graft.IterState]] discipline).
+    *
+    * `materialize = false` returns the fully LAZY plan instead (no
+    * checkpoint, orient recomputed per consumer modulo exchange reuse) —
+    * for plan-shape inspection and for callers that persist differently.
     */
-  def perVertexCounts(edges: DataFrame): DataFrame = {
+  def perVertexCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     val pairs = edges
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -41,10 +56,13 @@ object Triangles {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val orient = withDeg.select(
+    val orientPlan = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("t"),
       when(aFirst, col("db")).otherwise(col("da")).as("dt"))
+    val (orient, releaseOrient) =
+      if (materialize) graft.IterState.checkpoint(orientPlan)
+      else (orientPlan, () => ())
     // wedge (s; t1, t2) with (dt1, t1) < (dt2, t2); the closing edge is
     // then oriented t1→t2 under the same total order
     val wedges = orient.as("e1").join(orient.as("e2"),
@@ -54,7 +72,13 @@ object Triangles {
       .select(col("e1.s").as("u"), col("e1.t").as("t1"), col("e2.t").as("t2"))
     val tris = wedges.join(orient.select(col("s").as("t1"), col("t").as("t2")),
       Seq("t1", "t2"))
-    tris.select(explode(array(col("u"), col("t1"), col("t2"))).as("v"))
+    val res = tris.select(explode(array(col("u"), col("t1"), col("t2"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    if (!materialize) res
+    else {
+      val out = graft.IterState.copyOut(res)
+      releaseOrient()
+      out
+    }
   }
 }

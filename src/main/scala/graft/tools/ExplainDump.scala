@@ -80,12 +80,22 @@ object ExplainDump {
       graft.operators.HistogramQuantile.quantiles(merged, "d", eps, Seq(0.5, 0.95))), (
       "q135_zorder_layout (production cluster path)",
       "z-order clustering: codegen'd Morton interleave + ONE range exchange + in-partition (non-global) sort — the whole cost of the layout write; q135's gate query adds the hash control layout and the box probes, which exist only to be checked",
-      graft.operators.ZOrder.cluster(
-        graft.Tables.events(spark, sfDir)
+      {
+        // minute must be RELATIVE to the corpus start (as the q135 fixture
+        // derives it): ZOrder.spread16 keeps the low 16 bits, so absolute
+        // epoch minutes (~28M) would wrap mod 65536 and silently lose
+        // temporal locality in the shipped recipe
+        val ev = graft.Tables.events(spark, sfDir)
           .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        val t0 = ev.agg(org.apache.spark.sql.functions.min(col("ts")).as("t0"))
+        val withMinute = ev
+          .crossJoin(org.apache.spark.sql.functions.broadcast(t0))
           .withColumn("minute", org.apache.spark.sql.functions
-            .floor(col("ts").cast("long") / 60)),
-        col("user_id"), col("minute"), numFiles = 16)))
+            .floor((col("ts").cast("long") - col("t0").cast("long")) / 60))
+          .drop("t0")
+        graft.operators.ZOrder.cluster(
+          withMinute, col("user_id"), col("minute"), numFiles = 16)
+      }))
   }
 
   def main(args: Array[String]): Unit = {

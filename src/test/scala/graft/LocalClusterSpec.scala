@@ -39,9 +39,16 @@ import org.scalatest.funsuite.AnyFunSuite
   *    math);
   *  - q136: edit-distance join — deletion-variant explode + the
   *    levenshtein codegen verify compiled on executor JVMs;
+  *  - q137: KS drift — wide-DECIMAL cross-product gap buffers and the
+  *    file-staged bucket table re-read across the process boundary;
   *  - q138: image perceptual hash — the ImageIO decode + aHash closure
   *    runs INSIDE executor JVMs (javax.imageio static state, codec
-  *    object serialization), payloads read from parquet executor-side.
+  *    object serialization), payloads read from parquet executor-side;
+  *  - q139: audio features — the javax.sound.sampled WAV container parse
+  *    runs inside executor JVMs over parquet-read binary payloads;
+  *  - q140: planted near-dup gate — the driver-built planted corpus is
+  *    shipped to executors (parallelized local rows + union) and must
+  *    band/verify identically there.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -57,7 +64,10 @@ class LocalClusterSpec extends AnyFunSuite {
     "q133_prefix_filter_join",
     "q134_unigram_perplexity",
     "q136_editdist_dedup",
-    "q138_image_phash_dedup")
+    "q137_ks_drift",
+    "q138_image_phash_dedup",
+    "q139_audio_features",
+    "q140_planted_neardup_pairs")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq

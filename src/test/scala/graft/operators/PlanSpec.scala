@@ -414,6 +414,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"q123 plans a cartesian:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"q123 top-20 lost the TakeOrdered rewrite:\n$plan")
+    // the wedge/closure joins live BELOW the eager orient checkpoint in
+    // the shipped path — assert their shape on the lazy form, where the
+    // whole subtree is one plan
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
+        && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val lazyDf = Triangles.perVertexCounts(pairs, materialize = false)
+    lazyDf.collect()
+    val lazyPlan = planOf(lazyDf)
+    assert(!lazyPlan.contains("BroadcastNestedLoopJoin") &&
+      !lazyPlan.contains("CartesianProduct"),
+      s"triangle wedge/closure joins are not all equi:\n$lazyPlan")
   }
 
   test("q124 trend fit: one partial-agg moment pass; 1-row anchor broadcasts") {
@@ -538,6 +553,9 @@ class PlanSpec extends SparkSpec {
 
   test("ZOrder.cluster: exactly one range exchange + a non-global sort, interleave stays codegen") {
     import org.apache.spark.sql.functions.{col, floor}
+    // absolute epoch minutes here are a DELIBERATE shortcut: only the plan
+    // shape is asserted. A shipped recipe must subtract min(ts) first (the
+    // q135 fixture / ExplainDump form) or spread16 wraps the minute lane.
     val df = ZOrder.cluster(
       Tables.events(spark, sf("sf0.001"))
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
