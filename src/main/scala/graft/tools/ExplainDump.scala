@@ -45,7 +45,9 @@ object ExplainDump {
     "q133_prefix_filter_join" -> "prefix-filter similarity join: df-sorted prefix explode → ONE shingle-keyed candidate equi-join → semi-join-pruned exact verify, no all-pairs stage",
     "q134_unigram_perplexity" -> "unigram perplexity: tf-row token-keyed join, UNHINTED so AQE broadcasts only while the vocab fits (it does here) and shuffles at 100 TB; exact DECIMAL term sums in partial aggs, no window",
     "q136_editdist_dedup" -> "edit-distance join: deletion-variant explode → ONE variant-keyed candidate equi-join → distinct → codegen levenshtein verify; no all-pairs stage, recall by theorem",
-    "q137_ks_drift" -> "KS drift: ONE data-sized (side,bucket) partial agg; the cumulative window and max-gap pass run over the metadata-sized bucket table (1-row broadcasts for sides/totals/max)")
+    "q137_ks_drift" -> "KS drift: ONE data-sized (side,bucket) partial agg; the cumulative window and max-gap pass run over the metadata-sized bucket table (1-row broadcasts for sides/totals/max)",
+    "q139_audio_features" -> "WAV decode: narrow parquet scan → object-mapped partition decode → fixed-width stats; payloads never reach an exchange",
+    "q140_planted_neardup_pairs" -> "planted gate: the 145-row local relation unions into the corpus BELOW the LSH stages — same banded plan as q22, one scan of each side")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
