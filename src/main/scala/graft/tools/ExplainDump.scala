@@ -32,12 +32,12 @@ object ExplainDump {
     "q99_span_dedup" -> "duplicated spans: partial agg above the gram explode, ONE gram-keyed exchange",
     "q101_length_buckets" -> "length buckets: narrow integer CASE ladder + one (lang, cap) agg",
     "q103_quantile_buckets" -> "quantile bucketing: sketch boundaries broadcast back, no ranking window",
-    "q105_pagerank" -> "PageRank round: edge join + dst-keyed partial agg (Pregel-as-joins)",
+    "q105_pagerank" -> "PageRank result consumption: the copied-out file-backed ranks (per-round shape dumped separately below)",
     "q106_vocab_coverage" -> "vocab coverage: vocab-sized agg, TakeOrdered top-1000, k-bounded threshold join",
     "q113_rolling_anomaly" -> "rolling anomaly: per-type window partitions, exact-long frame sums, no global sort",
     "q122_hourly_gap_fill" -> "gap fill: grid from a broadcast 1-row bounds aggregate via sequence(), broadcast fill join",
-    "q123_triangle_count" -> "triangles: degree-oriented wedge join, equi joins only, TakeOrdered top-20",
-    "q116_component_histogram" -> "component histogram: aggregates over the k-sized (checkpointed) component table, no window",
+    "q123_triangle_count" -> "triangles top-20 over the copied-out per-vertex counts (wedge-join shape dumped separately below)",
+    "q116_component_histogram" -> "component histogram: aggregates over the k-sized file-staged component table, no window",
     "q127_incremental_rollup" -> "incremental rollup: base ∪ delta merge with partial aggs (PlanSpec proves partition-level pruning on a date-partitioned store)",
     "q128_attribution" -> "attribution: as-of merge-scan window + keys-only anti-join, every join equi",
     "q129_sliding_distinct" -> "sliding distinct: one sketch pass, k-sized day-grid merge, events never revisited",
@@ -73,7 +73,21 @@ object ExplainDump {
           && col("s.d") <= col("g.d"))
       .groupBy(col("g.d").as("d"), col("bucket"))
       .agg(org.apache.spark.sql.functions.sum(col("cnt")).as("cnt"))
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val triPairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
+        && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
     Seq((
+      "q123 wedge stage (lazy form)",
+      "triangles: degree-oriented wedge join, equi joins only — the whole plan below the eager orient checkpoint of the shipped path",
+      graft.operators.Triangles.perVertexCounts(triPairs, materialize = false)), (
+      "q105 PageRank round (unstaged form)",
+      "one damped iteration: edge join + dst-keyed partial agg (Pregel-as-joins) — the per-round shape the shipped path checkpoints between",
+      graft.operators.PageRank.ranksMillionths(
+        graft.Tables.events(spark, sfDir)
+          .select(col("user_id").as("s"), (col("event_id") % 500).as("d")),
+        iterations = 1, checkpoint = false)), (
       "q95_pq_ann (production ADC search path)",
       "PQ ANN: codes-only scan with LUT literals — zero joins/windows before the bounded top-k aggregate (q95's oracle side adds a brute-force recall gate; this is the half a user ships)",
       graft.similarity.ProductQuantization.search(codes, Seq((0L, q)), cb, k = 5)), (
