@@ -1520,8 +1520,15 @@ object SparkEntry {
       val eps = 0.01
       val ev = Tables.events(s, dir)
         .select(to_date(col("ts")).as("d"), col("value"))
-      val daily = HistogramQuantile.sketch(ev, Seq("d"), col("value"), eps)
-      val dayGrid = daily.select(col("d")).distinct()
+      // log bucketing is defined on POSITIVE values only and the sketch
+      // now raises on violations (sf0.1 carries 6 zero-value rows in 1M,
+      // sf1 sixty): exclude them from the SKETCH side explicitly. The
+      // exact/gate side below keeps every row, so the estimates face the
+      // full-distribution quantiles and the ppm-level rank shift is
+      // absorbed by the 3*eps tolerance.
+      val daily = HistogramQuantile.sketch(
+        ev.filter(col("value") > 0), Seq("d"), col("value"), eps)
+      val dayGrid = ev.select(col("d")).distinct()
       val merged = dayGrid.as("g").join(daily.as("s"),
           col("s.d") >= date_sub(col("g.d"), 6) && col("s.d") <= col("g.d"))
         .groupBy(col("g.d").as("d"), col("bucket"))
