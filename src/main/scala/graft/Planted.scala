@@ -100,6 +100,28 @@ object Planted {
     docRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Planted LONG-CHAIN components for the star-rewrite gate (q147):
+    * pure edge arithmetic (no documents — a 0.3-jaccard text chain would
+    * sit below the minhash banding S-curve), ids in their own range above
+    * [[base]]. Each chain c is a path of `chainLengths(c)` vertices, so
+    * its component canonical is the chain head — closed form — while its
+    * DIAMETER is the whole length: min-label propagation needs ~length
+    * rounds, star rewriting ~log(length), which is exactly what the gate
+    * exercises at full corpus scale.
+    */
+  val chainBase = 910000000L
+  val chainLengths: Seq[Int] = Seq(40, 50, 60)
+
+  def chainEdgeRows: Seq[(Long, Long)] = for {
+    (len, c) <- chainLengths.zipWithIndex
+    m <- 0 until (len - 1)
+  } yield (chainBase + c * 1000L + m, chainBase + c * 1000L + m + 1)
+
+  def chainEdges(s: SparkSession): DataFrame = {
+    import s.implicits._
+    chainEdgeRows.toDF("id1", "id2")
+  }
+
   val custGroups = 20
   def custSize(p: Int): Int = if (p % 2 == 0) 3 else 2
   def custName(p: Int, m: Int): String = {

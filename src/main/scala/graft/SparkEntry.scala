@@ -786,6 +786,23 @@ object SparkEntry {
           num = 4, den = 5, shingleWords = 5)
         .filter(col("id1") >= Planted.base)
         .orderBy(col("id1"), col("id2"))),
+    "q147_bigstar_components" -> ((s, dir) => {
+      // the alternating large-star/small-star component algorithm
+      // (Kiveris et al., SoCC'14) over the SAME pair graph as q141 PLUS
+      // three planted long-chain components (paths of 40/50/60 vertices,
+      // explicit arithmetic edges): min-label propagation would need
+      // ~length rounds on those; star rewriting closes them in ~log
+      // rounds and must land on identical canonicals. Gated like q141:
+      // closed-form expected rows, real operator over the full corpus.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .unionByName(Planted.docs(s))
+      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+        .select(col("id1"), col("id2"))
+      graft.dedup.BigStar
+        .canonicalAssignments(pairs.unionByName(Planted.chainEdges(s)))
+        .filter(col("doc_id") >= Planted.base)
+        .orderBy(col("doc_id"))
+    }),
     "q146_planted_editdist" -> ((s, dir) =>
       // q136's operator (SymSpell deletion-variant blocking + exact
       // levenshtein verify) over customer+planted names; tripled 2-digit
@@ -3783,6 +3800,23 @@ object SparkEntry {
                 CAST(union_size AS BIGINT) AS union_size
          FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
          ORDER BY id1, id2""",
+    "q147_bigstar_components" ->
+      // q141's expected rows + the three planted chains, whose canonical
+      // is the chain head by construction
+      """WITH members AS (
+           SELECT 900000000 + g*10 + m AS doc_id,
+                  900000000 + g*10 AS canonical_id
+           FROM range(40) t(g), range(4) mm(m) WHERE m < 2 + g % 3
+           UNION ALL
+           SELECT 900000000 + e*10 + m, 900000000 + e*10
+           FROM range(40, 48) t(e), range(2) mm(m)
+           UNION ALL
+           SELECT 910000000 + c*1000 + m, 910000000 + c*1000
+           FROM (VALUES (0, 40), (1, 50), (2, 60)) ch(c, len), range(60) mm(m)
+           WHERE m < len)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                CAST(canonical_id AS BIGINT) AS canonical_id
+         FROM members ORDER BY doc_id""",
     "q146_planted_editdist" ->
       // groups p (3 members for even p, 2 for odd): A/B/AB suffixes are
       // pairwise levenshtein 1; tripled 2-digit tags keep cross-group
