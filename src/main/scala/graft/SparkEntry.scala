@@ -786,6 +786,68 @@ object SparkEntry {
           num = 4, den = 5, shingleWords = 5)
         .filter(col("id1") >= Planted.base)
         .orderBy(col("id1"), col("id2"))),
+    "q148_hybrid_rrf" -> ((s, dir) => {
+      // hybrid retrieval for RAG: a BM25 lexical ranking (q98's
+      // exact-micros arithmetic, per-query terms = tokens 1/3/5/7/9 of
+      // the query doc) and a dense cosine ranking (q24's brute-force
+      // contract; vec_id ≡ doc_id parallel-array fixture) fused by
+      // reciprocal-rank fusion in exact integer micro-units
+      // (operators.Rrf — no float ever decides an order). Scale shape:
+      // both rankers keep their own shapes (isin-pruned postings +
+      // bounded top-k agg; broadcast query vectors); the fusion runs
+      // over k-bounded per-query groups only.
+      import graft.operators.Rrf
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("bigint").as("dl"),
+          split(trim(col("text")), " +").as("toks"))
+      val qterms = d.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(array(Seq(1, 3, 5, 7, 9)
+            .map(p => element_at(col("toks"), p)): _*)).as("token"))
+        .filter(col("token").isNotNull && length(col("token")) > 0)
+        .distinct()
+      val stats = d.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tf = d.select(col("doc_id"), col("dl"), explode(col("toks")).as("token"))
+        .join(broadcast(qterms), Seq("token"))
+        .groupBy(col("query_id"), col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val dfreq = tf.groupBy(col("query_id"), col("token"))
+        .agg(count(lit(1)).as("df"))
+      val nd = col("n_docs").cast("double")
+      val micros = tf.join(broadcast(dfreq), Seq("query_id", "token"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(lit(1.0)
+          + (nd - col("df").cast("double") + 0.5)
+            / (col("df").cast("double") + 0.5)))
+        .withColumn("contrib", col("idf") * (col("tf").cast("double") * lit(2.2))
+          / (col("tf").cast("double")
+            + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double")
+              / (col("sum_dl").cast("double") / nd))))
+        .select(col("query_id"), col("doc_id"),
+          round(col("contrib") * 1e6).cast("bigint").as("m"))
+      // per-query bounded top-20 via the algebraic aggregator (map-side
+      // partial top-k): micros are exact in double far beyond this range
+      val bm25 = micros.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("m")).as("score_micros"))
+        .groupBy(col("query_id"))
+        .agg(graft.similarity.TopKAggregator.topK(20)(
+          col("doc_id"), col("score_micros").cast("double")).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("query_id"), col("s.id").as("doc_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+      val dense = graft.similarity.Knn.bruteForce(Tables.embeddings(s, dir),
+          Tables.embeddings(s, dir).filter(col("vec_id") < 3), k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Rrf.fuse(Seq(bm25, dense), topN = 10)
+        .join(bm25.withColumnRenamed("rank", "r_bm25"),
+          Seq("query_id", "doc_id"), "left")
+        .join(dense.withColumnRenamed("rank", "r_dense"),
+          Seq("query_id", "doc_id"), "left")
+        .select(col("query_id"), col("doc_id"), col("r_bm25"), col("r_dense"),
+          col("rrf_micros"), col("n_lists"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q147_bigstar_components" -> ((s, dir) => {
       // the alternating large-star/small-star component algorithm
       // (Kiveris et al., SoCC'14) over the SAME pair graph as q141 PLUS
@@ -3800,6 +3862,72 @@ object SparkEntry {
                 CAST(union_size AS BIGINT) AS union_size
          FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
          ORDER BY id1, id2""",
+    "q148_hybrid_rrf" ->
+      // both rankings re-derived with q98's exact-micros BM25 arithmetic
+      // and q24's cosine ordering, then fused with the SAME integer
+      // 1e6 // (60 + rank) contributions — the whole fusion is integer
+      """WITH d AS (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +')) END
+                        AS BIGINT) AS dl,
+                      string_split_regex(trim(text), ' +') AS toks
+                    FROM documents),
+              qt AS (SELECT DISTINCT doc_id AS query_id, tok AS token
+                     FROM (SELECT doc_id,
+                             unnest([toks[1], toks[3], toks[5], toks[7],
+                                     toks[9]]) AS tok
+                           FROM d WHERE doc_id < 3)
+                     WHERE tok IS NOT NULL AND length(tok) > 0),
+              n AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM d),
+              t AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+              tf AS (SELECT qt.query_id, t.doc_id, t.token,
+                            COUNT(*) AS tf, MAX(t.dl) AS dl
+                     FROM t JOIN qt ON t.token = qt.token
+                     GROUP BY 1, 2, 3),
+              dfr AS (SELECT query_id, token, COUNT(*) AS df
+                      FROM tf GROUP BY 1, 2),
+              c AS (SELECT tf.query_id, tf.doc_id,
+                      CAST(round(
+                        ln(1.0 + (CAST(n.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5)
+                                 / (CAST(dfr.df AS DOUBLE) + 0.5))
+                        * (CAST(tf.tf AS DOUBLE) * 2.2)
+                        / (CAST(tf.tf AS DOUBLE)
+                           + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE)
+                                    / (CAST(n.sum_dl AS DOUBLE) / CAST(n.n_docs AS DOUBLE))))
+                        * 1e6) AS BIGINT) AS micros
+                    FROM tf JOIN dfr USING (query_id, token), n),
+              bm AS (SELECT query_id, doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY SUM(micros) DESC, doc_id) AS r
+                     FROM c GROUP BY 1, 2 QUALIFY r <= 20),
+              e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+              q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+              dn AS (SELECT q.query_id, e.vec_id AS doc_id,
+                            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                              list_sum([e.v[i] * q.qv[i]
+                                        for i in range(1, len(e.v) + 1)])
+                                / (sqrt(list_sum([x * x for x in e.v]))
+                                   * sqrt(list_sum([x * x for x in q.qv]))) DESC,
+                              e.vec_id) AS r
+                     FROM e, q WHERE e.vec_id <> q.query_id QUALIFY r <= 20),
+              contribs AS (SELECT query_id, doc_id, 1000000 // (60 + r) AS c
+                           FROM bm
+                           UNION ALL
+                           SELECT query_id, doc_id, 1000000 // (60 + r) FROM dn),
+              fused AS (SELECT query_id, doc_id, SUM(c) AS rrf_micros,
+                               COUNT(*) AS n_lists,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY SUM(c) DESC, doc_id) AS rank
+                        FROM contribs GROUP BY 1, 2 QUALIFY rank <= 10)
+         SELECT f.query_id, f.doc_id,
+                CAST(bm.r AS INT) AS r_bm25, CAST(dn.r AS INT) AS r_dense,
+                CAST(f.rrf_micros AS BIGINT) AS rrf_micros,
+                CAST(f.n_lists AS BIGINT) AS n_lists,
+                CAST(f.rank AS INT) AS rank
+         FROM fused f
+         LEFT JOIN bm USING (query_id, doc_id)
+         LEFT JOIN dn USING (query_id, doc_id)
+         ORDER BY f.query_id, f.rank""",
     "q147_bigstar_components" ->
       // q141's expected rows + the three planted chains, whose canonical
       // is the chain head by construction
