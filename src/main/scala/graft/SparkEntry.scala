@@ -786,6 +786,15 @@ object SparkEntry {
           num = 4, den = 5, shingleWords = 5)
         .filter(col("id1") >= Planted.base)
         .orderBy(col("id1"), col("id2"))),
+    "q149_bpe_merges" -> ((s, dir) =>
+      // tokenizer training: the first 8 BPE merge rules learned from the
+      // corpus (frequency-weighted greedy pair merging over the DISTINCT
+      // word table — one corpus pass, then vocab-sized rounds). The
+      // oracle unrolls all 8 rounds in SQL (the q132 pattern) with
+      // op-identical encoding, counting, tie-break and literal-replace
+      // merge semantics — see operators.BpeTrainer scaladoc.
+      graft.operators.BpeTrainer.learnMerges(
+        Parallelize.ensure(Tables.documents(s, dir)), nMerges = 8)),
     "q148_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval for RAG: a BM25 lexical ranking (q98's
       // exact-micros arithmetic, per-query terms = tokens 1/3/5/7/9 of
@@ -3862,6 +3871,7 @@ object SparkEntry {
                 CAST(union_size AS BIGINT) AS union_size
          FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
          ORDER BY id1, id2""",
+    "q149_bpe_merges" -> bpeOracleSql(8),
     "q148_hybrid_rrf" ->
       // both rankings re-derived with q98's exact-micros BM25 arithmetic
       // and q24's cosine ordering, then fused with the SAME integer
@@ -4720,6 +4730,44 @@ object SparkEntry {
                       ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rk
                FROM scored) t
          WHERE rk <= 3 ORDER BY query_id, rank"""
+
+  /** q149's oracle: all `n` BPE rounds unrolled as chained CTEs (the
+    * q132 unrolling pattern) — same wrapped-symbol encoding, same
+    * frequency-weighted pair count, same (count desc, binary string)
+    * tie-break, same literal-replace merge as `operators.BpeTrainer`.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT regexp_replace(token, '(.)', '<\1>', 'g') AS enc,
+                            COUNT(*) AS freq
+                     FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
+                             AS token
+                           FROM documents)
+                     WHERE length(token) > 0 AND token NOT LIKE '%<%'
+                       AND token NOT LIKE '%>%'
+                     GROUP BY 1)""")
+    for (r <- 1 to n) {
+      sb.append(s""",
+         p$r AS (SELECT s[i] AS lft, s[i + 1] AS rgt, SUM(freq) AS cnt
+                 FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+                       FROM (SELECT freq,
+                               string_split(trim(enc, '<>'), '><') AS s
+                             FROM w${r - 1}))
+                 GROUP BY 1, 2),
+         m$r AS (SELECT lft, rgt, cnt FROM p$r
+                 ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         w$r AS (SELECT replace(enc, '<' || m.lft || '><' || m.rgt || '>',
+                                '<' || m.lft || m.rgt || '>') AS enc, freq
+                 FROM w${r - 1}, m$r m)""")
+    }
+    sb.append("\n SELECT * FROM (")
+    sb.append((1 to n).map(r =>
+      s"""SELECT $r AS round, lft AS "left", rgt AS "right",
+            CAST(cnt AS BIGINT) AS pair_count FROM m$r""").mkString(" UNION ALL "))
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
 
   /** SQL mirror of [[KMeansMR.assignExpr]] over the shared integral
     * centroids: same first-index-wins CASE WHEN argmin, same arithmetic.

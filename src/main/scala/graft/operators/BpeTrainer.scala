@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge-rule training (Sennrich, Haddow, Birch: "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) —
+  * the tokenizer-training half of an LLM data pipeline. Each round
+  * counts adjacent symbol pairs over the corpus (frequency-weighted),
+  * picks the most frequent pair (ties broken lexicographically), and
+  * merges it greedily left-to-right in every word; the output is the
+  * ordered merge table a tokenizer ships.
+  *
+  * Scale shape — the standard trick that makes BPE training distributable:
+  * all rounds operate on the (distinct word, corpus frequency) table, not
+  * the corpus. ONE corpus pass builds it; afterwards every round is a
+  * vocab-sized explode + partial-aggregated pair count, a 1-row argmax
+  * collect, and a narrow per-word merge — lineage truncated and released
+  * per round ([[graft.IterState]] discipline, no persisted state after
+  * return).
+  *
+  * Cross-engine exactness: words are encoded as delimiter-wrapped symbol
+  * strings (`cat` → `<c><a><t>`) so a merge is a LITERAL string
+  * replacement `"<a><b>" -> "<ab>"`. Because the delimiters are part of
+  * the symbols (not separators between them), adjacent matches share no
+  * characters and left-to-right non-overlapping `replace` — identical
+  * semantics in Spark and DuckDB — implements exactly the greedy BPE
+  * merge (`aaa` + merge(a,a) → `aa a`, never `a aa`). Pair counting,
+  * argmax tie-break (count desc, then binary string order) and the
+  * replacement are replayed op-for-op by the SQL oracle; no RNG, no
+  * floats anywhere.
+  */
+object BpeTrainer {
+
+  /** Tokens containing the delimiter characters are dropped (documented
+    * contract, mirrored by the oracle) — they would make the wrapped
+    * encoding ambiguous.
+    */
+  private def wordTable(documents: DataFrame, textCol: String): DataFrame =
+    documents
+      .select(explode(split(trim(col(textCol)), " +")).as("token"))
+      .filter(length(col("token")) > 0
+        && !col("token").contains("<") && !col("token").contains(">"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("token"), "(.)", "<$1>").as("enc"), col("freq"))
+
+  /** The ordered merge table: (round, left, right, pair_count), one row
+    * per learned merge; stops early if no pair remains.
+    */
+  def learnMerges(documents: DataFrame, textCol: String = "text",
+                  nMerges: Int = 8): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = documents.sparkSession
+    var (words, release) = graft.IterState.checkpoint(
+      wordTable(documents, textCol))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var done = false
+    var r = 1
+    while (r <= nMerges && !done) {
+      val top = words
+        .select(col("freq"),
+          expr("split(trim(BOTH '<>' FROM enc), '><')").as("s"))
+        .select(col("freq"), explode(expr(
+          // sequence(0, -1) DESCENDS in Spark: a single-symbol word must
+          // yield an empty pair array, not (s[0], s[-1]) null-pairs
+          "IF(size(s) < 2, array(), transform(sequence(0, size(s) - 2), " +
+            "i -> named_struct('lft', s[i], 'rgt', s[i + 1])))")).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rt, cnt))
+        val (next, releaseNext) = graft.IterState.checkpoint(
+          words.select(
+            replace(col("enc"), lit(s"<$l><$rt>"), lit(s"<$l$rt>")).as("enc"),
+            col("freq")))
+        release()
+        words = next
+        release = releaseNext
+        r += 1
+      }
+    }
+    release()
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "pair_count")
+      .orderBy(col("round"))
+  }
+}

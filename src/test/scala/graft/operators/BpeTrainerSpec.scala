@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class BpeTrainerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def merges(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] =
+    BpeTrainer.learnMerges(texts.toDF("text"), nMerges = n)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+  test("hand-verifiable corpus learns the classic merges in order") {
+    // "low" x3, "lower" x2: pairs lo:5, ow:5, we:2, er:2 -> (l,o) wins the
+    // lexicographic tie with (o,w); then (lo,w):5; then (low,e... wait:
+    // after lo: low x3 = [lo,w], lower x2 = [lo,w,e,r]; pairs (lo,w):5,
+    // (w,e):2, (e,r):2 -> (lo,w); then low=[low], lower=[low,e,r]:
+    // (low,e):2, (e,r):2 -> (e,r) < (low,e)? binary: 'e' < 'low' -> (e,r)
+    val got = merges(Seq("low low low lower lower"), 4)
+    assert(got(0) === ((1, "l", "o", 5L)))
+    assert(got(1) === ((2, "lo", "w", 5L)))
+    assert(got(2) === ((3, "e", "r", 2L)))
+    assert(got(3) === ((4, "low", "er", 2L)))
+  }
+
+  test("greedy left-to-right merge: repeated symbols pair non-overlapping") {
+    // "aaaa" x2, "aaa" x1: round 1 counts (a,a) = 2*3 + 1*2 = 8; after
+    // merging, aaaa=[aa,aa], aaa=[aa,a]: round 2 (aa,aa):2 vs (aa,a):1
+    val got = merges(Seq("aaaa aaaa aaa"), 2)
+    assert(got(0) === ((1, "a", "a", 8L)))
+    assert(got(1) === ((2, "aa", "aa", 2L)))
+  }
+
+  test("frequency weighting uses corpus counts, not distinct words") {
+    // "ab" x10 vs "cd" x1: (a,b) at 10 beats (c,d) at 1
+    val got = merges(Seq(Seq.fill(10)("ab").mkString(" ") + " cd"), 1)
+    assert(got(0) === ((1, "a", "b", 10L)))
+  }
+
+  test("delimiter-bearing tokens are dropped; no persisted state remains") {
+    val df = Seq("xy xy a<b c>d").toDF("text")
+    val got = BpeTrainer.learnMerges(df, nMerges = 1).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(1) === "x" && got(0).getString(2) === "y")
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty, s"BpeTrainer leaked: $leaked")
+  }
+}
