@@ -795,6 +795,18 @@ object SparkEntry {
       // merge semantics — see operators.BpeTrainer scaladoc.
       graft.operators.BpeTrainer.learnMerges(
         Parallelize.ensure(Tables.documents(s, dir)), nMerges = 8)),
+    "q150_bpe_encode" -> ((s, dir) => {
+      // the encoding half of the tokenizer: train the 8 merges (q149),
+      // then count each document's subword tokens under them. The merge
+      // chain runs over the DISTINCT token table only, joined back onto
+      // the token stream (vocab-join shape); the oracle re-derives the
+      // merges AND the per-token subword sizes in SQL.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val merges = graft.operators.BpeTrainer.learnMerges(docs, nMerges = 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.BpeTrainer.subwordCounts(docs, merges)
+        .orderBy(col("doc_id"))
+    }),
     "q148_hybrid_rrf" -> ((s, dir) => {
       // hybrid retrieval for RAG: a BM25 lexical ranking (q98's
       // exact-micros arithmetic, per-query terms = tokens 1/3/5/7/9 of
@@ -3872,6 +3884,7 @@ object SparkEntry {
          FROM (SELECT * FROM near UNION ALL SELECT * FROM exact)
          ORDER BY id1, id2""",
     "q149_bpe_merges" -> bpeOracleSql(8),
+    "q150_bpe_encode" -> bpeEncodeOracleSql(8),
     "q148_hybrid_rrf" ->
       // both rankings re-derived with q98's exact-micros BM25 arithmetic
       // and q24's cosine ordering, then fused with the SAME integer
@@ -4767,6 +4780,40 @@ object SparkEntry {
             CAST(cnt AS BIGINT) AS pair_count FROM m$r""").mkString(" UNION ALL "))
     sb.append(") ORDER BY round")
     sb.toString
+  }
+
+  /** q150's oracle: the same `n` unrolled training rounds, then the merge
+    * chain applied to the distinct token table (literal nested replaces
+    * with each round's pair read via scalar subquery) and joined back
+    * onto the token stream for per-doc subword counts.
+    */
+  private def bpeEncodeOracleSql(n: Int): String = {
+    val rounds = {
+      val sb = new StringBuilder
+      sb.append(bpeOracleSql(n))
+      sb.delete(sb.indexOf("\n SELECT * FROM ("), sb.length)
+      sb.toString
+    }
+    val nested = (1 to n).foldLeft(
+      """regexp_replace(token, '(.)', '<\1>', 'g')""") { (acc, r) =>
+      s"replace($acc, '<' || (SELECT lft FROM m$r) || '><' || " +
+        s"(SELECT rgt FROM m$r) || '>', '<' || (SELECT lft FROM m$r) || " +
+        s"(SELECT rgt FROM m$r) || '>')"
+    }
+    rounds + s""",
+       toks AS (SELECT doc_id, token
+                FROM (SELECT doc_id,
+                        unnest(string_split_regex(trim(text), ' +')) AS token
+                      FROM documents)
+                WHERE length(token) > 0 AND token NOT LIKE '%<%'
+                  AND token NOT LIKE '%>%'),
+       sized AS (SELECT token,
+                   len(string_split(trim($nested, '<>'), '><')) AS n_sub
+                 FROM (SELECT DISTINCT token FROM toks))
+       SELECT t.doc_id, COUNT(*) AS n_words,
+              CAST(SUM(s.n_sub) AS BIGINT) AS n_subwords
+       FROM toks t JOIN sized s USING (token)
+       GROUP BY 1 ORDER BY doc_id"""
   }
 
   /** SQL mirror of [[KMeansMR.assignExpr]] over the shared integral

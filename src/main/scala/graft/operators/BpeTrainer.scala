@@ -88,4 +88,32 @@ object BpeTrainer {
     merges.result().toDF("round", "left", "right", "pair_count")
       .orderBy(col("round"))
   }
+
+  /** ENCODING side: per-document subword counts under an ordered merge
+    * table — (idCol, n_words, n_subwords). The merge chain is applied to
+    * the DISTINCT token table only (each token's subword count is a pure
+    * function of the token), then joined back onto the token stream —
+    * q134's unhinted vocab-join shape: AQE broadcasts while the vocab
+    * fits, shuffles at 100 TB; corpus tokens are never re-encoded
+    * per-occurrence.
+    */
+  def subwordCounts(documents: DataFrame, merges: Seq[(String, String)],
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = documents
+      .select(col(idCol), explode(split(trim(col(textCol)), " +")).as("token"))
+      .filter(length(col("token")) > 0
+        && !col("token").contains("<") && !col("token").contains(">"))
+    val mergedEnc = merges.foldLeft(
+      regexp_replace(col("token"), "(.)", "<$1>")) {
+      case (c, (l, r)) => replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+    }
+    val sized = toks.select(col("token")).distinct()
+      .select(col("token"),
+        size(split(trim(mergedEnc, "<>"), "><")).as("n_sub"))
+    toks.join(sized, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("bigint").as("n_subwords"))
+  }
 }

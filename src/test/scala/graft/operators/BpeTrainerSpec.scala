@@ -44,4 +44,13 @@ class BpeTrainerSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs
     assert(leaked.isEmpty, s"BpeTrainer leaked: $leaked")
   }
+
+  test("subwordCounts applies the merge chain per distinct token") {
+    val docs = Seq((1L, "low lower low"), (2L, "lower")).toDF("doc_id", "text")
+    // merges (l,o) then (lo,w): low -> [low] 1 subword; lower -> [low,e,r] 3
+    val got = BpeTrainer.subwordCounts(docs, Seq(("l", "o"), ("lo", "w")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) === ((3L, 5L))) // 2x low + 1x lower = 1+1+3
+    assert(got(2L) === ((1L, 3L)))
+  }
 }
