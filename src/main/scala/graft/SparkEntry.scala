@@ -795,6 +795,14 @@ object SparkEntry {
       // merge semantics — see operators.BpeTrainer scaladoc.
       graft.operators.BpeTrainer.learnMerges(
         Parallelize.ensure(Tables.documents(s, dir)), nMerges = 8)),
+    "q151_int8_quant" -> ((s, dir) =>
+      // embedding compression: symmetric per-vector int8 quantization +
+      // the dequantized dot product of the compressed search path. The
+      // codes are integers from ONE mirrored float expression, so code
+      // sums and weighted sums compare exactly; the dequantization error
+      // is TRUE-gated against 2x its analytic bound (Int8Quant scaladoc).
+      graft.similarity.Int8Quant.audit(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))),
     "q150_bpe_encode" -> ((s, dir) => {
       // the encoding half of the tokenizer: train the 8 merges (q149),
       // then count each document's subword tokens under them. The merge
@@ -3885,6 +3893,27 @@ object SparkEntry {
          ORDER BY id1, id2""",
     "q149_bpe_merges" -> bpeOracleSql(8),
     "q150_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q151_int8_quant" ->
+      // codes re-derived with the literally-mirrored quantization
+      // expression ((x*127.0)/maxabs, round half away from zero — both
+      // engines); integer statistics exact, error bound TRUE-gated
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              m AS (SELECT vec_id, v,
+                      coalesce(list_max([abs(x) for x in v]), 0.0) AS ma
+                    FROM e),
+              q AS (SELECT vec_id,
+                      CASE WHEN ma = 0 THEN [CAST(0 AS INT) for x in v]
+                           ELSE [CAST(round(x * 127.0 / ma) AS INT)
+                                 for x in v] END AS q
+                    FROM m)
+         SELECT vec_id, CAST(len(q) AS INT) AS n_dims,
+                CAST(list_sum([CAST(x AS BIGINT) for x in q]) AS BIGINT)
+                  AS sum_q,
+                CAST(list_sum([CAST(q[i] AS BIGINT) * i
+                               for i in range(1, len(q) + 1)]) AS BIGINT)
+                  AS wsum_q,
+                TRUE AS dot0_ok
+         FROM q ORDER BY vec_id""",
     "q148_hybrid_rrf" ->
       // both rankings re-derived with q98's exact-micros BM25 arithmetic
       // and q24's cosine ordering, then fused with the SAME integer
