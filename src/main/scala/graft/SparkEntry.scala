@@ -795,6 +795,28 @@ object SparkEntry {
       // merge semantics — see operators.BpeTrainer scaladoc.
       graft.operators.BpeTrainer.learnMerges(
         Parallelize.ensure(Tables.documents(s, dir)), nMerges = 8)),
+    "q152_temperature_mix" -> ((s, dir) => {
+      // temperature-flattened language mixing (T=2, the multilingual
+      // upsampling rule): rate_l ∝ sqrt(share_l), normalized so the
+      // largest language keeps everything. The rates are COMPUTED from
+      // corpus counts through sqrt/divide — both correctly-rounded IEEE
+      // ops, so the driver-side doubles equal DuckDB's bit-for-bit — and
+      // the keep-gate stays Mixing's exact-integer Knuth hash with a
+      // TRUNCATING threshold (mirrored as floor() in the oracle; Spark's
+      // double->long cast truncates). Stats collect is lang-count sized.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = counts.values.sum
+      val shares = counts.map { case (l, c) => l -> math.sqrt(c.toDouble / n) }
+      val mx = shares.values.max
+      val rates = shares.map { case (l, sh) => l -> sh / mx }
+      operators.Mixing.sampleStrata(docs, "lang", rates)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
     "q151_int8_quant" -> ((s, dir) =>
       // embedding compression: symmetric per-vector int8 quantization +
       // the dequantized dot product of the compressed search path. The
@@ -3893,6 +3915,25 @@ object SparkEntry {
          ORDER BY id1, id2""",
     "q149_bpe_merges" -> bpeOracleSql(8),
     "q150_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q152_temperature_mix" ->
+      // same sqrt-share rates (correctly-rounded IEEE ops both sides),
+      // same Knuth keep-gate, floor() mirroring Spark's truncating cast
+      """WITH c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+              n AS (SELECT SUM(c) AS n FROM c),
+              r AS (SELECT lang,
+                      sqrt(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS s
+                    FROM c, n),
+              mx AS (SELECT MAX(s) AS mx FROM r),
+              rates AS (SELECT lang, s / mx.mx AS rate FROM r, mx),
+              kept AS (SELECT d.doc_id, d.lang, d.text
+                       FROM documents d JOIN rates USING (lang)
+                       WHERE (d.doc_id * 2654435761) % 4294967296 <
+                             CAST(floor(rate * 4294967296.0) AS BIGINT))
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), ' +'))
+                              END AS BIGINT)) AS BIGINT) AS total_tokens
+         FROM kept GROUP BY 1 ORDER BY lang""",
     "q151_int8_quant" ->
       // codes re-derived with the literally-mirrored quantization
       // expression ((x*127.0)/maxabs, round half away from zero — both
