@@ -47,7 +47,10 @@ object ExplainDump {
     "q136_editdist_dedup" -> "edit-distance join: deletion-variant explode → ONE variant-keyed candidate equi-join → distinct → codegen levenshtein verify; no all-pairs stage, recall by theorem",
     "q137_ks_drift" -> "KS drift: ONE data-sized (side,bucket) partial agg; the cumulative window and max-gap pass run over the metadata-sized bucket table (1-row broadcasts for sides/totals/max)",
     "q139_audio_features" -> "WAV decode: narrow parquet scan → object-mapped partition decode → fixed-width stats; payloads never reach an exchange",
-    "q140_planted_neardup_pairs" -> "planted gate: the 145-row local relation unions into the corpus BELOW the LSH stages — same banded plan as q22, one scan of each side")
+    "q140_planted_neardup_pairs" -> "planted gate: the 145-row local relation unions into the corpus BELOW the LSH stages — same banded plan as q22, one scan of each side",
+    "q148_hybrid_rrf" -> "hybrid RRF: both rankers keep their own shapes (pruned postings + bounded top-k agg; broadcast query vectors); the fusion union/agg/window touch k-bounded per-query groups only",
+    "q150_bpe_encode" -> "BPE encode: merge chain applied to the DISTINCT token table, vocab-joined back onto the token stream (AQE broadcasts while the vocab fits, shuffles at 100 TB)",
+    "q151_int8_quant" -> "int8 quantization audit: narrow codegen array expressions end-to-end, one broadcast query vector, no shuffle before the final sort")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
