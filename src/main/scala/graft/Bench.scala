@@ -118,7 +118,9 @@ object Bench {
         s""""os":${jstr(os)},"java":${jstr(sys.props.getOrElse("java.version", "?"))},"startedAt":"$benchStartedAt",""" +
         s""""loadavgStart":${jstr(loadavgStart)},"loadavgNow":${jstr(loadavg)}}"""
     }
-    def jsonNum(v: Double): String = f"$v%.3f"
+    def jsonNum(v: Double): String =
+      if (v.isInfinite || v.isNaN) "1e18" // failed tail rerun: valid JSON, never un-flags
+      else f"$v%.3f"
     def jsonMap(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def medians(raw: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
@@ -238,11 +240,16 @@ object Bench {
     def rerunOnce(name: String, dir: String): Double = {
       val fn = selected.toMap.apply(name)
       val t0 = System.nanoTime()
-      try fn(spark, dir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        // a failed rerun must never UN-flag a query: min(median, tail)
+        // with a fast failure would deflate the ratio anticonservatively,
+        // so a failure reports +Inf (the flag survives on the median alone)
         System.err.println(s"[bench] tail $name failed: ${e.getMessage}")
+        Double.PositiveInfinity
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val prelimResults = medians(raw)
     val prelimFlaggedSmall = small.map { case (_, sm) =>

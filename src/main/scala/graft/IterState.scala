@@ -55,22 +55,61 @@ object IterState {
     (out, release)
   }
 
-  /** Stages `df` to a one-call temp parquet dir (deleted on JVM exit) and
-    * returns a file-backed frame with NO block-manager state — the
-    * copy-out that lets an iterative loop release every checkpoint before
-    * returning its result.
+  /** Staged dirs created by [[copyOut]] and not yet purged — the explicit
+    * cleanup ledger (the deleteOnExit backstop alone would accumulate one
+    * result-sized dir plus a permanent DeleteOnExitHook entry per operator
+    * call for the whole session lifetime).
+    */
+  private val staged = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Where [[copyOut]] stages. Configurable via `spark.graft.scratch.dir`
+    * — on a multi-node deployment this MUST point at shared storage
+    * (HDFS/S3/NFS scratch): with the local-tmpdir default, executors would
+    * write partitions to their own /tmp and the driver-side read would see
+    * missing data. Local mode works with the default.
+    */
+  def scratchDir(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
+  /** Stages `df` to a one-call parquet dir under [[scratchDir]] and returns
+    * a file-backed frame with NO block-manager state — the copy-out that
+    * lets an iterative loop release every checkpoint before returning its
+    * result. Staged dirs are tracked for explicit reclaim via [[purge]];
+    * local-path dirs are additionally deleted on JVM exit as a backstop.
     */
   def copyOut(df: DataFrame): DataFrame = {
-    val dir = java.nio.file.Paths.get(
-      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_iterstate_${java.util.UUID.randomUUID().toString.take(13)}")
-    df.write.mode("overwrite").parquet(dir.toString)
-    // deleteOnExit runs in reverse registration order: register the dir
-    // first (walk is pre-order), children after -> children deleted first
-    val walk = java.nio.file.Files.walk(dir)
-    try {
-      walk.forEach(p => p.toFile.deleteOnExit())
-    } finally walk.close()
-    df.sparkSession.read.parquet(dir.toString)
+    val base = scratchDir(df.sparkSession).stripSuffix("/")
+    val dir =
+      s"$base/graft_iterstate_${java.util.UUID.randomUUID().toString.take(13)}"
+    df.write.mode("overwrite").parquet(dir)
+    staged.add(dir)
+    if (!dir.contains("://")) {
+      // deleteOnExit runs in reverse registration order: register the dir
+      // first (walk is pre-order), children after -> children deleted first
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        walk.forEach(p => p.toFile.deleteOnExit())
+      } finally walk.close()
+    }
+    df.sparkSession.read.parquet(dir)
+  }
+
+  /** Deletes every dir [[copyOut]] has staged since the last purge (any
+    * filesystem — local, HDFS, S3 — via the Hadoop FS API) and returns the
+    * count removed. Call between pipeline stages or at session teardown,
+    * AFTER the staged results are no longer referenced: the returned
+    * frames are plain scans of these dirs and die with them.
+    */
+  def purge(spark: org.apache.spark.sql.SparkSession): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    var d = staged.poll()
+    while (d != null) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (p.getFileSystem(hconf).delete(p, true)) n += 1
+      d = staged.poll()
+    }
+    n
   }
 }

@@ -653,9 +653,13 @@ object SparkEntry {
     "q28_media_features" -> ((s, dir) => {
       import graft.multimodal.Multimodal.PngCodec
       import s.implicits._
-      s.read.parquet(stagedPngMedia(s, dir))
-        .filter(col("media_type") === "image")
-        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      // ensure AFTER filter+select: the pushdown reaches the scan, and the
+      // rebalance (staged fixture = 4 one-row-group files) carries only
+      // (media_id, payload) so the decode runs on every core
+      Parallelize.ensure(
+        s.read.parquet(stagedPngMedia(s, dir))
+          .filter(col("media_type") === "image")
+          .select(col("media_id"), col("payload"))).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) =>
           val st = PngCodec.decodeStats(p)
           (id, st.width, st.height, st.width.toLong * st.height,
@@ -669,7 +673,7 @@ object SparkEntry {
       // container ONCE per row, then slice per-frame raster bands — the
       // frame-sampling shape of a real clip pipeline with the JDK as codec
       graft.multimodal.Multimodal
-        .sampleFrames(s.read.parquet(stagedPngMedia(s, dir)))
+        .sampleFrames(Parallelize.ensure(s.read.parquet(stagedPngMedia(s, dir))))
         .orderBy(col("media_id"), col("frame_idx"))),
     "q139_audio_features" -> ((s, dir) => {
       // REAL JDK WAV decode over opaque binary payloads (the audio
@@ -683,9 +687,13 @@ object SparkEntry {
       // mapPartitions -> fixed-width stats); only stats reach a shuffle.
       import graft.multimodal.Multimodal.WavCodec
       import s.implicits._
-      s.read.parquet(stagedWavMedia(s, dir))
-        .filter(col("media_type") === "audio")
-        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      // ensure AFTER filter+select (q28's discipline): the staged WAV dir
+      // is 4 one-row-group files, so a bare read runs the decode on 4
+      // tasks regardless of core count — the r8 bench's one kept flag
+      Parallelize.ensure(
+        s.read.parquet(stagedWavMedia(s, dir))
+          .filter(col("media_type") === "audio")
+          .select(col("media_id"), col("payload"))).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) =>
           val st = WavCodec.decodeStats(p)
           (id, st.channels, st.sampleRate, st.frames, st.sumLeft, st.sumRight)
@@ -1802,9 +1810,10 @@ object SparkEntry {
       // hash agg; payloads never shuffle.
       import graft.multimodal.Multimodal.PngCodec
       import s.implicits._
-      s.read.parquet(stagedPngMedia(s, dir))
-        .filter(col("media_type") === "image")
-        .select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      Parallelize.ensure(
+        s.read.parquet(stagedPngMedia(s, dir))
+          .filter(col("media_type") === "image")
+          .select(col("media_id"), col("payload"))).as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, p) => (id, PngCodec.aHash64(p)) })
         .toDF("media_id", "ahash")
         .groupBy(col("ahash"))

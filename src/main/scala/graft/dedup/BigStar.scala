@@ -44,6 +44,11 @@ object BigStar {
     * Self-loops and duplicate/reversed pairs are tolerated (normalized
     * away); vertices appearing only in self-loops are dropped, matching
     * [[ConnectedComponents.components]].
+    *
+    * Throws [[IllegalStateException]] if the alternation has not reached
+    * the star-forest fixpoint within `maxIter` rounds — the label read-off
+    * is only sound at the fixpoint, so non-convergence fails loudly
+    * rather than returning silently wrong labels.
     */
   def components(pairs: DataFrame, src: String = "id1", dst: String = "id2",
                  maxIter: Int = 50): DataFrame =
@@ -115,6 +120,19 @@ object BigStar {
       edges = next
       releaseEdges = releaseNext
       iter += 1
+    }
+    // The read-off below is only sound AT the star-forest fixpoint (each
+    // hi has exactly one lo); running it mid-alternation would silently
+    // emit conflicting labels for chain-interior vertices. Fail loudly
+    // instead — the IterState.checkpoint stance. O(log² n) measured rounds
+    // mean maxIter=50 covers any realistic graph; hitting it is a bug or
+    // a caller forcing maxIter below the convergence count.
+    if (!converged) {
+      releaseEdges()
+      throw new IllegalStateException(
+        s"BigStar did not converge within maxIter=$maxIter alternations; " +
+          "labels at this point are not a star forest and would be silently " +
+          "wrong. Raise maxIter (rounds are O(log^2 n)).")
     }
     // fixpoint is a star forest: every edge is (member, root); roots are
     // exactly the lo side and label themselves

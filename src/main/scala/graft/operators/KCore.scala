@@ -54,12 +54,18 @@ object KCore {
       val deg = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("v"))
+      // checkpoint the (vertex-sized) survivor set so the degree agg runs
+      // ONCE per round: nv counts the materialized blocks, and both
+      // semi-joins read them instead of re-running the agg — previously
+      // keep.count() re-aggregated the whole edge table a second time
+      val (keep, releaseKeep) = graft.IterState.checkpoint(
+        deg.filter(col("deg") >= k).select(col("v")))
+      val nv = keep.count()
       val (e2, releaseE2) = graft.IterState.checkpoint(e
         .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b")))
-      val nv = keep.count() // keep reads e: count BEFORE releasing e
+      releaseKeep() // e2 is materialized; the survivor set is spent
       val ne = e2.count()
       trace += ((r, nv, ne, ne == prevEdges))
       prevEdges = ne

@@ -37,6 +37,28 @@ class IterStateSpec extends SparkSpec {
     assert(out.agg(sum("id")).head.getLong(0) === 4950L)
   }
 
+  test("copyOut stages under spark.graft.scratch.dir; purge reclaims it") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_scratch_spec").toString
+    spark.conf.set("spark.graft.scratch.dir", scratch)
+    try {
+      IterState.purge(spark) // drain dirs staged by earlier tests
+      val out = IterState.copyOut(spark.range(10).toDF("id"))
+      val stagedDirs = java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+      val names = try {
+        stagedDirs.map[String](_.getFileName.toString)
+          .toArray(n => new Array[String](n))
+      } finally stagedDirs.close()
+      assert(names.length === 1 && names(0).startsWith("graft_iterstate_"),
+        s"expected one staged dir under configured scratch, got ${names.toSeq}")
+      assert(out.count() === 10)
+      assert(IterState.purge(spark) === 1)
+      val left = java.nio.file.Files.list(java.nio.file.Paths.get(scratch))
+      try assert(!left.findAny().isPresent, "purge left staged dirs behind")
+      finally left.close()
+    } finally spark.conf.unset("spark.graft.scratch.dir")
+  }
+
   test("ConnectedComponents.components leaves no persisted state") {
     val pairs = ((0L until 50L).map(i => (i, i + 1)) ++
       Seq((100L, 101L), (101L, 102L), (200L, 201L))).toDF("id1", "id2")

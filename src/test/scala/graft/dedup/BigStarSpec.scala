@@ -46,6 +46,19 @@ class BigStarSpec extends SparkSpec {
     assert(rounds <= 16, s"path took $rounds alternations")
   }
 
+  test("maxIter below the convergence round count fails loudly, not silently") {
+    // a 64-vertex path needs several alternations; maxIter=1 cannot reach
+    // the star-forest fixpoint, and the read-off there would emit
+    // conflicting labels — the contract is to throw instead
+    val path = (0L until 63L).map(i => (i, i + 1))
+    val e = intercept[IllegalStateException] {
+      BigStar.run(path.toDF("id1", "id2"), "id1", "id2", maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and the loud exit releases its checkpoints like the happy path does
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("no persisted state after return; result is re-actionable") {
     val labels = BigStar.components(
       Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("id1", "id2"))
