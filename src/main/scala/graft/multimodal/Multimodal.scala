@@ -240,29 +240,58 @@ object Multimodal {
 
     /** Full decode: WAV container parse + per-channel signed sample sums.
       * Mono clips report their single channel as left, 0 right.
+      *
+      * The container is parsed DIRECTLY (RIFF/WAVE header check, chunk
+      * walk with word alignment, fmt validation, data-chunk bounds) rather
+      * than through `AudioSystem.getAudioInputStream`: the JDK entry point
+      * re-runs its SPI provider scan on EVERY call behind a process-global
+      * lock, which serializes concurrent decode tasks — measured 17x worse
+      * than single-threaded at 8 threads (WavProbe), the root cause of
+      * q139's superlinear bench flag. The validation contract is unchanged:
+      * anything but 16-bit PCM (WAV fmt tag 1 — little-endian signed by
+      * the RIFF spec) is rejected loudly.
       */
     def decodeStats(payload: Array[Byte]): AudioStats = {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val fmt = ais.getFormat
-      require(fmt.getEncoding ==
-        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"expected 16-bit little-endian signed PCM, got $fmt")
-      val ch = fmt.getChannels
-      val data = ais.readAllBytes()
+      def le16(o: Int): Int =
+        ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+      def le32(o: Int): Int =
+        (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+          ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+      def tag(o: Int): String =
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      require(payload.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"not a RIFF/WAVE container (${payload.length} bytes)")
+      var off = 12
+      var fmtTag, ch, rate, bits = -1
+      var dataOff, dataLen = -1
+      while (off + 8 <= payload.length && (dataOff < 0 || ch < 0)) {
+        val id = tag(off)
+        val sz = le32(off + 4)
+        require(sz >= 0, s"negative chunk size at offset $off")
+        if (id == "fmt ") {
+          require(sz >= 16, s"fmt chunk too short ($sz bytes)")
+          fmtTag = le16(off + 8); ch = le16(off + 10)
+          rate = le32(off + 12); bits = le16(off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8; dataLen = sz
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(fmtTag == 1 && bits == 16 && ch >= 1 && dataOff >= 0,
+        s"expected 16-bit little-endian signed PCM (fmt tag 1), got " +
+          s"tag=$fmtTag bits=$bits channels=$ch dataChunk=${dataOff >= 0}")
       val frameBytes = 2 * ch
-      val nFrames = data.length / frameBytes
+      val nFrames = math.min(dataLen, payload.length - dataOff) / frameBytes
       var (sl, sr) = (0L, 0L)
       var f = 0
       while (f < nFrames) {
-        val base = f * frameBytes
-        sl += (((data(base + 1) & 0xff) << 8) | (data(base) & 0xff)).toShort
+        val base = dataOff + f * frameBytes
+        sl += (((payload(base + 1) & 0xff) << 8) | (payload(base) & 0xff)).toShort
         if (ch > 1)
-          sr += (((data(base + 3) & 0xff) << 8) | (data(base + 2) & 0xff)).toShort
+          sr += (((payload(base + 3) & 0xff) << 8) | (payload(base + 2) & 0xff)).toShort
         f += 1
       }
-      AudioStats(ch, fmt.getSampleRate.toInt, nFrames.toLong, sl, sr)
+      AudioStats(ch, rate, nFrames.toLong, sl, sr)
     }
   }
 
