@@ -48,7 +48,22 @@ import org.scalatest.funsuite.AnyFunSuite
   *    runs inside executor JVMs over parquet-read binary payloads;
   *  - q140: planted near-dup gate — the driver-built planted corpus is
   *    shipped to executors (parallelized local rows + union) and must
-  *    band/verify identically there.
+  *    band/verify identically there;
+  *  - q147: star-rewrite components — alternating large/small-star join
+  *    rounds whose edge tables cross shuffle boundaries every round, plus
+  *    the (count, xxhash64-sum) convergence fingerprint aggregated across
+  *    executors;
+  *  - q148: RRF fusion — the two ranker subtrees' window ranks and the
+  *    integer micro-unit fusion agg merge across the process boundary;
+  *  - q149/q150: BPE train + encode — per-round pair-count partial aggs and
+  *    the 1-row argmax collect cross the wire; encode ships the merge list
+  *    in task binaries where the replace-chain codegen applies it;
+  *  - q151: int8 quantization — the narrow codegen array expressions
+  *    (scale derivation, per-element quantize, integer code sums) compile
+  *    and run on executor JVMs;
+  *  - q152: temperature mixing — lang-count stats collected from executor
+  *    partials, sqrt-share rates recomputed and shipped back inside the
+  *    sampling closure.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -67,7 +82,13 @@ class LocalClusterSpec extends AnyFunSuite {
     "q137_ks_drift",
     "q138_image_phash_dedup",
     "q139_audio_features",
-    "q140_planted_neardup_pairs")
+    "q140_planted_neardup_pairs",
+    "q147_bigstar_components",
+    "q148_hybrid_rrf",
+    "q149_bpe_merges",
+    "q150_bpe_encode",
+    "q151_int8_quant",
+    "q152_temperature_mix")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
