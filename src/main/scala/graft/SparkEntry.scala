@@ -825,6 +825,24 @@ object SparkEntry {
           sum(TextFunctions.tokenCount(col("text")).cast("bigint")).as("total_tokens"))
         .orderBy(col("lang"))
     }),
+    "q153_corpus_build" -> ((s, dir) =>
+      // the composed corpus-build capstone: temperature mix -> exact dedup
+      // -> near-dup components -> decontaminate -> pack -> dataset card,
+      // every stage staged to storage (IterState.copyOut) and every
+      // stage's cardinality pinned in the one-row card — the integration
+      // query a user of this engine runs first. See operators.CorpusBuild.
+      operators.CorpusBuild.card(Parallelize.ensure(Tables.documents(s, dir)))),
+    "q154_planted_corpus_build" -> ((s, dir) =>
+      // q153's sf1 companion (the q143/q144 discipline): the SAME composed
+      // operator over corpus+planted, card sliced to the planted stratum,
+      // where every stage's cardinality is derivable from the construction
+      // plus the corpus lang counts — no quadratic oracle stage. Planted
+      // vocabulary is disjoint from the organic corpus, so planted docs
+      // never pair, never contaminate, and their mix verdict is pure
+      // Knuth-hash arithmetic on explicit ids.
+      operators.CorpusBuild.card(
+        Parallelize.ensure(Tables.documents(s, dir)).unionByName(Planted.docs(s)),
+        slice = col("doc_id") >= lit(Planted.base))),
     "q151_int8_quant" -> ((s, dir) =>
       // embedding compression: symmetric per-vector int8 quantization +
       // the dequantized dot product of the compressed search path. The
@@ -3943,6 +3961,159 @@ object SparkEntry {
                               ELSE len(string_split_regex(trim(text), ' +'))
                               END AS BIGINT)) AS BIGINT) AS total_tokens
          FROM kept GROUP BY 1 ORDER BY lang""",
+    "q153_corpus_build" ->
+      // the full five-stage composition in one SQL statement: q152's mix
+      // CTEs -> q68's dedup-chain CTEs (over the mixed corpus) -> q80's
+      // 8-gram decontamination (eval side = pristine corpus) -> q70's
+      // packing -> q117's card, with every stage count surfaced. The
+      // pairs CTE is the quadratic near-dup scan — affordable at the gate
+      // scales, TIMEOUT at sf1 where q154's planted companion covers it.
+      """WITH RECURSIVE
+            c AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+            n AS (SELECT SUM(c) AS n FROM c),
+            r AS (SELECT lang,
+                    sqrt(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS s
+                  FROM c, n),
+            mx AS (SELECT MAX(s) AS mx FROM r),
+            rates AS (SELECT lang, s / mx.mx AS rate FROM r, mx),
+            mixed AS (SELECT d.* FROM documents d JOIN rates USING (lang)
+                      WHERE (d.doc_id * 2654435761) % 4294967296 <
+                            CAST(floor(rate * 4294967296.0) AS BIGINT)),
+            kept AS (SELECT * FROM mixed
+                     WHERE doc_id IN (SELECT MIN(doc_id) FROM mixed
+                                      GROUP BY md5(text))),
+            toks AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                     FROM kept),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(tk) >= 3
+                          THEN list_distinct([array_to_string(tk[i:i+2], ' ')
+                                              for i in range(1, len(tk) - 1)])
+                          ELSE [array_to_string(tk, ' ')] END AS shingles
+                   FROM toks),
+            prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                        / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                               AS DOUBLE) >= 0.3),
+            edges AS (SELECT id1 AS s, id2 AS d FROM prs
+                      UNION SELECT id2, id1 FROM prs),
+            walk(id, reach) AS (
+              SELECT s, d FROM edges
+              UNION
+              SELECT w.id, e.d FROM walk w JOIN edges e ON w.reach = e.s),
+            losers AS (SELECT id FROM walk GROUP BY id
+                       HAVING LEAST(id, MIN(reach)) <> id),
+            cleaned AS (SELECT * FROM kept
+                        WHERE doc_id NOT IN (SELECT id FROM losers)),
+            evt AS (SELECT string_split_regex(trim(text), ' +') AS tk
+                    FROM documents WHERE doc_id < 50),
+            ev AS (SELECT DISTINCT unnest(CASE WHEN len(tk) >= 8
+                     THEN [array_to_string(tk[i:i+7], ' ')
+                           for i in range(1, len(tk) - 6)]
+                     ELSE [array_to_string(tk, ' ')] END) AS gram FROM evt),
+            trt AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS tk
+                    FROM cleaned WHERE doc_id >= 50),
+            trg AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+                      THEN [array_to_string(tk[i:i+7], ' ')
+                            for i in range(1, len(tk) - 6)]
+                      ELSE [array_to_string(tk, ' ')] END) AS gram FROM trt),
+            contaminated AS (SELECT DISTINCT trg.doc_id
+                             FROM trg JOIN ev ON trg.gram = ev.gram),
+            corpus AS (SELECT doc_id, lang, source,
+                         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(string_split_regex(trim(text), ' +')) END
+                           AS BIGINT) AS nt
+                       FROM cleaned
+                       WHERE doc_id >= 50
+                         AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            cum AS (SELECT lang, nt,
+                      SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM corpus),
+            shardt AS (SELECT lang, CAST((cum - nt) // 4096 AS BIGINT) AS shard,
+                         SUM(nt) AS st
+                       FROM cum GROUP BY 1, 2),
+            shards AS (SELECT COUNT(*) AS n_shards,
+                         CAST(MAX(st) AS BIGINT) AS max_shard_tokens
+                       FROM shardt)
+       SELECT (SELECT COUNT(*) FROM mixed) AS n_mixed,
+              (SELECT COUNT(*) FROM kept) AS n_exact,
+              (SELECT COUNT(*) FROM cleaned) AS n_clean,
+              (SELECT COUNT(*) FROM contaminated) AS n_contaminated,
+              (SELECT COUNT(*) FROM corpus) AS n_docs,
+              (SELECT COUNT(DISTINCT lang) FROM corpus) AS n_langs,
+              (SELECT COUNT(DISTINCT source) FROM corpus) AS n_sources,
+              (SELECT CAST(SUM(nt) AS BIGINT) FROM corpus) AS total_tokens,
+              (SELECT CAST(MAX(nt) AS BIGINT) FROM corpus) AS max_tokens,
+              (SELECT round(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               FROM corpus) AS mean_tokens,
+              shards.n_shards, shards.max_shard_tokens
+       FROM shards""",
+    "q154_planted_corpus_build" ->
+      // the construction reproduced literally (q140's discipline): stage
+      // verdicts for planted docs are Knuth-hash arithmetic + group
+      // structure — exact dedup drops the higher id of an exact pair when
+      // both mixed; near-dup components keep each near group's minimum
+      // surviving id (all surviving members pair: jaccard >= 28/30);
+      // planted vocabulary is disjoint so contamination is structurally 0
+      // and no planted doc pairs with an organic one. The planted rate
+      // needs only the corpus LANG COUNTS — no quadratic stage anywhere.
+      """WITH oc AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY 1),
+            near AS (SELECT 900000000 + g*10 + m AS doc_id, g AS grp,
+                       'near' AS kind,
+                       CAST(CASE WHEN m = 0 THEN 30 ELSE 31 END AS BIGINT) AS nt
+                     FROM range(40) t(g), range(4) mm(m) WHERE m < 2 + g % 3),
+            exct AS (SELECT 900000000 + e*10 + m AS doc_id, e AS grp,
+                       'exact' AS kind, CAST(12 AS BIGINT) AS nt
+                     FROM range(40, 48) t(e), range(2) mm(m)),
+            singl AS (SELECT 900000000 + (48 + j)*10 AS doc_id, 48 + j AS grp,
+                        'single' AS kind, CAST(10 + j AS BIGINT) AS nt
+                      FROM range(10) t(j)),
+            planted AS (SELECT * FROM near UNION ALL SELECT * FROM exct
+                        UNION ALL SELECT * FROM singl),
+            c AS (SELECT * FROM oc
+                  UNION ALL SELECT 'planted', (SELECT COUNT(*) FROM planted)),
+            n AS (SELECT SUM(c) AS n FROM c),
+            r AS (SELECT lang,
+                    sqrt(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS s
+                  FROM c, n),
+            mx AS (SELECT MAX(s) AS mx FROM r),
+            pr AS (SELECT s / mx.mx AS rate FROM r, mx WHERE lang = 'planted'),
+            mixed AS (SELECT p.* FROM planted p, pr
+                      WHERE (p.doc_id * 2654435761) % 4294967296 <
+                            CAST(floor(pr.rate * 4294967296.0) AS BIGINT)),
+            exact_kept AS (SELECT * FROM mixed m
+                           WHERE NOT (kind = 'exact' AND doc_id % 10 = 1 AND
+                             EXISTS (SELECT 1 FROM mixed m2
+                                     WHERE m2.doc_id = m.doc_id - 1))),
+            cleaned AS (SELECT * FROM exact_kept e
+                        WHERE NOT (kind = 'near' AND
+                          EXISTS (SELECT 1 FROM exact_kept e2
+                                  WHERE e2.grp = e.grp AND e2.kind = 'near'
+                                    AND e2.doc_id < e.doc_id))),
+            cum AS (SELECT doc_id, nt,
+                      SUM(nt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                        AS cum
+                    FROM cleaned),
+            shardt AS (SELECT CAST((cum - nt) // 4096 AS BIGINT) AS shard,
+                         SUM(nt) AS st
+                       FROM cum GROUP BY 1),
+            shards AS (SELECT COUNT(*) AS n_shards,
+                         CAST(MAX(st) AS BIGINT) AS max_shard_tokens
+                       FROM shardt)
+       SELECT (SELECT COUNT(*) FROM mixed) AS n_mixed,
+              (SELECT COUNT(*) FROM exact_kept) AS n_exact,
+              (SELECT COUNT(*) FROM cleaned) AS n_clean,
+              CAST(0 AS BIGINT) AS n_contaminated,
+              (SELECT COUNT(*) FROM cleaned) AS n_docs,
+              CAST(1 AS BIGINT) AS n_langs,
+              CAST(1 AS BIGINT) AS n_sources,
+              (SELECT CAST(SUM(nt) AS BIGINT) FROM cleaned) AS total_tokens,
+              (SELECT CAST(MAX(nt) AS BIGINT) FROM cleaned) AS max_tokens,
+              (SELECT round(CAST(SUM(nt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               FROM cleaned) AS mean_tokens,
+              shards.n_shards, shards.max_shard_tokens
+       FROM shards""",
     "q151_int8_quant" ->
       // codes re-derived with the literally-mirrored quantization
       // expression ((x*127.0)/maxabs, round half away from zero — both

@@ -38,6 +38,12 @@ COMPANIONS = {
     "q76_corpus_dedup_staged": "q144_planted_dedup_staged",
     "q133_prefix_filter_join": "q145_planted_prefix_join",
     "q136_editdist_dedup": "q146_planted_editdist",
+    # the corpus-build capstone inherits q68's quadratic near-dup oracle
+    # stage; its planted companion runs the SAME composed operator over
+    # corpus+planted with a construction-derived (non-quadratic) oracle,
+    # and the other stages (mix/decon/pack/card) are individually sf1-gated
+    # by q152/q80/q70/q117
+    "q153_corpus_build": "q154_planted_corpus_build",
 }
 
 
