@@ -35,13 +35,14 @@ object Triangles {
     * without materialization the whole orient subtree (scan + two degree
     * joins) recomputes for it, and under memory pressure the r7 bench saw
     * q123 swing 37–624 s at sf1 on identical plans. The orient table is
-    * therefore checkpointed eagerly (computed ONCE, read three times from
-    * blocks) and released after the vertex-sized result is copied out
-    * file-backed — no persisted state survives the call
-    * ([[graft.IterState]] discipline).
+    * therefore FILE-STAGED eagerly ([[graft.IterState.copyOut]]: computed
+    * once, scanned three times from parquet) and the vertex-sized result
+    * is copied out the same way — no block-manager state ever exists, so
+    * the wedge join gets the whole heap (the r8 block-checkpointed form
+    * still swung [49, 94] s at sf1 from GC pressure alone).
     *
     * `materialize = false` returns the fully LAZY plan instead (no
-    * checkpoint, orient recomputed per consumer modulo exchange reuse) —
+    * staging, orient recomputed per consumer modulo exchange reuse) —
     * for plan-shape inspection and for callers that persist differently.
     */
   def perVertexCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
@@ -60,9 +61,16 @@ object Triangles {
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("t"),
       when(aFirst, col("db")).otherwise(col("da")).as("dt"))
-    val (orient, releaseOrient) =
-      if (materialize) graft.IterState.checkpoint(orientPlan)
-      else (orientPlan, () => ())
+    // file-staged rather than block-manager-checkpointed: the wedge join
+    // below is the heap-hungriest stage in the suite (18.8M triangles at
+    // sf1), and holding an edge-sized block table in memory through it is
+    // pure GC pressure — r8 measured a [49, 94] s sf1 spread with the
+    // blocks pinned. A parquet stage costs a fixed disk hop, is read
+    // cheaply by all three consumers, and leaves the whole heap to the
+    // join (and at cluster scale it is the fault-tolerant form anyway).
+    val orient =
+      if (materialize) graft.IterState.copyOut(orientPlan)
+      else orientPlan
     // wedge (s; t1, t2) with (dt1, t1) < (dt2, t2); the closing edge is
     // then oriented t1→t2 under the same total order
     val wedges = orient.as("e1").join(orient.as("e2"),
@@ -74,11 +82,6 @@ object Triangles {
       Seq("t1", "t2"))
     val res = tris.select(explode(array(col("u"), col("t1"), col("t2"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
-    if (!materialize) res
-    else {
-      val out = graft.IterState.copyOut(res)
-      releaseOrient()
-      out
-    }
+    if (!materialize) res else graft.IterState.copyOut(res)
   }
 }
