@@ -48,6 +48,7 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "fingerprint" -> oneArg("fingerprint")(FingerprintExpr(_)),
     "simhash64" -> oneArg("simhash64")(SimHashExpr(_)),
+    "quality_margin" -> oneArg("quality_margin")(QualityMarginExpr(_)),
     "vec_dot" -> {
       case Seq(a, b) => DotVecExpr(a, b)
       case other => throw new IllegalArgumentException(

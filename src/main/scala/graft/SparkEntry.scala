@@ -843,6 +843,21 @@ object SparkEntry {
       operators.CorpusBuild.card(
         Parallelize.ensure(Tables.documents(s, dir)).unionByName(Planted.docs(s)),
         slice = col("doc_id") >= lit(Planted.base))),
+    "q155_quality_classifier" -> ((s, dir) =>
+      // fastText-style hashed-n-gram quality filter (Joulin EACL'17): per
+      // doc, the integer margin of a linear scorer over hashed unigram +
+      // bigram features — rolling-31 feature hash mod 1000003, weight
+      // (h mod 2001) - 1000, all exact integer arithmetic so DuckDB
+      // replays every margin bit-for-bit (q98's micro-unit discipline);
+      // keep ⟺ margin > 0 ⟺ sigmoid(margin) > 0.5 (monotone). ONE
+      // codegen'd static call per row, no explode/UDF/shuffle — a
+      // map-only scan at 100 TB. See functions.QualityKernels.
+      Parallelize.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"),
+          graft.functions.QualityExprs.qualityMargin(col("text"))
+            .as("margin_units"))
+        .withColumn("kept", col("margin_units") > 0)
+        .orderBy(col("doc_id"))),
     "q151_int8_quant" -> ((s, dir) =>
       // embedding compression: symmetric per-vector int8 quantization +
       // the dequantized dot product of the compressed search path. The
@@ -4114,6 +4129,28 @@ object SparkEntry {
                FROM cleaned) AS mean_tokens,
               shards.n_shards, shards.max_shard_tokens
        FROM shards""",
+    "q155_quality_classifier" ->
+      // the scorer replayed gram-for-gram: same space-run tokens, same
+      // unigram+bigram features, same rolling-31-mod-1000003 fold (seeded
+      // with the first char code — list_reduce semantics), same
+      // (h mod 2001) - 1000 integer weights; margins compare exactly
+      """WITH t AS (SELECT doc_id, lang,
+                      [x for x in string_split_regex(trim(text), ' +')
+                       if length(x) > 0] AS tk
+                    FROM documents),
+              g AS (SELECT doc_id, lang, list_concat(tk,
+                      [tk[i] || ' ' || tk[i+1]
+                       for i in range(1, len(tk))]) AS grams
+                    FROM t),
+              m AS (SELECT doc_id, lang, CAST(coalesce(list_sum([
+                      (list_reduce([ascii(gm[i])
+                                    for i in range(1, len(gm) + 1)],
+                                   (a, b) -> (a * 31 + b) % 1000003)
+                       % 2001) - 1000
+                      for gm in grams]), 0) AS BIGINT) AS margin_units
+                    FROM g)
+         SELECT doc_id, lang, margin_units, margin_units > 0 AS kept
+         FROM m ORDER BY doc_id""",
     "q151_int8_quant" ->
       // codes re-derived with the literally-mirrored quantization
       // expression ((x*127.0)/maxabs, round half away from zero — both

@@ -51,6 +51,7 @@ object ExplainDump {
     "q148_hybrid_rrf" -> "hybrid RRF: both rankers keep their own shapes (pruned postings + bounded top-k agg; broadcast query vectors); the fusion union/agg/window touch k-bounded per-query groups only",
     "q150_bpe_encode" -> "BPE encode: merge chain applied to the DISTINCT token table, vocab-joined back onto the token stream (AQE broadcasts while the vocab fits, shuffles at 100 TB)",
     "q151_int8_quant" -> "int8 quantization audit: narrow codegen array expressions end-to-end, one broadcast query vector, no shuffle before the final sort",
+    "q155_quality_classifier" -> "hashed-n-gram quality classifier: ONE codegen'd static-call expression on a narrow scan — no explode, no join, no shuffle before the output sort",
     "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
