@@ -63,7 +63,13 @@ import org.scalatest.funsuite.AnyFunSuite
   *    and run on executor JVMs;
   *  - q152: temperature mixing — lang-count stats collected from executor
   *    partials, sqrt-share rates recomputed and shipped back inside the
-  *    sampling closure.
+  *    sampling closure;
+  *  - q153: the corpus-build capstone — five IterState.copyOut staging
+  *    hops where executor processes write the parquet partitions and the
+  *    next stage's scan reads them back across the process boundary (the
+  *    shared-scratch contract, exercised for real on a shared local fs);
+  *  - q155: quality classifier — the quality_margin codegen kernel
+  *    compiled and evaluated inside executor JVMs.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -88,7 +94,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q149_bpe_merges",
     "q150_bpe_encode",
     "q151_int8_quant",
-    "q152_temperature_mix")
+    "q152_temperature_mix",
+    "q153_corpus_build",
+    "q155_quality_classifier")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
