@@ -702,6 +702,31 @@ object SparkEntry {
           "sum_left", "sum_right")
         .orderBy(col("media_id"))
     }),
+    "q156_audio_audit" -> ((s, dir) => {
+      // audio QUALITY audit — the clip-level filter stage of a speech
+      // corpus build: per clip, clipped/near-rail sample counts, silence-
+      // floor counts, per-channel peak and exact integer energy, over the
+      // same REAL WAV PCM payloads q139 decodes (container parse shared
+      // with decodeStats). The oracle re-derives every count from the
+      // closed-form sample ramp; a wrong threshold, sign bit, or channel
+      // order breaks the hash. Same scale shape as q139: narrow scan ->
+      // mapPartitions decode -> fixed-width stats.
+      import graft.multimodal.Multimodal.WavCodec
+      import s.implicits._
+      Parallelize.ensure(
+        s.read.parquet(stagedWavMedia(s, dir))
+          .filter(col("media_type") === "audio")
+          .select(col("media_id"), col("payload"))).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val a = WavCodec.decodeAudit(p)
+          (id, a.frames, a.clipLeft, a.clipRight, a.silenceLeft,
+            a.silenceRight, a.peakLeft.toLong, a.peakRight.toLong,
+            a.energyLeft, a.energyRight)
+        })
+        .toDF("media_id", "n_frames", "clip_l", "clip_r", "silence_l",
+          "silence_r", "peak_l", "peak_r", "energy_l", "energy_r")
+        .orderBy(col("media_id"))
+    }),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -3882,6 +3907,39 @@ object SparkEntry {
                 CAST(SUM((a0 + i * b0) % 65536 - 32768) AS BIGINT) AS sum_left,
                 CAST(SUM((a1 + i * b1) % 65536 - 32768) AS BIGINT) AS sum_right
          FROM s GROUP BY doc_id ORDER BY media_id""",
+    "q156_audio_audit" ->
+      // the audit decode replayed sample-for-sample from the same ramp:
+      // clip threshold |s| >= 32766, silence floor |s| <= 512, per-channel
+      // peak = MAX(|s|) and energy = SUM(s^2) — all exact integers
+      // (WavCodec.clipAbs/silenceAbs, reproduced literally)
+      """WITH aud AS (SELECT doc_id,
+                        CAST(n_chars % 700 + 160 AS BIGINT) AS n_frames,
+                        (doc_id * 131 + 7) % 65536 AS a0,
+                        (n_chars * 17 + 3) % 65536 AS b0,
+                        (doc_id * 89 + 11) % 65536 AS a1,
+                        (n_chars * 29 + 5) % 65536 AS b1
+                      FROM documents WHERE doc_id % 3 = 1),
+              sm AS (SELECT doc_id, n_frames,
+                       (a0 + i * b0) % 65536 - 32768 AS l,
+                       (a1 + i * b1) % 65536 - 32768 AS r
+                     FROM (SELECT doc_id, n_frames, a0, b0, a1, b1,
+                             unnest(range(n_frames)) AS i
+                           FROM aud))
+         SELECT doc_id AS media_id,
+                CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+                CAST(SUM(CASE WHEN ABS(l) >= 32766 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clip_l,
+                CAST(SUM(CASE WHEN ABS(r) >= 32766 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clip_r,
+                CAST(SUM(CASE WHEN ABS(l) <= 512 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS silence_l,
+                CAST(SUM(CASE WHEN ABS(r) <= 512 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS silence_r,
+                CAST(MAX(ABS(l)) AS BIGINT) AS peak_l,
+                CAST(MAX(ABS(r)) AS BIGINT) AS peak_r,
+                CAST(SUM(l * l) AS BIGINT) AS energy_l,
+                CAST(SUM(r * r) AS BIGINT) AS energy_r
+         FROM sm GROUP BY doc_id ORDER BY media_id""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---

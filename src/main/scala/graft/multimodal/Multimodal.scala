@@ -238,6 +238,10 @@ object Multimodal {
     final case class AudioStats(channels: Int, sampleRate: Int,
                                 frames: Long, sumLeft: Long, sumRight: Long)
 
+    /** Parsed container geometry shared by the decode entry points. */
+    private final case class PcmLayout(channels: Int, sampleRate: Int,
+                                       dataOff: Int, nFrames: Int)
+
     /** Full decode: WAV container parse + per-channel signed sample sums.
       * Mono clips report their single channel as left, 0 right.
       *
@@ -252,6 +256,22 @@ object Multimodal {
       * the RIFF spec) is rejected loudly.
       */
     def decodeStats(payload: Array[Byte]): AudioStats = {
+      val lay = parseContainer(payload)
+      val ch = lay.channels
+      val frameBytes = 2 * ch
+      var (sl, sr) = (0L, 0L)
+      var f = 0
+      while (f < lay.nFrames) {
+        val base = lay.dataOff + f * frameBytes
+        sl += (((payload(base + 1) & 0xff) << 8) | (payload(base) & 0xff)).toShort
+        if (ch > 1)
+          sr += (((payload(base + 3) & 0xff) << 8) | (payload(base + 2) & 0xff)).toShort
+        f += 1
+      }
+      AudioStats(ch, lay.sampleRate, lay.nFrames.toLong, sl, sr)
+    }
+
+    private def parseContainer(payload: Array[Byte]): PcmLayout = {
       def le16(o: Int): Int =
         ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
       def le32(o: Int): Int =
@@ -282,16 +302,62 @@ object Multimodal {
           s"tag=$fmtTag bits=$bits channels=$ch dataChunk=${dataOff >= 0}")
       val frameBytes = 2 * ch
       val nFrames = math.min(dataLen, payload.length - dataOff) / frameBytes
-      var (sl, sr) = (0L, 0L)
+      PcmLayout(ch, rate, dataOff, nFrames)
+    }
+
+    /** Clipping / silence / peak-level thresholds of the audit decode —
+      * reproduced literally in `SparkEntry.oracleSql(q156)`; change BOTH
+      * or neither. "Clipped" means |s| at or beyond 2 units below 16-bit
+      * full scale (real pipelines flag near-rail samples, not only exact
+      * ±32768 rails, because codecs dither the rail); "silence" means
+      * |s| <= 512 (~ -36 dBFS).
+      */
+    val clipAbs = 32766
+    val silenceAbs = 512
+
+    final case class AudioAudit(channels: Int, frames: Long,
+                                clipLeft: Long, clipRight: Long,
+                                silenceLeft: Long, silenceRight: Long,
+                                peakLeft: Int, peakRight: Int,
+                                energyLeft: Long, energyRight: Long)
+
+    /** Audio QUALITY audit over the decoded PCM — the audio analogue of the
+      * text quality gates (clipped/near-rail sample counts, silence-floor
+      * counts, per-channel peak and integer energy): the stats a corpus
+      * builder filters speech clips on before transcription. Shares
+      * [[parseContainer]] with [[decodeStats]]; one pass over the frames,
+      * exact integer outputs (energy = sum of s^2 fits a long:
+      * 2^30 * frames).
+      */
+    def decodeAudit(payload: Array[Byte]): AudioAudit = {
+      val lay = parseContainer(payload)
+      val ch = lay.channels
+      val frameBytes = 2 * ch
+      var clipL, clipR, silL, silR, enL, enR = 0L
+      var peakL, peakR = 0
       var f = 0
-      while (f < nFrames) {
-        val base = dataOff + f * frameBytes
-        sl += (((payload(base + 1) & 0xff) << 8) | (payload(base) & 0xff)).toShort
-        if (ch > 1)
-          sr += (((payload(base + 3) & 0xff) << 8) | (payload(base + 2) & 0xff)).toShort
+      while (f < lay.nFrames) {
+        val base = lay.dataOff + f * frameBytes
+        val l: Int =
+          (((payload(base + 1) & 0xff) << 8) | (payload(base) & 0xff)).toShort.toInt
+        val la = math.abs(l)
+        if (la >= clipAbs) clipL += 1
+        if (la <= silenceAbs) silL += 1
+        if (la > peakL) peakL = la
+        enL += l.toLong * l
+        if (ch > 1) {
+          val r: Int =
+            (((payload(base + 3) & 0xff) << 8) | (payload(base + 2) & 0xff)).toShort.toInt
+          val ra = math.abs(r)
+          if (ra >= clipAbs) clipR += 1
+          if (ra <= silenceAbs) silR += 1
+          if (ra > peakR) peakR = ra
+          enR += r.toLong * r
+        }
         f += 1
       }
-      AudioStats(ch, rate, nFrames.toLong, sl, sr)
+      AudioAudit(ch, lay.nFrames.toLong, clipL, clipR, silL, silR,
+        peakL, peakR, enL, enR)
     }
   }
 

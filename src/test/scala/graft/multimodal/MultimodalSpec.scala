@@ -51,6 +51,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec.decodeAudit: clip/silence/peak/energy equal the closed form") {
+    for ((id, nc) <- Seq((1L, 37L), (4L, 999L), (7L, 0L), (10L, 123L))) {
+      val p = Multimodal.WavCodec.audioParams(id, nc)
+      val a = Multimodal.WavCodec.decodeAudit(
+        Multimodal.WavCodec.encodeWav(id, nc))
+      def samples(x: Long, b: Long): Seq[Int] =
+        (0 until p.nFrames).map(i => (((x + i.toLong * b) % 65536) - 32768).toInt)
+      val (ls, rs) = (samples(p.a0, p.b0), samples(p.a1, p.b1))
+      assert(a.channels === 2 && a.frames === p.nFrames.toLong)
+      assert(a.clipLeft === ls.count(s => math.abs(s) >= 32766))
+      assert(a.clipRight === rs.count(s => math.abs(s) >= 32766))
+      assert(a.silenceLeft === ls.count(s => math.abs(s) <= 512))
+      assert(a.silenceRight === rs.count(s => math.abs(s) <= 512))
+      assert(a.peakLeft === ls.map(math.abs).max)
+      assert(a.peakRight === rs.map(math.abs).max)
+      assert(a.energyLeft === ls.map(s => s.toLong * s).sum)
+      assert(a.energyRight === rs.map(s => s.toLong * s).sum)
+    }
+  }
+
+  test("decodeAudit flags a clipped and a silent clip correctly") {
+    // hand-build WAVs through the same JDK encoder: one rail-pinned clip,
+    // one all-silence clip — the audit must separate them cleanly
+    def wavOf(samples: Seq[Int]): Array[Byte] = {
+      val raw = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        raw(2 * i) = (s & 0xff).toByte
+        raw(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val clipped = Multimodal.WavCodec.decodeAudit(
+      wavOf(Seq(32767, -32768, 32766, -32766, 100, -32765)))
+    assert(clipped.channels === 1 && clipped.clipLeft === 4L)
+    assert(clipped.peakLeft === 32768 && clipped.silenceLeft === 1L)
+    val silent = Multimodal.WavCodec.decodeAudit(wavOf(Seq.fill(50)(3)))
+    assert(silent.silenceLeft === 50L && silent.clipLeft === 0L)
+    assert(silent.peakLeft === 3 && silent.energyLeft === 450L)
+  }
+
   test("extractFeatures: real per-modality decode, checksums match payloads") {
     val feats = Multimodal.extractFeatures(media)
     assert(feats.count() === media.count())
