@@ -727,6 +727,28 @@ object SparkEntry {
           "silence_r", "peak_l", "peak_r", "energy_l", "energy_r")
         .orderBy(col("media_id"))
     }),
+    "q157_snapshot_diff" -> ((s, dir) => {
+      // dataset-versioning audit: classify every doc between corpus v1
+      // (the table as-is) and a deterministically derived v2 (doc_id%13=5
+      // removed, %7=3 text-edited, %17=2 cloned under +1e9 ids) as added/
+      // removed/changed/unchanged, rolled up per (lang, status). ONE
+      // co-partitioned full-outer join on the key; the oracle rebuilds v2
+      // and replays the classification with null-safe equality.
+      import graft.operators.SnapshotDiff
+      val d = Parallelize.ensure(Tables.documents(s, dir))
+      val v2 = d.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 3, concat(col("text"), lit(" rev2 edit")))
+            .otherwise(col("text")))
+        .unionByName(
+          d.filter(col("doc_id") % 17 === 2)
+            .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+      val diffed = SnapshotDiff.diff(d, v2, "doc_id",
+        payloadCols = Seq("text", "lang", "source", "n_chars"),
+        carryCols = Seq("lang"))
+      SnapshotDiff.summary(diffed, Seq("lang"))
+        .orderBy(col("lang"), col("status"))
+    }),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -3940,6 +3962,31 @@ object SparkEntry {
                 CAST(SUM(l * l) AS BIGINT) AS energy_l,
                 CAST(SUM(r * r) AS BIGINT) AS energy_r
          FROM sm GROUP BY doc_id ORDER BY media_id""",
+    "q157_snapshot_diff" ->
+      // v2 rebuilt with the same deterministic edits, then the full-outer
+      // classification replayed with null-safe (IS NOT DISTINCT FROM)
+      // payload equality
+      """WITH v2 AS (SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 3 THEN text || ' rev2 edit'
+                            ELSE text END AS text,
+                       lang, source, n_chars
+                     FROM documents WHERE doc_id % 13 <> 5
+                     UNION ALL
+                     SELECT doc_id + 1000000000, text, lang, source, n_chars
+                     FROM documents WHERE doc_id % 17 = 2),
+              j AS (SELECT coalesce(v2.lang, v1.lang) AS lang,
+                      CASE WHEN v1.doc_id IS NULL THEN 'added'
+                           WHEN v2.doc_id IS NULL THEN 'removed'
+                           WHEN v1.text IS NOT DISTINCT FROM v2.text
+                            AND v1.lang IS NOT DISTINCT FROM v2.lang
+                            AND v1.source IS NOT DISTINCT FROM v2.source
+                            AND v1.n_chars IS NOT DISTINCT FROM v2.n_chars
+                           THEN 'unchanged'
+                           ELSE 'changed' END AS status
+                    FROM documents v1 FULL OUTER JOIN v2
+                      ON v1.doc_id = v2.doc_id)
+         SELECT lang, status, COUNT(*) AS n_rows
+         FROM j GROUP BY 1, 2 ORDER BY lang, status""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---
