@@ -749,6 +749,17 @@ object SparkEntry {
       SnapshotDiff.summary(diffed, Seq("lang"))
         .orderBy(col("lang"), col("status"))
     }),
+    "q158_kmv_overlap" -> ((s, dir) =>
+      // q96's corpus-overlap question answered from KMV (bottom-k)
+      // sketches instead of the exact distinct-join: per-side k=128
+      // minima of a deterministic engine-replayable key (rolling-31 text
+      // hash spread through the Knuth constant), union sketch + Jaccard
+      // estimate computed from the two sketches alone. Bottom-k state is
+      // algebraic (map-side reduces every partition to 1 KiB before the
+      // exchange); the oracle replays the exact same minima in SQL, so
+      // every estimate matches to the integer. See functions.KmvSketch.
+      graft.functions.KmvSketch.corpusOverlapSketch(
+        Parallelize.ensure(Tables.documents(s, dir)), k = 128)),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -3987,6 +3998,65 @@ object SparkEntry {
                       ON v1.doc_id = v2.doc_id)
          SELECT lang, status, COUNT(*) AS n_rows
          FROM j GROUP BY 1, 2 ORDER BY lang, status""",
+    "q158_kmv_overlap" ->
+      // the sketch replayed minimum-for-minimum: same normalization and
+      // side split as q96, same rolling-31-mod-999999937 fold (q155's
+      // list_reduce idiom), same Knuth spread mod 2^32, same bottom-128
+      // order statistics, estimator (k-1)*2^32 // h_k with the exact-below-k
+      // escape, Jaccard = common-in-union-sketch / |union sketch| in ppm
+      """WITH src AS (SELECT doc_id,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                          AS t,
+                        CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
+                      FROM documents),
+              ha AS (SELECT DISTINCT CASE WHEN len(t) = 0 THEN 0 ELSE
+                       (list_reduce([ascii(t[i])
+                                     for i in range(1, len(t) + 1)],
+                                    (a, b) -> (CAST(a AS BIGINT) * 31 + b)
+                                              % 999999937)
+                        * 2654435761) % 4294967296 END AS h
+                     FROM src WHERE sn % 2 = 0),
+              hb AS (SELECT DISTINCT CASE WHEN len(t) = 0 THEN 0 ELSE
+                       (list_reduce([ascii(t[i])
+                                     for i in range(1, len(t) + 1)],
+                                    (a, b) -> (CAST(a AS BIGINT) * 31 + b)
+                                              % 999999937)
+                        * 2654435761) % 4294967296 END AS h
+                     FROM (SELECT t FROM src WHERE sn % 2 = 1
+                           UNION ALL
+                           SELECT t FROM src WHERE sn % 2 = 0
+                                               AND doc_id < 60)),
+              kka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+              kkb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+              kku AS (SELECT h
+                      FROM (SELECT h FROM kka UNION SELECT h FROM kkb)
+                      ORDER BY h LIMIT 128),
+              st AS (SELECT
+                (SELECT COUNT(*) FROM kka) AS n_a,
+                (SELECT MAX(h) FROM kka) AS kth_a,
+                (SELECT COUNT(*) FROM kkb) AS n_b,
+                (SELECT MAX(h) FROM kkb) AS kth_b,
+                (SELECT COUNT(*) FROM kku) AS n_u,
+                (SELECT MAX(h) FROM kku) AS kth_u,
+                (SELECT COUNT(*) FROM kku
+                 WHERE h IN (SELECT h FROM kka)
+                   AND h IN (SELECT h FROM kkb)) AS n_common)
+         SELECT CAST(128 AS BIGINT) AS k,
+                CAST(n_a AS BIGINT) AS n_a,
+                CAST(kth_a AS BIGINT) AS kth_a,
+                CAST(CASE WHEN n_a < 128 THEN n_a
+                     ELSE (127 * 4294967296) // kth_a END AS BIGINT) AS est_a,
+                CAST(n_b AS BIGINT) AS n_b,
+                CAST(kth_b AS BIGINT) AS kth_b,
+                CAST(CASE WHEN n_b < 128 THEN n_b
+                     ELSE (127 * 4294967296) // kth_b END AS BIGINT) AS est_b,
+                CAST(n_u AS BIGINT) AS n_u,
+                CAST(kth_u AS BIGINT) AS kth_u,
+                CAST(CASE WHEN n_u < 128 THEN n_u
+                     ELSE (127 * 4294967296) // kth_u END AS BIGINT) AS est_u,
+                CAST(n_common AS BIGINT) AS n_common_k,
+                CAST((1000000 * n_common) // n_u AS BIGINT) AS jaccard_ppm
+         FROM st""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---
