@@ -760,6 +760,18 @@ object SparkEntry {
       // every estimate matches to the integer. See functions.KmvSketch.
       graft.functions.KmvSketch.corpusOverlapSketch(
         Parallelize.ensure(Tables.documents(s, dir)), k = 128)),
+    "q159_dsir_selection" -> ((s, dir) =>
+      // DSIR domain-targeting selection (Xie NeurIPS'23): score every doc
+      // by sum over tokens of ln p_target(bucket) - ln p_raw(bucket)
+      // (hashed-unigram bag models, add-one smoothing, 512 buckets,
+      // target = the 'en' slice), each ln quantized ONCE per bucket to
+      // integer nanos via FLOOR — floor of a double is engine-exact, so
+      // every score downstream is exact BIGINT and the oracle replays the
+      // top-25 integer-for-integer. One token explode + two bucket-sized
+      // aggs + a broadcast weight join; see operators.Dsir.
+      graft.operators.Dsir.topByImportance(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        isTarget = col("lang") === "en", n = 25)),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -4057,6 +4069,42 @@ object SparkEntry {
                 CAST(n_common AS BIGINT) AS n_common_k,
                 CAST((1000000 * n_common) // n_u AS BIGINT) AS jaccard_ppm
          FROM st""",
+    "q159_dsir_selection" ->
+      // both bag models, the floor-quantized per-bucket log weights and
+      // the per-doc integer scores replayed exactly: same space-run
+      // tokens, same kmv_key bucket hash, same add-one smoothing over
+      // 512 buckets, same FLOOR(ln * 1e9) nanos
+      """WITH toks AS (SELECT doc_id, lang, lang = 'en' AS tgt,
+                         unnest(string_split_regex(trim(text), ' +'))
+                           AS token
+                       FROM documents),
+              tb AS (SELECT doc_id, lang, tgt,
+                       ((list_reduce([ascii(token[i])
+                                      for i in range(1, len(token) + 1)],
+                                     (a, b) -> (CAST(a AS BIGINT) * 31 + b)
+                                               % 999999937)
+                         * 2654435761) % 4294967296) % 512 AS bucket
+                     FROM toks WHERE length(token) > 0),
+              cnts AS (SELECT bucket, COUNT(*) AS cr,
+                         SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+                       FROM tb GROUP BY 1),
+              tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM cnts),
+              w AS (SELECT bucket,
+                      CAST(FLOOR(ln(CAST(ct + 1 AS DOUBLE)
+                                    / CAST(nt + 512 AS DOUBLE)) * 1e9)
+                           AS BIGINT)
+                    - CAST(FLOOR(ln(CAST(cr + 1 AS DOUBLE)
+                                    / CAST(nr + 512 AS DOUBLE)) * 1e9)
+                           AS BIGINT) AS wn
+                    FROM cnts, tot),
+              tf AS (SELECT doc_id, lang, bucket, COUNT(*) AS tf
+                     FROM tb GROUP BY 1, 2, 3),
+              sc AS (SELECT doc_id, lang,
+                       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                       CAST(SUM(tf * wn) AS BIGINT) AS logw_nanos
+                     FROM tf JOIN w USING (bucket) GROUP BY 1, 2)
+         SELECT doc_id, lang, n_tokens, logw_nanos
+         FROM sc ORDER BY logw_nanos DESC, doc_id LIMIT 25""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---
