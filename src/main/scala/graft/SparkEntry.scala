@@ -772,6 +772,19 @@ object SparkEntry {
       graft.operators.Dsir.topByImportance(
         Parallelize.ensure(Tables.documents(s, dir)),
         isTarget = col("lang") === "en", n = 25)),
+    "q160_mad_anomaly" -> ((s, dir) =>
+      // Hampel median/MAD outlier gate per event type — q84's 3-sigma
+      // gate made heavy-tail-proof: |x-med| > 3.5*MAD with every
+      // statistic exact (doubled-cents integer medians, integer
+      // deviations, half-integer MAD — no division/sqrt/rounding, the
+      // verdict is a product of exact integers). Exact percentile state
+      // is bounded by the distinct-cents domain (KB-scale, mergeable);
+      // see operators.RobustAnomaly for the DDSketch swap at unbounded
+      // domains.
+      graft.operators.RobustAnomaly.madOutliers(
+          Tables.events(s, dir), "event_type",
+          round(col("value") * 100).cast("long"))
+        .orderBy(col("event_type"))),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -4105,6 +4118,29 @@ object SparkEntry {
                      FROM tf JOIN w USING (bucket) GROUP BY 1, 2)
          SELECT doc_id, lang, n_tokens, logw_nanos
          FROM sc ORDER BY logw_nanos DESC, doc_id LIMIT 25""",
+    "q160_mad_anomaly" ->
+      // the robust gate replayed statistic-for-statistic: same doubled
+      // integer cents, interpolated medians over even integers are exact
+      // integers, MAD at worst half-integer, verdict 2*d2 > 7*mad2
+      """WITH ev AS (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                     FROM events),
+              m1 AS (SELECT event_type, COUNT(*) AS n_events,
+                       median(2 * cents) AS med2
+                     FROM ev GROUP BY 1),
+              d AS (SELECT e.event_type, n_events, med2,
+                      ABS(2 * cents - med2) AS d2
+                    FROM ev e JOIN m1 USING (event_type)),
+              m2 AS (SELECT event_type, median(d2) AS mad2
+                     FROM d GROUP BY 1)
+         SELECT d.event_type,
+                CAST(MAX(n_events) AS BIGINT) AS n_events,
+                CAST(MAX(med2) AS BIGINT) AS median_x2,
+                CAST(MAX(mad2 * 2) AS BIGINT) AS mad_x4,
+                CAST(SUM(CASE WHEN 2 * d2 > 7 * mad2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_outliers
+         FROM d JOIN m2 USING (event_type)
+         GROUP BY 1 ORDER BY event_type""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---
