@@ -785,6 +785,25 @@ object SparkEntry {
           Tables.events(s, dir), "event_type",
           round(col("value") * 100).cast("long"))
         .orderBy(col("event_type"))),
+    "q161_quality_budget" -> ((s, dir) =>
+      // budget-greedy curriculum cut: per lang, rank docs by the q155
+      // quality margin (ties by doc_id) and keep the prefix whose
+      // inclusive running token total fits an 8192-token budget — the
+      // "best docs first, stop at the budget" selection that complements
+      // the rate-based mixing family (q69/q114/q152). One running-sum
+      // window per lang partition, all integer arithmetic; the oracle
+      // replays margins, order and cumsum exactly.
+      graft.operators.Mixing.budgetGreedySelect(
+          Parallelize.ensure(Tables.documents(s, dir)), "lang",
+          scoreCol = graft.functions.QualityExprs.qualityMargin(col("text")),
+          tokensCol = TextFunctions.tokenCount(col("text")),
+          budgetTokens = 8192L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("tokens"),
+          min(col("_score")).as("cutoff_margin"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("lang"))),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -4141,6 +4160,38 @@ object SparkEntry {
                      AS BIGINT) AS n_outliers
          FROM d JOIN m2 USING (event_type)
          GROUP BY 1 ORDER BY event_type""",
+    "q161_quality_budget" ->
+      // margins via the q155 fold, token counts via the q114 contract,
+      // then the same (margin DESC, doc_id) per-lang running sum and
+      // inclusive 8192-token prefix cut
+      """WITH tk AS (SELECT doc_id, lang,
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), ' +'))
+                            END AS BIGINT) AS nt,
+                       [x for x in string_split_regex(trim(text), ' +')
+                        if length(x) > 0] AS toks
+                     FROM documents),
+              g AS (SELECT doc_id, lang, nt, list_concat(toks,
+                      [toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS grams
+                    FROM tk),
+              m AS (SELECT doc_id, lang, nt, CAST(coalesce(list_sum([
+                      (list_reduce([ascii(gm[i])
+                                    for i in range(1, len(gm) + 1)],
+                                   (a, b) -> (a * 31 + b) % 1000003)
+                       % 2001) - 1000
+                      for gm in grams]), 0) AS BIGINT) AS margin
+                    FROM g),
+              sel AS (SELECT lang, doc_id, nt, margin,
+                        SUM(nt) OVER (PARTITION BY lang
+                                      ORDER BY margin DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                      FROM m)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS tokens,
+                CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
+                CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+         FROM sel WHERE cum <= 8192 GROUP BY 1 ORDER BY lang""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---

@@ -59,4 +59,36 @@ object Mixing {
     }
     df.filter(keepGate(col(idCol), rateCol))
   }
+
+  /** Budget-greedy QUALITY selection — the other way practitioners fill a
+    * token budget: instead of sampling every stratum at a rate (the
+    * [[sampleStrata]] family), rank each stratum's documents by a quality
+    * score and take the prefix that fits the stratum's token budget (the
+    * "best docs first, stop at the budget" curriculum cut).
+    *
+    * Greedy-prefix semantics: within a stratum, documents are ordered by
+    * (score DESC, id ASC — deterministic ties) and a document is kept iff
+    * its INCLUSIVE running token total stays within `budgetTokens`; the
+    * running total is monotone, so the kept set is a prefix and the first
+    * overflowing document is the hard cut. All integer arithmetic.
+    *
+    * Scale shape: ONE running-sum window per stratum partition (the q70
+    * packing cumsum shape — range-partitioned sort, no driver state) over
+    * the narrow (stratum, score, id, tokens) projection, then the rollup.
+    * Skewed strata sort big partitions — inherent to "rank within
+    * stratum"; sub-salt by score band if a single stratum outgrows an
+    * executor at 100 TB.
+    */
+  def budgetGreedySelect(df: DataFrame, strataCol: String, scoreCol: Column,
+                         tokensCol: Column, budgetTokens: Long,
+                         idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("_score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(strataCol), col(idCol), scoreCol.as("_score"),
+        tokensCol.cast("long").as("_nt"))
+      .withColumn("_cum", sum(col("_nt")).over(w))
+      .filter(col("_cum") <= budgetTokens)
+  }
 }

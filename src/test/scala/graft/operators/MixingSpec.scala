@@ -55,4 +55,22 @@ class MixingSpec extends SparkSpec {
     val c2 = Mixing.sampleStrata(df, "lang", Map("x" -> 0.25)).select("doc_id").as[Long].collect().sorted
     assert(a === 1000L && b === 0L && (c1 sameElements c2))
   }
+
+  test("budgetGreedySelect keeps the quality-ordered prefix, hard cut") {
+    import org.apache.spark.sql.functions.col
+    // (id, lang, score, tokens): en ordered by score desc is 1(50),2(40),
+    // 3(30),4(20) with budget 70 -> keep 1,2 (90 would overflow at 3, and
+    // the LATER smaller doc 4 must NOT sneak in: prefix, not knapsack)
+    val df = Seq(
+      (1L, "en", 900L, 50L), (2L, "en", 800L, 40L),
+      (3L, "en", 700L, 45L), (4L, "en", 600L, 5L),
+      (5L, "de", 100L, 60L), (6L, "de", 100L, 60L) // tie: doc_id order
+    ).toDF("doc_id", "lang", "score", "nt")
+    val got = Mixing.budgetGreedySelect(df, "lang", col("score"), col("nt"),
+        budgetTokens = 90L).select("lang", "doc_id").as[(String, Long)]
+      .collect().toSet
+    // en: 50+40=90 fits, +45 overflows, 5 must not re-enter
+    // de: tie broken by doc_id -> 5 enters (60), 6 overflows (120)
+    assert(got === Set(("en", 1L), ("en", 2L), ("de", 5L)))
+  }
 }
