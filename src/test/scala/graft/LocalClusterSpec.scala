@@ -69,7 +69,25 @@ import org.scalatest.funsuite.AnyFunSuite
   *    next stage's scan reads them back across the process boundary (the
   *    shared-scratch contract, exercised for real on a shared local fs);
   *  - q155: quality classifier — the quality_margin codegen kernel
-  *    compiled and evaluated inside executor JVMs.
+  *    compiled and evaluated inside executor JVMs;
+  *  - q156: audio audit — the shared RIFF parse + one-pass clip/silence/
+  *    peak/energy counters run inside executor JVMs over parquet-read
+  *    payloads;
+  *  - q157: snapshot diff — the full-outer join's null-safe packed-struct
+  *    comparison evaluated on shuffled rows that crossed the process
+  *    boundary;
+  *  - q158: KMV overlap — the sorted-array bottom-k `Aggregator` buffers
+  *    are Encoder-serialized and MERGED across executors (the sketch's
+  *    algebraic-merge claim, tested on the wire), plus the kmv_key
+  *    codegen kernel compiled executor-side;
+  *  - q159: DSIR selection — two bucket-sized partial aggs and the
+  *    broadcast weight table ship across processes; the floor-quantized
+  *    weights must come out identical wherever the ln is evaluated;
+  *  - q160: MAD anomaly — exact-percentile value→count maps merged across
+  *    executors twice (median, then MAD), with the group-stat broadcast
+  *    joins re-entering executor plans;
+  *  - q161: quality budget — per-stratum running-sum window over
+  *    range-partitioned shuffled rows, margins computed executor-side.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -96,7 +114,13 @@ class LocalClusterSpec extends AnyFunSuite {
     "q151_int8_quant",
     "q152_temperature_mix",
     "q153_corpus_build",
-    "q155_quality_classifier")
+    "q155_quality_classifier",
+    "q156_audio_audit",
+    "q157_snapshot_diff",
+    "q158_kmv_overlap",
+    "q159_dsir_selection",
+    "q160_mad_anomaly",
+    "q161_quality_budget")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
