@@ -804,6 +804,18 @@ object SparkEntry {
           min(col("_score")).as("cutoff_margin"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("lang"))),
+    "q162_template_canon" -> ((s, dir) =>
+      // boilerplate/template collapse with quality-aware canonical pick:
+      // docs sharing the same 8-token opening prefix (md5 — the q16/q21
+      // hash contract) form a family; keep the member with the highest
+      // q155 margin (ties: lowest doc_id). The argmax is an associative
+      // max(struct(score, -id)) — ONE partial→final agg, no window sort;
+      // the oracle replays families, margins and the pick exactly.
+      graft.dedup.TemplateCanon.collapse(
+          Parallelize.ensure(Tables.documents(s, dir)),
+          scoreCol = graft.functions.QualityExprs.qualityMargin(col("text")),
+          prefixTokens = 8)
+        .orderBy(col("kept_id"))),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -4192,6 +4204,37 @@ object SparkEntry {
                 CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
                 CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
          FROM sel WHERE cum <= 8192 GROUP BY 1 ORDER BY lang""",
+    "q162_template_canon" ->
+      // families via md5 over the 8-token opening prefix, margins via the
+      // q155 fold, canonical pick replayed as the (margin DESC, doc_id)
+      // rank-1 row per family of size >= 2
+      """WITH tk AS (SELECT doc_id,
+                       md5(array_to_string(
+                             string_split_regex(trim(text), ' +')[1:8], ' '))
+                         AS family_key,
+                       [x for x in string_split_regex(trim(text), ' +')
+                        if length(x) > 0] AS toks
+                     FROM documents),
+              g AS (SELECT doc_id, family_key, list_concat(toks,
+                      [toks[i] || ' ' || toks[i+1]
+                       for i in range(1, len(toks))]) AS grams
+                    FROM tk),
+              m AS (SELECT doc_id, family_key, CAST(coalesce(list_sum([
+                      (list_reduce([ascii(gm[i])
+                                    for i in range(1, len(gm) + 1)],
+                                   (a, b) -> (a * 31 + b) % 1000003)
+                       % 2001) - 1000
+                      for gm in grams]), 0) AS BIGINT) AS margin
+                    FROM g),
+              r AS (SELECT family_key, doc_id, margin,
+                      COUNT(*) OVER (PARTITION BY family_key) AS n_members,
+                      ROW_NUMBER() OVER (PARTITION BY family_key
+                                         ORDER BY margin DESC, doc_id) AS rk
+                    FROM m)
+         SELECT family_key, CAST(n_members AS BIGINT) AS n_members,
+                doc_id AS kept_id, margin AS kept_score,
+                CAST(n_members - 1 AS BIGINT) AS n_dropped
+         FROM r WHERE rk = 1 AND n_members > 1 ORDER BY kept_id""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---
