@@ -816,6 +816,24 @@ object SparkEntry {
           scoreCol = graft.functions.QualityExprs.qualityMargin(col("text")),
           prefixTokens = 8)
         .orderBy(col("kept_id"))),
+    "q163_epoch_expand" -> ((s, dir) =>
+      // the execution half of the mixing plan: materialize fractional
+      // epochs (en 2.5x, de 1.25x, fr 1.5x, es 1.0x, else 0.75x) — each
+      // doc repeats floor(f) times plus one more iff its Knuth gate fires
+      // at the dyadic fraction, so f < 1 degenerates to subsampling and
+      // the SAME rows get the extra epoch on both engines. Map-only
+      // explode, zero shuffle below the report agg; see
+      // operators.Mixing.epochExpand.
+      graft.operators.Mixing.epochExpand(
+          Parallelize.ensure(Tables.documents(s, dir))
+            .select(col("doc_id"), col("lang"),
+              TextFunctions.tokenCount(col("text")).cast("bigint").as("nt")),
+          "lang",
+          factors = Map("en" -> 2.5, "de" -> 1.25, "fr" -> 1.5, "es" -> 1.0),
+          defaultFactor = 0.75)
+        .groupBy(col("lang"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tokens"))
+        .orderBy(col("lang"), col("epoch"))),
     // --- planted-subset scale gates (q140–q146): sf1 evidence for the
     //     seven quadratic-oracle queries (q22/q65/q68/q76/q116/q133/q136),
     //     whose only direct oracle is the brute-force all-pairs scan the
@@ -4235,6 +4253,28 @@ object SparkEntry {
                 doc_id AS kept_id, margin AS kept_score,
                 CAST(n_members - 1 AS BIGINT) AS n_dropped
          FROM r WHERE rk = 1 AND n_members > 1 ORDER BY kept_id""",
+    "q163_epoch_expand" ->
+      // copy counts replayed through the same floor + Knuth-gate formula
+      // (dyadic fractions make rate*2^32 exact), epochs unnested 1..n
+      """WITH d AS (SELECT doc_id, lang,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +'))
+                           END AS BIGINT) AS nt,
+                      CASE lang WHEN 'en' THEN 2.5 WHEN 'de' THEN 1.25
+                                WHEN 'fr' THEN 1.5 WHEN 'es' THEN 1.0
+                                ELSE 0.75 END AS f
+                    FROM documents),
+              c AS (SELECT doc_id, lang, nt,
+                      CAST(FLOOR(f) AS BIGINT)
+                      + CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                               CAST((f - FLOOR(f)) * 4294967296 AS BIGINT)
+                             THEN 1 ELSE 0 END AS n
+                    FROM d),
+              e AS (SELECT lang, nt, unnest(range(1, n + 1)) AS epoch
+                    FROM c WHERE n > 0)
+         SELECT lang, CAST(epoch AS BIGINT) AS epoch, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS tokens
+         FROM e GROUP BY 1, 2 ORDER BY lang, epoch""",
     // --- planted-subset gate oracles: pure closed-form arithmetic over
     //     the Planted construction (graft.Planted scaladoc reproduces the
     //     derivations); no table scan, affordable at every scale ---

@@ -91,4 +91,37 @@ object Mixing {
       .withColumn("_cum", sum(col("_nt")).over(w))
       .filter(col("_cum") <= budgetTokens)
   }
+
+  /** Fractional-epoch MATERIALIZATION — the execution half of the mixing
+    * plan: [[sampleStrata]]/q114 only *derive* keep-rates and epoch
+    * factors; a training run needs the oversampled rows to actually exist
+    * (each doc repeated "2.5 times"). A factor f = k + r (integer part k,
+    * fraction r) materializes every row k times plus one more iff the
+    * row's Knuth keep-gate fires at rate r — so a stratum at f=2.5 emits
+    * each doc 2 or 3 times and EXACTLY the planned token mass in
+    * expectation, deterministically (same rows get the extra epoch on
+    * every engine and every run). f < 1 degenerates to plain subsampling
+    * (k=0), one formula for both directions. Factors should be dyadic so
+    * r·2^32 is exact (the [[keepGate]] contract).
+    *
+    * Scale shape: a narrow per-row copy count + `explode(sequence(...))`
+    * — map-only, zero shuffle, zero driver state; output rows carry an
+    * `epoch` index (1..n) so downstream packing can interleave epochs.
+    */
+  def epochExpand(df: DataFrame, strataCol: String, factors: Map[String, Double],
+                  idCol: String = "doc_id", defaultFactor: Double = 1.0)
+      : DataFrame = {
+    val f = factors.foldLeft(lit(defaultFactor): Column) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val whole = floor(f).cast("long")
+    val frac = f - floor(f)
+    val copies = whole +
+      when(knuthHash(col(idCol)) < (frac * lit(M.toDouble)).cast("long"), 1L)
+        .otherwise(0L)
+    df.withColumn("_n_copies", copies)
+      .filter(col("_n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("_n_copies"))))
+      .drop("_n_copies")
+  }
 }

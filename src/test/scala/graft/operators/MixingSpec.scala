@@ -73,4 +73,24 @@ class MixingSpec extends SparkSpec {
     // de: tie broken by doc_id -> 5 enters (60), 6 overflows (120)
     assert(got === Set(("en", 1L), ("en", 2L), ("de", 5L)))
   }
+
+  test("epochExpand materializes floor(f) + gated extra copies") {
+    import org.apache.spark.sql.functions.col
+    val df = (0L until 400L).map(i => (i, if (i < 200) "hi" else "lo"))
+      .toDF("doc_id", "lang")
+    val out = Mixing.epochExpand(df, "lang",
+        Map("hi" -> 2.25), defaultFactor = 0.5)
+      .select("doc_id", "lang", "epoch").as[(Long, String, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    for (id <- 0L until 400L) {
+      val extra = if (gateKeeps(id, if (id < 200) 0.25 else 0.5)) 1 else 0
+      val want = (if (id < 200) 2 else 0) + extra
+      val got = byDoc.getOrElse(id, Seq.empty)
+      assert(got === (1 to want).map(_.toLong),
+        s"doc $id: got $got want 1..$want")
+    }
+    // f=2.25 emits between 2x and 3x of the stratum; gated share near 1/4
+    val hi = out.count(_._2 == "hi")
+    assert(hi >= 400 && hi <= 600)
+  }
 }
