@@ -87,7 +87,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *    executors twice (median, then MAD), with the group-stat broadcast
   *    joins re-entering executor plans;
   *  - q161: quality budget — per-stratum running-sum window over
-  *    range-partitioned shuffled rows, margins computed executor-side.
+  *    range-partitioned shuffled rows, margins computed executor-side;
+  *  - q162: template canon — the associative max(struct) argmax buffers
+  *    merge across executor partials (pick correctness must survive the
+  *    partial→final split, not just single-JVM evaluation);
+  *  - q163: epoch expand — the gated copy-count + sequence explode runs
+  *    executor-side and the per-(lang, epoch) masses merge on the wire.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -120,7 +125,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q158_kmv_overlap",
     "q159_dsir_selection",
     "q160_mad_anomaly",
-    "q161_quality_budget")
+    "q161_quality_budget",
+    "q162_template_canon",
+    "q163_epoch_expand")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
