@@ -52,6 +52,14 @@ object ExplainDump {
     "q150_bpe_encode" -> "BPE encode: merge chain applied to the DISTINCT token table, vocab-joined back onto the token stream (AQE broadcasts while the vocab fits, shuffles at 100 TB)",
     "q151_int8_quant" -> "int8 quantization audit: narrow codegen array expressions end-to-end, one broadcast query vector, no shuffle before the final sort",
     "q155_quality_classifier" -> "hashed-n-gram quality classifier: ONE codegen'd static-call expression on a narrow scan — no explode, no join, no shuffle before the output sort",
+    "q156_audio_audit" -> "audio audit: q139's decode shape with the one-pass clip/silence/peak/energy counters — narrow scan → partition decode → fixed-width stats, payloads never reach an exchange",
+    "q157_snapshot_diff" -> "snapshot diff: ONE co-partitioned full-outer sort-merge join on the key, null-safe struct compare + status CASE above it, rollup agg — no second exchange",
+    "q158_kmv_overlap" -> "KMV overlap: bottom-k sketch as an algebraic ObjectHashAggregate — map-side partials reduce each partition to k values before the 2-group exchange",
+    "q159_dsir_selection" -> "DSIR selection: token explode → two 512-row bucket aggs → broadcast weight join back onto per-doc tf → per-doc agg, TakeOrdered top-25",
+    "q160_mad_anomaly" -> "MAD anomaly: exact-percentile value→count map aggs (domain-bounded state), group-stat broadcast joins back onto the narrow scan — three passes, no sort",
+    "q161_quality_budget" -> "quality budget: margins computed in the scan projection, ONE per-lang running-sum window (range-partitioned sort), prefix filter + rollup",
+    "q162_template_canon" -> "template canon: associative max(struct) argmax — ONE partial→final agg over the narrow (key, id, score) projection, no window exchange",
+    "q163_epoch_expand" -> "epoch expand: gated copy count + sequence() explode in the map stage — zero shuffle below the (lang, epoch) report agg",
     "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
