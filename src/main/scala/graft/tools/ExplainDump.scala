@@ -124,6 +124,23 @@ object ExplainDump {
           .drop("t0")
         graft.operators.ZOrder.cluster(
           withMinute, col("user_id"), col("minute"), numFiles = 16)
+      }), (
+      "q158 sketch stage (distributed half)",
+      "KMV sketches: kmv_key codegen in the scan projection, bottom-k ObjectHashAggregate partial→final around the 2-group exchange — the distributed half q158's 1-row result frame hides (the sketch COMBINE is a driver-side k-array merge by design)",
+      {
+        val src = graft.Tables.documents(spark, sfDir)
+          .withColumn("sn", org.apache.spark.sql.functions
+            .regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+          .withColumn("h", graft.functions.KmvSketch.kmvKey(
+            org.apache.spark.sql.functions.regexp_replace(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.trim(col("text"))),
+              "\\s+", " ")))
+        src.select(org.apache.spark.sql.functions
+            .when(col("sn") % 2 === 0, "a").otherwise("b").as("side"),
+            col("h"))
+          .groupBy(col("side"))
+          .agg(graft.functions.KmvSketch.sketch(128)(col("h")).as("sk"))
       }))
   }
 
