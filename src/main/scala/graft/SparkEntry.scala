@@ -2595,7 +2595,90 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("order_hour_of_day")).cast("bigint").as("sum_hour"))
         .orderBy(col("days"))
-    })
+    }),
+    // --- round-9 additions: retrieval eval, bigram LM, deterministic
+    //     heavy hitters, shard planning, embedding DQ, curriculum order ---
+    "q164_retrieval_eval" -> ((s, dir) =>
+      // offline ranker evaluation (MRR / hits@10 / nDCG@10) of the
+      // tf-ranking against binary relevance tf>=3, for the q98 probe
+      // terms. nDCG discounts are a FIXED integer micro-unit table inlined
+      // identically in the oracle (no transcendental at query time); MRR
+      // is exact integer division; the ranking itself is the bounded
+      // top-k aggregate — O(k) map-side state, never a corpus-sized
+      // ranking window. See operators.RetrievalEval.
+      graft.operators.RetrievalEval.evaluate(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        Seq("data", "hash", "join", "scan", "vector"), k = 10, relevanceTf = 3)),
+    "q165_bigram_perplexity" -> ((s, dir) =>
+      // interpolated bigram-LM cross-entropy per document — q134's
+      // unigram quality filter taken to order 2 (lambda=0.75 bigram MLE +
+      // 0.25 unigram, one consistent bigram-event sample space so no
+      // zero-probability events). Same round-9 DECIMAL-surprisal
+      // discipline: -ln p rounded to 9dp once per bigram type, summed as
+      // exact decimals, one final float division. Map-only pair
+      // construction (arrays_zip over the token array — no self-join);
+      // model joins unhinted so AQE broadcasts only while the bigram
+      // vocab fits. See operators.BigramLM.
+      graft.operators.BigramLM
+        .crossEntropy(Parallelize.ensure(Tables.documents(s, dir)))
+        .orderBy(col("doc_id"))),
+    "q166_heavy_hitters" -> ((s, dir) =>
+      // deterministic exact heavy hitters (tokens above 2% corpus
+      // frequency): a mergeable Misra-Gries summary (k=64 counters, KB of
+      // state per partition) proposes candidates — provably a superset of
+      // the 2%-heavy set since 2% > 1/65 — and an exact recount over the
+      // <=64-candidate semi-join decides. The vocabulary-sized groupBy a
+      // naive exact count would shuffle never happens; the output (exact
+      // counts) is independent of every MG internal, which is what the
+      // plain GROUP-BY oracle checks. See operators.HeavyHitters.
+      graft.operators.HeavyHitters.exactHeavyHitters(
+        Parallelize.ensure(Tables.documents(s, dir))
+          .select(explode(split(trim(col("text")), " +")).as("token"))
+          .filter(length(col("token")) > 0),
+        "token", k = 64, num = 1L, denom = 50L)),
+    "q167_shard_plan" -> ((s, dir) =>
+      // balanced output-shard planning: docs descend by size and snake
+      // across 8 shards (serpentine LPT). The global rank this needs is
+      // the two-pass DISTRIBUTED rank (range repartition + per-partition
+      // offsets — one long per partition on the driver), NOT a
+      // single-partition row_number window; the oracle replays the same
+      // total order with a plain window at DuckDB's scale. See
+      // operators.ShardPlan / DistRank.
+      graft.operators.ShardPlan.summary(
+        graft.operators.ShardPlan.assign(
+          Parallelize.ensure(Tables.documents(s, dir)),
+          "doc_id", col("n_chars"), nShards = 8))),
+    "q168_embedding_audit" -> ((s, dir) => {
+      // embedding-table DQ audit (dimension drift / NaN / zero vectors /
+      // exact quantized norm mass) per label. Every verdict is an integer
+      // both engines derive identically: floor-quantized squared norms
+      // (floor of a double is engine-exact — the q159 rule), codegen'd
+      // single-call kernels, one label-keyed aggregate. Every 97th vector
+      // gets a planted NaN head element and every 89th is zeroed
+      // (planted identically in the oracle) so the audit is non-vacuous
+      // on clean driver data. See operators.EmbeddingAudit.
+      val e = Tables.embeddings(s, dir)
+      val planted = e.withColumn("vec",
+        when(pmod(col("vec_id"), lit(97)) === 0,
+          concat(array(lit(Float.NaN)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1)))
+          .when(pmod(col("vec_id"), lit(89)) === 0,
+            array_repeat(lit(0.0f), size(col("embedding"))))
+          .otherwise(col("embedding")))
+      graft.operators.EmbeddingAudit.audit(
+        Parallelize.ensure(planted), col("vec"), col("label"), expectedDim = 64)
+    }),
+    "q169_curriculum_interleave" -> ((s, dir) =>
+      // deterministic stratified curriculum order: per-lang quality rank
+      // (q155 margin, ties doc_id) round-robined across langs; the global
+      // position is the computed bijection (rank-1)*n_langs + lang_idx —
+      // write-time ordering is a range-partition on a FORMULA, never a
+      // global sort or driver merge. Preview of the first 40 positions;
+      // rank prunes before anything is ordered. See operators.Curriculum.
+      graft.operators.Curriculum.interleave(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        "lang", "doc_id",
+        graft.functions.QualityExprs.qualityMargin(col("text")), take = 40))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5402,7 +5485,182 @@ object SparkEntry {
                 CASE WHEN n_tok = 0 THEN 0.0
                      ELSE CAST(len_trim - (n_tok - 1) AS DOUBLE) / CAST(n_tok AS DOUBLE) END
                   AS mean_tok_len
-         FROM t ORDER BY doc_id"""
+         FROM t ORDER BY doc_id""",
+    "q164_retrieval_eval" ->
+      // ranking replayed as a plain per-term window at DuckDB's scale;
+      // the nDCG discount / IDCG-prefix tables are the SAME integer
+      // micro-unit literals as operators.RetrievalEval.discMicros
+      """WITH postings AS (
+           SELECT term, doc_id, COUNT(*) AS tf
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), ' +')) AS term
+                 FROM documents)
+           WHERE term IN ('data','hash','join','scan','vector')
+           GROUP BY 1, 2),
+         top AS (
+           SELECT term, doc_id, tf,
+                  row_number() OVER (PARTITION BY term
+                                     ORDER BY tf DESC, doc_id) AS rank
+           FROM postings QUALIFY rank <= 10),
+         disc(rank, disc_micros) AS (VALUES
+           (1,1000000),(2,630929),(3,500000),(4,430676),(5,386852),
+           (6,356207),(7,333333),(8,315464),(9,301029),(10,289064)),
+         idcg(m, prefix_micros) AS (VALUES
+           (0,0),(1,1000000),(2,1630929),(3,2130929),(4,2561605),
+           (5,2948457),(6,3304664),(7,3637997),(8,3953461),(9,4254490),
+           (10,4543554)),
+         rel AS (SELECT term, COUNT(*) AS n_relevant
+                 FROM postings WHERE tf >= 3 GROUP BY 1),
+         agg AS (
+           SELECT t.term,
+                  SUM(CASE WHEN t.tf >= 3 THEN 1 ELSE 0 END) AS hits_at_k,
+                  MIN(CASE WHEN t.tf >= 3 THEN t.rank END) AS first_rel_rank,
+                  SUM(CASE WHEN t.tf >= 3 THEN d.disc_micros ELSE 0 END)
+                    AS dcg_micros
+           FROM top t JOIN disc d USING (rank) GROUP BY 1)
+         SELECT a.term,
+                CAST(COALESCE(r.n_relevant, 0) AS BIGINT) AS n_relevant,
+                CAST(a.hits_at_k AS BIGINT) AS hits_at_k,
+                CAST(COALESCE(a.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
+                CAST(CASE WHEN a.first_rel_rank IS NOT NULL
+                          THEN 1000000 // a.first_rel_rank ELSE 0 END AS BIGINT)
+                  AS mrr_micros,
+                CAST(a.dcg_micros AS BIGINT) AS dcg_micros,
+                CAST(i.prefix_micros AS BIGINT) AS idcg_micros,
+                CASE WHEN i.prefix_micros > 0
+                     THEN round(CAST(a.dcg_micros AS DOUBLE)
+                                / CAST(i.prefix_micros AS DOUBLE), 6)
+                     ELSE 0.0 END AS ndcg
+         FROM agg a LEFT JOIN rel r USING (term)
+         JOIN idcg i ON i.m = LEAST(COALESCE(r.n_relevant, 0), 10)
+         ORDER BY term""",
+    "q165_bigram_perplexity" ->
+      // same pair stream (adjacent whitespace tokens), same interpolation
+      // float-op order as operators.BigramLM, surprisal rounded to 9dp
+      // once per bigram type and summed as exact DECIMALs (the q134 rule)
+      """WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), ' +') AS a
+                       FROM documents),
+         pairs AS (SELECT doc_id,
+                     unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS pair
+                   FROM toks WHERE len(a) >= 2),
+         tf AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2, COUNT(*) AS tf
+                FROM pairs
+                WHERE length(pair[1]) > 0 AND length(pair[2]) > 0
+                GROUP BY 1, 2, 3),
+         vocab AS (SELECT w1, w2, SUM(tf) AS c12 FROM tf GROUP BY 1, 2),
+         lft AS (SELECT w1, SUM(c12) AS c1 FROM vocab GROUP BY 1),
+         uni AS (SELECT w2, SUM(c12) AS c2 FROM vocab GROUP BY 1),
+         tot AS (SELECT SUM(c12) AS n_total FROM vocab),
+         terms AS (SELECT doc_id, tf,
+                     CAST(tf AS DECIMAL(9,0)) *
+                     CAST(round(-ln(0.75 * CAST(c12 AS DOUBLE)
+                                         / CAST(c1 AS DOUBLE)
+                                  + 0.25 * CAST(c2 AS DOUBLE)
+                                         / CAST(n_total AS DOUBLE)), 9)
+                          AS DECIMAL(19,9)) AS term
+                   FROM tf JOIN vocab USING (w1, w2)
+                   JOIN lft USING (w1) JOIN uni USING (w2), tot)
+         SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                round(CAST(SUM(term) AS DOUBLE)
+                      / CAST(SUM(tf) AS DOUBLE), 6) AS cross_entropy
+         FROM terms GROUP BY doc_id ORDER BY doc_id""",
+    "q166_heavy_hitters" ->
+      // the MG candidate pass is invisible here by design: the operator's
+      // output contract is "every token above 2% frequency, with its
+      // exact count", which a plain GROUP BY states directly
+      """WITH t AS (SELECT token
+                    FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
+                            AS token FROM documents)
+                    WHERE length(token) > 0),
+         tot AS (SELECT COUNT(*) AS n_total FROM t),
+         c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY 1)
+         SELECT token, CAST(cnt AS BIGINT) AS cnt,
+                CAST(n_total AS BIGINT) AS n_total
+         FROM c, tot WHERE cnt * 50 > n_total * 1
+         ORDER BY cnt DESC, token""",
+    "q167_shard_plan" ->
+      // the distributed two-pass rank replayed as a plain window; same
+      // (size desc, doc_id) total order, same serpentine fold
+      """WITH ranked AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS size,
+                  row_number() OVER (ORDER BY CAST(n_chars AS BIGINT) DESC,
+                                              doc_id) AS rank
+           FROM documents),
+         a AS (SELECT *,
+                 CAST(CASE WHEN (((rank - 1) // 8) % 2) = 0
+                           THEN (rank - 1) % 8
+                           ELSE 7 - ((rank - 1) % 8) END AS INTEGER) AS shard
+               FROM ranked)
+         SELECT shard, COUNT(*) AS n_docs,
+                CAST(SUM(size) AS BIGINT) AS total_size,
+                CAST(SUM(rank) AS BIGINT) AS rank_sum
+         FROM a GROUP BY shard ORDER BY shard""",
+    "q168_embedding_audit" ->
+      // same planted NaN-head / zero-vector rows, same floor-quantized
+      // integer norms (floor of a double is engine-exact — the q159 rule)
+      """WITH p AS (SELECT vec_id, label,
+                      CASE WHEN vec_id % 97 = 0
+                           THEN list_concat([CAST('NaN' AS FLOAT)],
+                                            embedding[2:])
+                           WHEN vec_id % 89 = 0
+                           THEN list_transform(embedding,
+                                               x -> CAST(0 AS FLOAT))
+                           ELSE embedding END AS vec
+                    FROM embeddings),
+         a AS (SELECT label, len(vec) AS dim,
+                 len(list_filter(vec, x -> isnan(CAST(x AS DOUBLE))
+                                        OR isinf(CAST(x AS DOUBLE))))
+                   AS n_nonfinite,
+                 COALESCE(list_sum(list_transform(
+                   list_filter(vec, x -> NOT isnan(CAST(x AS DOUBLE))
+                                     AND NOT isinf(CAST(x AS DOUBLE))),
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))), 0)
+                   AS qnorm
+               FROM p)
+         SELECT label, COUNT(*) AS n_vecs,
+                CAST(SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_bad_dim,
+                CAST(SUM(CASE WHEN n_nonfinite > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_nonfinite_vecs,
+                CAST(SUM(CASE WHEN n_nonfinite = 0 AND qnorm = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+                CAST(SUM(qnorm) AS BIGINT) AS sum_qnorm,
+                CAST(MIN(dim) AS INTEGER) AS min_dim,
+                CAST(MAX(dim) AS INTEGER) AS max_dim
+         FROM a GROUP BY label ORDER BY label""",
+    "q169_curriculum_interleave" ->
+      // margins via the q155 fold, per-lang rank + the same
+      // (rank-1)*n_strata + stratum_idx position bijection
+      """WITH tk AS (SELECT doc_id, lang,
+                       [x for x in string_split_regex(trim(text), ' +')
+                        if length(x) > 0] AS toks
+                     FROM documents),
+         g AS (SELECT doc_id, lang, list_concat(toks,
+                 [toks[i] || ' ' || toks[i+1]
+                  for i in range(1, len(toks))]) AS grams
+               FROM tk),
+         m AS (SELECT doc_id, lang, CAST(coalesce(list_sum([
+                 (list_reduce([ascii(gm[i])
+                               for i in range(1, len(gm) + 1)],
+                              (a, b) -> (a * 31 + b) % 1000003)
+                  % 2001) - 1000
+                 for gm in grams]), 0) AS BIGINT) AS score
+               FROM g),
+         ranked AS (SELECT lang, doc_id, score,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY score DESC, doc_id) AS rank
+                    FROM m QUALIFY rank <= 40),
+         strata AS (SELECT lang,
+                      row_number() OVER (ORDER BY lang) - 1 AS stratum_idx
+                    FROM (SELECT DISTINCT lang FROM documents)),
+         n AS (SELECT COUNT(*) AS n_strata FROM strata)
+         SELECT CAST((rank - 1) * n_strata + stratum_idx AS BIGINT) AS pos,
+                lang AS stratum, doc_id AS id, score
+         FROM ranked JOIN strata USING (lang), n
+         WHERE (rank - 1) * n_strata + stratum_idx < 40
+         ORDER BY pos"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg
