@@ -17,14 +17,35 @@ import org.apache.spark.sql.SparkSession
   * shortcuts that could skip projection work). A small warm-up action runs
   * first so JVM/codegen startup is not billed to the first query.
   *
-  * Every query runs SPARK_GRAFT_BENCH_RUNS times (default 5) and the
-  * reported number is the per-query MEDIAN: single runs at this scale swing
-  * 2-4x on identical plans (round-3 finding), so medians are the only
-  * timings worth comparing across rounds. `value` is the sum of medians.
-  * `spread` carries each primary query's [min,max] across its runs so
-  * host contention (wide spread, stable median) is distinguishable from a
-  * plan regression (narrow spread, moved median) from the artifact alone —
-  * the round-6 text-table drift was unadjudicable without this.
+  * Every query runs up to SPARK_GRAFT_BENCH_RUNS times (default 5) and the
+  * reported number is the per-query MEDIAN of its SUCCESSFUL runs: single
+  * runs at this scale swing 2-4x on identical plans (round-3 finding), so
+  * medians are the only timings worth comparing across rounds. `value` is
+  * the sum of medians. `spread` carries each primary query's [min,max]
+  * across its runs so host contention (wide spread, stable median) is
+  * distinguishable from a plan regression (narrow spread, moved median)
+  * from the artifact alone. A run that THROWS is excluded from the median
+  * and the query is listed in `failed` — round 9's truncated artifact
+  * recorded 4 ms fast-aborts as timings after the SparkContext died, which
+  * is exactly the silent corruption this rule forbids; a query with zero
+  * successful runs reports 1e18 (valid JSON, unmistakably not a timing).
+  *
+  * WALL-CLOCK BUDGET (round-10, the reason BENCH_r09 rc=124 can't recur):
+  * the suite self-limits to SPARK_GRAFT_BENCH_BUDGET_SEC seconds of
+  * measured time (default 2550 — r8's full suite took ~51 min of driver
+  * wall and passed; r9's grew past the driver timeout and was killed with
+  * nothing on stdout). Every query at every scale ALWAYS gets one run —
+  * completeness is never sacrificed — but runs beyond the first happen
+  * only while the suite is on schedule. The schedule interpolates each
+  * suite's share of the budget across its queries (query i of m may use
+  * extra runs only until suiteStart + share·(i+1)/m), so an overrun early
+  * in the alphabet starves nobody downstream of their guaranteed run and
+  * the degradation is spread evenly instead of truncating the tail. Shares:
+  * primary 36%, small +16%, large +40%, tail rechecks the last 8%. Actual
+  * per-query run counts land in `nruns`/`nruns_small`/`nruns_large`; the
+  * budget and total elapsed land in `env`. BENCH.json is rewritten after
+  * EVERY query at EVERY scale, so even a hard kill leaves a complete,
+  * parseable artifact covering everything measured so far.
   *
   * Three-scale evidence: after the primary suite, the same queries run again
   * at a 10x-smaller scale (SPARK_GRAFT_SF_DIR_SMALL, default the primary
@@ -32,7 +53,9 @@ import org.apache.spark.sql.SparkSession
   * 3; set =skip to disable), and — when the scaled-up dataset exists — at a
   * 10x-LARGER scale (SPARK_GRAFT_SF_DIR_LARGE, default `testdata/sf1`
   * under the working directory, the output of `graft.ScaleUp`;
-  * SPARK_GRAFT_BENCH_RUNS_LARGE runs, default 3 — see the inline note).
+  * SPARK_GRAFT_BENCH_RUNS_LARGE runs, default 3 — the first large run pays
+  * whole-stage-codegen JIT + allocator growth on 10x data, measured 116 s
+  * vs 33 s steady-state on q123, so multi-run medians matter most there).
   * The JSON then carries `queries_small`/`queries_large` (each with its
   * own min/max `spread_small`/`spread_large`) and per-query `scaling`
   * (primary/small) and `scaling_large` (large/primary) ratios — one
@@ -76,15 +99,15 @@ object Bench {
     }
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val runsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SMALL", "3").toInt.max(1)
-    // 3 runs minimum at the large scale: its first run pays whole-stage
-    // codegen JIT + allocator growth on 10x data (measured 116 s vs 33 s
-    // steady-state on q123), and a median of TWO runs is an average that
-    // keeps half of that warm-up — the r7 q123 "superlinear" flag was
-    // exactly this artifact.
     val runsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_LARGE", "3").toInt.max(1)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2550").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchT0) / 1e9
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      if (s.isEmpty) Double.NaN // all runs failed: jsonNum renders 1e18
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // Environment fingerprint: round-4's driver-vs-builder 193s/42s clash was
     // undiagnosable from the artifact alone because BENCH.json said nothing
@@ -116,15 +139,18 @@ object Bench {
       s""""env":{"master":"local[$cpus]","availableProcessors":${Runtime.getRuntime.availableProcessors},""" +
         s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":${jstr(host)},""" +
         s""""os":${jstr(os)},"java":${jstr(sys.props.getOrElse("java.version", "?"))},"startedAt":"$benchStartedAt",""" +
+        s""""budgetSec":${budgetSec.toLong},"elapsedSec":${elapsed.toLong},""" +
         s""""loadavgStart":${jstr(loadavgStart)},"loadavgNow":${jstr(loadavg)}}"""
     }
     def jsonNum(v: Double): String =
-      if (v.isInfinite || v.isNaN) "1e18" // failed tail rerun: valid JSON, never un-flags
+      if (v.isInfinite || v.isNaN) "1e18" // failed run: valid JSON, never a timing
       else f"$v%.3f"
     def jsonMap(m: Seq[(String, String)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    def medians(raw: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
-      raw.map { case (k, ts) => k -> median(ts) }
+    // per-query state for one suite: successful run times + attempted count
+    type Raw = Seq[(String, (Seq[Double], Int))]
+    def medians(raw: Raw): Seq[(String, Double)] =
+      raw.map { case (k, (ts, _)) => k -> median(ts) }
     // ratio numerator must be data-bound, not overhead-dominated, for the
     // flag to mean anything: sub-second medians ratio ~1 regardless of plan
     def flaggedOf(num: Seq[(String, Double)], den: Map[String, Double],
@@ -134,19 +160,25 @@ object Bench {
         den.get(k).filter(_ > 0).map(d => k -> (v / d))
       }.filter { case (k, r) => r > 12.0 && numMap.getOrElse(k, 0.0) > minNumerator }
     }
-    def spreadJson(raw: Seq[(String, Seq[Double])]): String =
-      jsonMap(raw.map { case (k, ts) =>
-        k -> s"[${jsonNum(ts.min)},${jsonNum(ts.max)}]"
+    def spreadJson(raw: Raw): String =
+      jsonMap(raw.map { case (k, (ts, _)) =>
+        k -> (if (ts.isEmpty) "[1e18,1e18]" else s"[${jsonNum(ts.min)},${jsonNum(ts.max)}]")
       })
-    def jsonLine(raw: Seq[(String, Seq[Double])],
-                 small: Option[(String, Seq[(String, Seq[Double])])],
-                 large: Option[(String, Seq[(String, Seq[Double])])],
+    def nrunsJson(raw: Raw): String =
+      jsonMap(raw.map { case (k, (ts, _)) => k -> ts.size.toString })
+    def failedJson(raws: Seq[(String, Raw)]): String =
+      raws.flatMap { case (tag, raw) =>
+        raw.collect { case (k, (ts, att)) if ts.size < att => jstr(s"$k$tag") }
+      }.mkString("[", ",", "]")
+    def jsonLine(raw: Raw,
+                 small: Option[(String, Raw)],
+                 large: Option[(String, Raw)],
                  tailPrimary: Map[String, Double] = Map.empty,
                  tailLarge: Map[String, Double] = Map.empty): String = {
       val results = medians(raw)
       val qs = jsonMap(results.map { case (k, v) => k -> jsonNum(v) })
       val spread = spreadJson(raw)
-      val total = results.map(_._2).sum
+      val total = results.map(_._2).filterNot(v => v.isNaN || v.isInfinite).sum
       val resultsMap = results.toMap
       // flag numerators take the MIN of the suite median and the quiet-host
       // tail recheck: a flag survives only if the tail run reproduces it
@@ -161,6 +193,7 @@ object Bench {
         s""","sf_small":"$smallDir","runs_small":$runsSmall,""" +
           s""""queries_small":${jsonMap(sm.map { case (k, v) => k -> jsonNum(v) })},""" +
           s""""spread_small":${spreadJson(smRaw)},""" +
+          s""""nruns_small":${nrunsJson(smRaw)},""" +
           s""""scaling":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
       }.getOrElse("")
       val largePart = large.map { case (largeDir, lgRaw) =>
@@ -171,6 +204,7 @@ object Bench {
         s""","sf_large":"$largeDir","runs_large":$runsLarge,""" +
           s""""queries_large":${jsonMap(lg.map { case (k, v) => k -> jsonNum(v) })},""" +
           s""""spread_large":${spreadJson(lgRaw)},""" +
+          s""""nruns_large":${nrunsJson(lgRaw)},""" +
           s""""scaling_large":${jsonMap(ratios.map { case (k, v) => k -> jsonNum(v) })}"""
       }.getOrElse("")
       val flagged =
@@ -188,40 +222,66 @@ object Bench {
         else s""","tail_recheck":${jsonMap(
           (tailPrimary.map { case (k, v) => k -> jsonNum(v) } ++
             tailLarge.map { case (k, v) => s"$k@large" -> jsonNum(v) }).toSeq)}"""
+      val failedPart = s""","failed":${failedJson(
+        Seq("" -> raw) ++ small.map { case (_, r) => "@small" -> r } ++
+          large.map { case (_, r) => "@large" -> r })}"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"stat":"median",""" +
-        f""""queries":$qs%s,"spread":$spread%s,"sf":"$sfDir",$envJson%s$smallPart%s$largePart%s$flaggedPart%s$tailPart%s}"""
+        f""""queries":$qs%s,"spread":$spread%s,"nruns":${nrunsJson(raw)}%s,"sf":"$sfDir",$envJson%s""" +
+        f"""$smallPart%s$largePart%s$flaggedPart%s$tailPart%s$failedPart%s}"""
     }
-    // BENCH.json is rewritten after EVERY query so a killed run still leaves
-    // the medians measured so far (the driver's parser reads this file).
+    // BENCH.json is rewritten after EVERY query at EVERY scale so a killed
+    // run still leaves the medians measured so far (the driver's parser can
+    // read this file even when stdout never got its line).
     def writeFile(line: String): Unit = {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
-    def runSuite(dir: String, nRuns: Int,
-                 onResult: Seq[(String, Seq[Double])] => Unit): Seq[(String, Seq[Double])] = {
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
-      selected.foreach { case (name, fn) =>
-        val times = (1 to nRuns).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, dir).write.mode("overwrite").format("noop").save()
-          catch { case e: Throwable =>
+    // One suite under the budget schedule: every query gets one run
+    // unconditionally; extra runs (up to nRuns) only while on schedule.
+    // `endShare` is the cumulative budget fraction this suite must finish
+    // by; the allowance interpolates linearly from the suite's actual start
+    // so early overruns shrink everyone's extras instead of truncating the
+    // alphabetical tail.
+    def runSuite(dir: String, nRuns: Int, endShare: Double,
+                 onResult: Raw => Unit): Raw = {
+      val m = selected.size.max(1)
+      val t0 = elapsed
+      val end = math.max(budgetSec * endShare, t0)
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, (Seq[Double], Int))]
+      selected.zipWithIndex.foreach { case ((name, fn), i) =>
+        val allowance = t0 + (end - t0) * (i + 1).toDouble / m
+        val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var attempts = 0
+        var lastCost = 0.0
+        var continue = true
+        while (continue && attempts < nRuns) {
+          val t = System.nanoTime()
+          try {
+            fn(spark, dir).write.mode("overwrite").format("noop").save()
+            lastCost = (System.nanoTime() - t) / 1e9
+            ok += lastCost
+          } catch { case e: Throwable =>
+            lastCost = (System.nanoTime() - t) / 1e9
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          (System.nanoTime() - t0) / 1e9
+          attempts += 1
+          // first run is unconditional; further runs must fit the schedule
+          continue = elapsed + lastCost <= allowance
         }
-        results += (name -> times)
+        results += (name -> (ok.toSeq, attempts))
         onResult(results.toSeq)
       }
       results.toSeq
     }
-    val raw = runSuite(sfDir, runs, rs => writeFile(jsonLine(rs, None, None)))
+    val raw = runSuite(sfDir, runs, 0.36, rs => writeFile(jsonLine(rs, None, None)))
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
       if (sfDir.contains("sf0.1")) sfDir.replace("sf0.1", "sf0.01") else "skip")
     val small =
       if (smallDir == "skip" || smallDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(smallDir))) None
-      else Some(smallDir -> runSuite(smallDir, runsSmall, _ => ()))
+      else Some(smallDir -> runSuite(smallDir, runsSmall, 0.52,
+        rs => writeFile(jsonLine(raw, Some(smallDir -> rs), None))))
     writeFile(jsonLine(raw, small, None))
     // the scaled-up decade only runs when the primary IS sf0.1 (the driver's
     // per-round configuration) or the dir is set explicitly — a filtered
@@ -231,7 +291,8 @@ object Bench {
     val large =
       if (largeDir == "skip" || largeDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(largeDir))) None
-      else Some(largeDir -> runSuite(largeDir, runsLarge, _ => ()))
+      else Some(largeDir -> runSuite(largeDir, runsLarge, 0.92,
+        rs => writeFile(jsonLine(raw, small, Some(largeDir -> rs)))))
     // tail recheck: any query flagged superlinear gets ONE more run at the
     // end of the suite (the quietest point — nothing else is executing) at
     // the scale whose ratio flagged it; the flag survives only if the tail
