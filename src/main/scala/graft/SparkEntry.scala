@@ -5517,21 +5517,23 @@ object SparkEntry {
                   MIN(CASE WHEN t.tf >= 3 THEN t.rank END) AS first_rel_rank,
                   SUM(CASE WHEN t.tf >= 3 THEN d.disc_micros ELSE 0 END)
                     AS dcg_micros
-           FROM top t JOIN disc d USING (rank) GROUP BY 1)
-         SELECT a.term,
+           FROM top t JOIN disc d USING (rank) GROUP BY 1),
+         probe(term) AS (VALUES
+           ('data'),('hash'),('join'),('scan'),('vector'))
+         SELECT p.term,
                 CAST(COALESCE(r.n_relevant, 0) AS BIGINT) AS n_relevant,
-                CAST(a.hits_at_k AS BIGINT) AS hits_at_k,
+                CAST(COALESCE(a.hits_at_k, 0) AS BIGINT) AS hits_at_k,
                 CAST(COALESCE(a.first_rel_rank, 0) AS INTEGER) AS first_rel_rank,
                 CAST(CASE WHEN a.first_rel_rank IS NOT NULL
                           THEN 1000000 // a.first_rel_rank ELSE 0 END AS BIGINT)
                   AS mrr_micros,
-                CAST(a.dcg_micros AS BIGINT) AS dcg_micros,
+                CAST(COALESCE(a.dcg_micros, 0) AS BIGINT) AS dcg_micros,
                 CAST(i.prefix_micros AS BIGINT) AS idcg_micros,
                 CASE WHEN i.prefix_micros > 0
-                     THEN round(CAST(a.dcg_micros AS DOUBLE)
+                     THEN round(CAST(COALESCE(a.dcg_micros, 0) AS DOUBLE)
                                 / CAST(i.prefix_micros AS DOUBLE), 6)
                      ELSE 0.0 END AS ndcg
-         FROM agg a LEFT JOIN rel r USING (term)
+         FROM probe p LEFT JOIN agg a USING (term) LEFT JOIN rel r USING (term)
          JOIN idcg i ON i.m = LEAST(COALESCE(r.n_relevant, 0), 10)
          ORDER BY term""",
     "q165_bigram_perplexity" ->

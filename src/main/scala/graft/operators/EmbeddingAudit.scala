@@ -17,9 +17,17 @@ import graft.functions.AuditExprs
   * floats), non-finite elements are counted by a codegen'd kernel, and the
   * "zero vector" test uses the floor-quantized squared norm
   * ([[graft.functions.AuditExprs.quantSqNorm]], scale 1000) — exact BIGINT,
-  * no float comparison anywhere. Scale shape: one narrow map over the
-  * vectors (two kernel calls per row), one label-keyed aggregate; nothing
-  * else.
+  * no float comparison anywhere. Note the dead band the per-element FLOOR
+  * implies, and its asymmetry: an element quantizes to 0 exactly on
+  * [0, 1/scale), so a vector with every element in that band reports as a
+  * zero vector, while a tiny NEGATIVE element (floor(-eps·scale) = -1)
+  * does not — the "zero vector" verdict means "no element at or above
+  * +1/scale and none below 0", not "norm below a symmetric epsilon". That
+  * one-sidedness is deliberate: floor has no round-half tie for the
+  * engines to disagree on (the q159 rule), and the q168 oracle applies the
+  * identical floor at the identical scale, so the classification is
+  * engine-exact. Scale shape: one narrow map over the vectors (two kernel
+  * calls per row), one label-keyed aggregate; nothing else.
   */
 object EmbeddingAudit {
 

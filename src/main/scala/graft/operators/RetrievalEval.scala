@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.similarity.TopKAggregator
 
-/** Offline retrieval-quality evaluation: MRR, precision/recall\@k and
-  * nDCG\@k for a ranker against binary relevance labels — the metrics every
-  * RAG / retrieval pipeline reports before a ranker change ships.
+/** Offline retrieval-quality evaluation: hits\@k, MRR (micro-units),
+  * DCG/IDCG and nDCG\@k for a ranker against binary relevance labels — the
+  * metrics every RAG / retrieval pipeline reports before a ranker change
+  * ships. Every probe term appears in the output: a term absent from the
+  * corpus (or with no relevant docs) reports a zero row rather than
+  * silently vanishing, so the eval covers exactly the queried set.
   *
   * Cross-engine determinism is by construction, not by float luck:
   *
@@ -48,7 +51,8 @@ object RetrievalEval {
       .agg(count(lit(1)).as("tf"))
 
   /** Evaluate the tf-ranking (tf desc, doc_id asc, top `k`) against binary
-    * relevance `tf >= relevanceTf`: one row per probe term with
+    * relevance `tf >= relevanceTf`: one row per probe term — zero rows for
+    * terms with no postings — with
     * `(term, n_relevant, hits_at_k, first_rel_rank, mrr_micros,
     *   dcg_micros, idcg_micros, ndcg)`.
     */
@@ -88,8 +92,14 @@ object RetrievalEval {
         sum(when(col("is_rel") === 1, col("disc_micros")).otherwise(lit(0L)))
           .as("dcg_micros"))
 
-    agg.join(rel, Seq("term"), "left")
+    // seed from the probe-term list so a term with no postings reports a
+    // zero row instead of vanishing from the eval report
+    val probe = terms.distinct.toDF("term")
+    probe.join(agg, Seq("term"), "left")
+      .join(rel, Seq("term"), "left")
       .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+      .withColumn("hits_at_k", coalesce(col("hits_at_k"), lit(0L)))
+      .withColumn("dcg_micros", coalesce(col("dcg_micros"), lit(0L)))
       .withColumn("m", least(col("n_relevant"), lit(k.toLong)))
       .join(broadcast(idcgPrefix), Seq("m"), "left")
       .withColumn("idcg_micros", coalesce(col("idcg_micros"), lit(0L)))
