@@ -60,6 +60,12 @@ object ExplainDump {
     "q161_quality_budget" -> "quality budget: margins computed in the scan projection, ONE per-lang running-sum window (range-partitioned sort), prefix filter + rollup",
     "q162_template_canon" -> "template canon: associative max(struct) argmax — ONE partial→final agg over the narrow (key, id, score) projection, no window exchange",
     "q163_epoch_expand" -> "epoch expand: gated copy count + sequence() explode in the map stage — zero shuffle below the (lang, epoch) report agg",
+    "q164_retrieval_eval" -> "retrieval eval: isin-pruned postings → bounded top-k agg per term (never a ranking window), broadcast integer discount/IDCG-prefix tables, probe-seeded left joins",
+    "q165_bigram_perplexity" -> "bigram perplexity: map-only arrays_zip pair stream (no self-join), tf-row model aggs, UNHINTED model joins (AQE broadcasts while the bigram vocab fits, shuffles at 100 TB), exact DECIMAL surprisal sums",
+    "q166_heavy_hitters" -> "exact heavy hitters: pass 1 = KB-state Misra-Gries ObjectHashAggregate + count in ONE scan; pass 2 = the <=k candidates pushed to the scan as an In filter, then a candidate-only agg — the vocab-sized shuffle never happens",
+    "q167_shard_plan" -> "shard plan: DistRank range-repartition + per-partition offsets (one long per partition on the driver — no single-partition row_number), serpentine shard formula in the projection, 8-row summary agg",
+    "q168_embedding_audit" -> "embedding audit: two codegen kernel calls per row on a narrow scan, ONE label-keyed partial→final agg — no join, no window",
+    "q169_curriculum_interleave" -> "curriculum interleave: per-stratum ranking windows pruned by rank<=take BEFORE the position formula; stratum index + count as broadcasts; final sort sees <=take rows",
     "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query

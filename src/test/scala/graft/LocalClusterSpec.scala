@@ -92,7 +92,25 @@ import org.scalatest.funsuite.AnyFunSuite
   *    merge across executor partials (pick correctness must survive the
   *    partial→final split, not just single-JVM evaluation);
   *  - q163: epoch expand — the gated copy-count + sequence explode runs
-  *    executor-side and the per-(lang, epoch) masses merge on the wire.
+  *    executor-side and the per-(lang, epoch) masses merge on the wire;
+  *  - q164: retrieval eval — bounded top-k `Aggregator` buffers rank the
+  *    postings across executor partials; the integer discount tables
+  *    re-enter the plan as broadcasts read executor-side;
+  *  - q165: bigram LM — DECIMAL(29,9) surprisal partial sums and the
+  *    AQE-planned model joins cross the process boundary;
+  *  - q166: heavy hitters — the Misra-Gries `Aggregator`'s mutable HashMap
+  *    buffer is Encoder-frozen, shipped, and re-admitted by `merge` on
+  *    another JVM (the exact freeze/merge cycle HeavyHittersSpec simulates,
+  *    run for real), then the k-bounded candidate collect re-enters pass 2
+  *    as literals inside task binaries;
+  *  - q167: shard plan — DistRank's two-pass RDD scheme (range shuffle,
+  *    per-partition counts collected, offsets shipped back inside the
+  *    index-add closure) is exactly the code that differs between one JVM
+  *    and many;
+  *  - q168: embedding audit — the non-finite/quant-norm codegen kernels
+  *    compile and evaluate inside executor JVMs over parquet-read vectors;
+  *  - q169: curriculum interleave — per-stratum ranks over shuffled rows
+  *    plus the stratum-index broadcast recombine across processes.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -127,7 +145,13 @@ class LocalClusterSpec extends AnyFunSuite {
     "q160_mad_anomaly",
     "q161_quality_budget",
     "q162_template_canon",
-    "q163_epoch_expand")
+    "q163_epoch_expand",
+    "q164_retrieval_eval",
+    "q165_bigram_perplexity",
+    "q166_heavy_hitters",
+    "q167_shard_plan",
+    "q168_embedding_audit",
+    "q169_curriculum_interleave")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
