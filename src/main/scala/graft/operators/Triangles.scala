@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed triangle counting over an undirected simple graph.
@@ -8,19 +8,26 @@ import org.apache.spark.sql.functions._
   * Input: one row per undirected edge as columns (`a`, `b`) with `a != b`;
   * duplicate rows and reversed duplicates are tolerated (normalized away).
   *
-  * Algorithm: compact-forward / degree orientation. Every edge is oriented
-  * low→high under the total order (degree, id); wedges are enumerated only
-  * at their LOWEST-ranked vertex, and a wedge (u; v, w) closes iff the
-  * oriented edge v→w exists. Each triangle is found exactly once — at its
-  * minimum-(degree, id) vertex.
+  * Algorithm: degree orientation + adjacency intersection (the
+  * edge-iterator form of compact-forward). Every edge is oriented low→high
+  * under the total order (degree, id); a triangle u→v, u→w, v→w is then
+  * found exactly once, at its (lowest, middle) edge (u, v), as a common
+  * out-neighbor w of u and v: `array_intersect(out(u), out(v))`.
   *
-  * 100 TB shape: the naive apex join enumerates sum-of-degree-squares
-  * wedges — a single celebrity vertex with 10^7 neighbors would emit 10^14
-  * pairs. Orientation bounds every vertex's out-degree by ~sqrt(m), so the
-  * wedge join is O(m^1.5) worst case and skew-proof: hubs have high degree,
-  * therefore rank HIGHEST, therefore enumerate no wedges at all. All three
-  * joins (two degree attachments, one closure) are equi-joins on vertex
-  * ids; nothing is ever broadcast except what AQE chooses to.
+  * 100 TB shape, and why intersection beats the wedge self-join it
+  * replaced (round-10): the naive apex join enumerates
+  * sum-of-degree-squares wedges — a single celebrity vertex with 10^7
+  * neighbors would emit 10^14 pairs. Orientation bounds every vertex's
+  * out-degree by ~sqrt(m), so EITHER formulation is O(m^1.5) work and
+  * skew-proof (hubs rank highest, so they are targets, not apexes). The
+  * difference is what crosses the wire: the r9 form materialized every
+  * wedge as a ROW and shuffled the wedge stream on (t1, t2) for the
+  * closure probe — at sf1 that is tens of millions of 3-long rows through
+  * an exchange, and it dominated the suite (sf1 median ~43 s staged, up to
+  * 624 s unstaged under memory pressure). Here wedges never exist as rows:
+  * the two adjacency joins shuffle edge-sized tables (the second carries
+  * the out(t) arrays of the HIGHER-ranked endpoint — the small ones, by
+  * orientation), and the intersection runs inside the join projection.
   */
 object Triangles {
 
@@ -29,23 +36,22 @@ object Triangles {
     * triangles exists under any acyclic orientation, so results match a
     * plain id-ordered oracle.
     *
-    * The oriented edge table feeds THREE consumers (both wedge-join sides
-    * and the closure join). The wedge sides share an exchange on `s`, but
-    * the closure join repartitions on (t1, t2) — a different key — so
-    * without materialization the whole orient subtree (scan + two degree
-    * joins) recomputes for it, and under memory pressure the r7 bench saw
-    * q123 swing 37–624 s at sf1 on identical plans. The orient table is
-    * therefore FILE-STAGED eagerly ([[graft.IterState.copyOut]]: computed
-    * once, scanned three times from parquet) and the vertex-sized result
-    * is copied out the same way — no block-manager state ever exists, so
-    * the wedge join gets the whole heap (the r8 block-checkpointed form
-    * still swung [49, 94] s at sf1 from GC pressure alone).
+    * The oriented edge table feeds two consumers (the adjacency build and
+    * the probe stream) and the adjacency table two join sides keyed
+    * differently, so both are FILE-STAGED eagerly
+    * ([[graft.IterState.copyOut]]: computed once, scanned by every
+    * consumer from parquet) — no block-manager state ever exists, the
+    * joins get the whole heap, and at cluster scale the stage is the
+    * fault-tolerant form anyway (the r8 block-checkpointed variant swung
+    * [49, 94] s at sf1 from GC pressure alone).
     *
     * `materialize = false` returns the fully LAZY plan instead (no
-    * staging, orient recomputed per consumer modulo exchange reuse) —
+    * staging, subtrees recomputed per consumer modulo exchange reuse) —
     * for plan-shape inspection and for callers that persist differently.
     */
   def perVertexCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
+    def stage(df: DataFrame): DataFrame =
+      if (materialize) graft.IterState.copyOut(df) else df
     val pairs = edges
       .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -57,31 +63,34 @@ object Triangles {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val orientPlan = withDeg.select(
+    val orient = stage(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
-      when(aFirst, col("b")).otherwise(col("a")).as("t"),
-      when(aFirst, col("db")).otherwise(col("da")).as("dt"))
-    // file-staged rather than block-manager-checkpointed: the wedge join
-    // below is the heap-hungriest stage in the suite (18.8M triangles at
-    // sf1), and holding an edge-sized block table in memory through it is
-    // pure GC pressure — r8 measured a [49, 94] s sf1 spread with the
-    // blocks pinned. A parquet stage costs a fixed disk hop, is read
-    // cheaply by all three consumers, and leaves the whole heap to the
-    // join (and at cluster scale it is the fault-tolerant form anyway).
-    val orient =
-      if (materialize) graft.IterState.copyOut(orientPlan)
-      else orientPlan
-    // wedge (s; t1, t2) with (dt1, t1) < (dt2, t2); the closing edge is
-    // then oriented t1→t2 under the same total order
-    val wedges = orient.as("e1").join(orient.as("e2"),
-        col("e1.s") === col("e2.s") &&
-          (col("e1.dt") < col("e2.dt") ||
-            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.s").as("u"), col("e1.t").as("t1"), col("e2.t").as("t2"))
-    val tris = wedges.join(orient.select(col("s").as("t1"), col("t").as("t2")),
-      Seq("t1", "t2"))
-    val res = tris.select(explode(array(col("u"), col("t1"), col("t2"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+      when(aFirst, col("b")).otherwise(col("a")).as("t")))
+    // out-adjacency (distinct by construction; order irrelevant to the
+    // set intersection). Out-degree is bounded ~sqrt(m) by orientation,
+    // so no array outgrows an executor.
+    val adj = stage(orient.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs")))
+    // probe each oriented edge (s, t): common out-neighbors of s and t are
+    // exactly the third vertices w with s→w and t→w — one triangle each,
+    // each triangle seen only at its (lowest, middle) edge. Join the
+    // HIGHER endpoint's (small) adjacency first so the second shuffle
+    // carries the light arrays.
+    val withT = orient.join(
+      adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")), Seq("t"))
+    val closed = withT.join(
+        adj.select(col("s"), col("nbrs").as("nbrs_s")), Seq("s"))
+      .select(col("s"), col("t"),
+        array_intersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // one pass to per-vertex credits: s and t each join |ws| triangles,
+    // every apex w joins one — no re-read of the join output per branch
+    val vc: Column = struct(col("s").as("v"), size(col("ws")).cast("bigint").as("c"))
+    val res = closed
+      .select(explode(concat(
+        array(vc, struct(col("t").as("v"), size(col("ws")).cast("bigint").as("c"))),
+        transform(col("ws"), w => struct(w.as("v"), lit(1L).as("c"))))).as("e"))
+      .select(col("e.v").as("v"), col("e.c").as("c"))
+      .groupBy(col("v")).agg(sum(col("c")).as("n_tri"))
     if (!materialize) res else graft.IterState.copyOut(res)
   }
 }

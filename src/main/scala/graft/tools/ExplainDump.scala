@@ -36,7 +36,7 @@ object ExplainDump {
     "q106_vocab_coverage" -> "vocab coverage: vocab-sized agg, TakeOrdered top-1000, k-bounded threshold join",
     "q113_rolling_anomaly" -> "rolling anomaly: per-type window partitions, exact-long frame sums, no global sort",
     "q122_hourly_gap_fill" -> "gap fill: grid from a broadcast 1-row bounds aggregate via sequence(), broadcast fill join",
-    "q123_triangle_count" -> "triangles top-20 over the copied-out per-vertex counts (wedge-join shape dumped separately below)",
+    "q123_triangle_count" -> "triangles top-20 over the copied-out per-vertex counts (adjacency-intersection shape dumped separately below)",
     "q116_component_histogram" -> "component histogram: aggregates over the k-sized file-staged component table, no window",
     "q127_incremental_rollup" -> "incremental rollup: base ∪ delta merge with partial aggs (PlanSpec proves partition-level pruning on a date-partitioned store)",
     "q128_attribution" -> "attribution: as-of merge-scan window + keys-only anti-join, every join equi",
@@ -98,8 +98,8 @@ object ExplainDump {
         && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
     Seq((
-      "q123 wedge stage (lazy form)",
-      "triangles: degree-oriented wedge join, equi joins only — the whole plan below the eager orient checkpoint of the shipped path",
+      "q123 intersection stage (lazy form)",
+      "triangles: degree-oriented adjacency intersection, equi joins only, wedges never materialize as rows — the whole plan below the eager orient/adjacency stages of the shipped path",
       graft.operators.Triangles.perVertexCounts(triPairs, materialize = false)), (
       "q105 PageRank round (unstaged form)",
       "one damped iteration: edge join + dst-keyed partial agg (Pregel-as-joins) — the per-round shape the shipped path checkpoints between",

@@ -21,9 +21,13 @@ class ShardPlanSpec extends SparkSpec {
   }
 
   test("DistRank leaves nothing persisted (IterState discipline)") {
+    // compare against the pre-call snapshot: other suites sharing this
+    // session may legitimately hold cached RDDs of their own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("size"))
     DistRank.byRange(df, Seq(col("size").desc, col("id").asc)).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"DistRank persisted RDDs: $leaked")
   }
 
   test("serpentine fold balances distinct sizes exactly on full rounds") {
