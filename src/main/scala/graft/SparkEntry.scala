@@ -2678,7 +2678,64 @@ object SparkEntry {
       graft.operators.Curriculum.interleave(
         Parallelize.ensure(Tables.documents(s, dir)),
         "lang", "doc_id",
-        graft.functions.QualityExprs.qualityMargin(col("text")), take = 40))
+        graft.functions.QualityExprs.qualityMargin(col("text")), take = 40)),
+    // --- round-10 additions: split manifest, PII scrub audit, split
+    //     leakage, n-gram frequency spectrum ---
+    "q170_split_manifest" -> ((s, dir) =>
+      // deterministic content-hash train/val/test split (80/10/10): the
+      // bucket is kmv_key(normalized text) mod 100 — the engine-replayable
+      // rolling-31 → Knuth-spread key of the KMV/dedup family — so
+      // byte-identical docs land in the SAME split (dedup-coherent) and
+      // the split reproduces under any re-shuffle/re-ingest; no RNG, no
+      // row order anywhere in the decision. Manifest = one (split, lang)
+      // agg with the id_sum integrity checksum. See operators.SplitPlan.
+      graft.operators.SplitPlan.manifest(
+        graft.operators.SplitPlan.assign(
+          Parallelize.ensure(Tables.documents(s, dir)), "text",
+          pctTrain = 80, pctVal = 10),
+        "doc_id", "text", "lang")),
+    "q171_pii_scrub" -> ((s, dir) => {
+      // PII scrubbing audit over planted addresses: every 13th doc gains
+      // a deterministic email, every 17th an IPv4 literal (planted
+      // identically in the oracle so the audit is non-vacuous on clean
+      // driver data — the q168 planting rule). Patterns restricted to the
+      // Java-regex/RE2-identical subset; counts and the exact
+      // chars-removed delta are integers both engines derive identically.
+      // Map-only regexp passes + one lang agg. See operators.PiiScrub.
+      val d = Tables.documents(s, dir)
+      val planted = d.withColumn("text",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(lit(" from 10.0."),
+              pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".7 gateway"))).otherwise(lit(""))))
+      graft.operators.PiiScrub.audit(
+        Parallelize.ensure(planted), "text", "lang")
+    }),
+    "q172_split_leakage" -> ((s, dir) =>
+      // cross-split leakage audit: val-side token 5-grams that also occur
+      // anywhere in the train split (q80's decontamination shape applied
+      // to the q170 split boundary). Exact duplicates CANNOT leak — the
+      // content-hash split co-locates them — so every hit is partial
+      // overlap crossing the boundary. Gram-keyed distinct + semi-join;
+      // per-lang distinct-doc/distinct-gram counts. See operators.SplitPlan.
+      graft.operators.SplitPlan.leakage(
+        graft.operators.SplitPlan.assign(
+          Parallelize.ensure(Tables.documents(s, dir)), "text",
+          pctTrain = 80, pctVal = 10),
+        "doc_id", "text", "lang", n = 5)),
+    "q173_freq_spectrum" -> ((s, dir) =>
+      // trigram frequency-spectrum (type counts per occurrence frequency,
+      // f = 1..10 + tail): the hapax/Zipf shape check a corpus slice gets
+      // before training. One explode + the vocab-sized type count the LM
+      // stages already build + a <=11-row spectrum agg; output size is
+      // independent of corpus size. See operators.FreqSpectrum.
+      graft.operators.FreqSpectrum.spectrum(
+        Parallelize.ensure(Tables.documents(s, dir)), "text",
+        n = 3, capF = 10))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5662,7 +5719,122 @@ object SparkEntry {
                 lang AS stratum, doc_id AS id, score
          FROM ranked JOIN strata USING (lang), n
          WHERE (rank - 1) * n_strata + stratum_idx < 40
-         ORDER BY pos"""
+         ORDER BY pos""",
+    "q170_split_manifest" ->
+      // same normalization, same rolling-31-mod-999999937 fold (q155's
+      // list_reduce idiom), same Knuth spread mod 2^32 as the engine's
+      // kmv_key, bucket = key mod 100, 80/10/10 CASE
+      """WITH src AS (SELECT doc_id, lang, text,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                          AS t
+                      FROM documents),
+         b AS (SELECT doc_id, lang, text,
+                 (CASE WHEN len(t) = 0 THEN 0 ELSE
+                    (list_reduce([ascii(t[i])
+                                  for i in range(1, len(t) + 1)],
+                                 (a, b) -> (CAST(a AS BIGINT) * 31 + b)
+                                           % 999999937)
+                     * 2654435761) % 4294967296 END) % 100 AS bucket
+               FROM src),
+         sp AS (SELECT doc_id, lang, text,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM b)
+         SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+                         ELSE len(string_split_regex(trim(text), ' +'))
+                         END) AS BIGINT) AS n_tokens,
+                CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+                CAST(SUM(doc_id) AS BIGINT) AS id_sum
+         FROM sp GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q171_pii_scrub" ->
+      // identical planting (every 13th doc an email, every 17th an IPv4),
+      // identical Java-regex/RE2-common patterns, identical [PII]
+      // replacement token — counts and char deltas match to the integer
+      """WITH p AS (SELECT lang,
+                      text || CASE WHEN doc_id % 13 = 0
+                                   THEN ' contact user'
+                                        || CAST(doc_id AS VARCHAR)
+                                        || '@example.com'
+                                   ELSE '' END
+                           || CASE WHEN doc_id % 17 = 0
+                                   THEN ' from 10.0.'
+                                        || CAST(doc_id % 256 AS VARCHAR)
+                                        || '.7 gateway'
+                                   ELSE '' END AS t
+                    FROM documents),
+         m AS (SELECT lang,
+                 len(regexp_extract_all(t,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS ne,
+                 len(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+                 len(t) - len(regexp_replace(regexp_replace(t,
+                   '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[PII]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'))
+                   AS delta
+               FROM p)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_email_docs,
+                CAST(SUM(ne) AS BIGINT) AS n_emails,
+                CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_ip_docs,
+                CAST(SUM(ni) AS BIGINT) AS n_ips,
+                CAST(SUM(delta) AS BIGINT) AS chars_removed
+         FROM m GROUP BY 1 ORDER BY 1""",
+    "q172_split_leakage" ->
+      // q170's split replayed, then val 5-grams IN train 5-grams — the
+      // same distinct/semi-join counts per val language
+      """WITH src AS (SELECT doc_id, lang, trim(text) AS tt,
+                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                          AS t
+                      FROM documents),
+         b AS (SELECT doc_id, lang, tt,
+                 (CASE WHEN len(t) = 0 THEN 0 ELSE
+                    (list_reduce([ascii(t[i])
+                                  for i in range(1, len(t) + 1)],
+                                 (a, b) -> (CAST(a AS BIGINT) * 31 + b)
+                                           % 999999937)
+                     * 2654435761) % 4294967296 END) % 100 AS bucket
+               FROM src),
+         sp AS (SELECT doc_id, lang,
+                  string_split_regex(tt, ' +') AS toks,
+                  CASE WHEN bucket < 80 THEN 'train'
+                       WHEN bucket < 90 THEN 'val'
+                       ELSE 'test' END AS split
+                FROM b),
+         tg AS (SELECT DISTINCT g FROM (
+                  SELECT unnest([array_to_string(toks[i:i+4], ' ')
+                                 for i in range(1, len(toks) - 3)]) AS g
+                  FROM sp WHERE split = 'train' AND len(toks) >= 5)),
+         vg AS (SELECT lang, doc_id, g FROM (
+                  SELECT lang, doc_id,
+                         unnest([array_to_string(toks[i:i+4], ' ')
+                                 for i in range(1, len(toks) - 3)]) AS g
+                  FROM sp WHERE split = 'val' AND len(toks) >= 5)),
+         lk AS (SELECT DISTINCT lang, doc_id, g FROM vg
+                WHERE g IN (SELECT g FROM tg)),
+         base AS (SELECT lang, COUNT(*) AS n_val_docs FROM sp
+                  WHERE split = 'val' GROUP BY 1),
+         agg AS (SELECT lang, COUNT(DISTINCT doc_id) AS nd,
+                        COUNT(DISTINCT g) AS ng FROM lk GROUP BY 1)
+         SELECT b.lang, CAST(b.n_val_docs AS BIGINT) AS n_val_docs,
+                CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_leaked_docs,
+                CAST(COALESCE(a.ng, 0) AS BIGINT) AS n_leaked_grams
+         FROM base b LEFT JOIN agg a USING (lang) ORDER BY lang""",
+    "q173_freq_spectrum" ->
+      // same trigram stream, same type counts, same LEAST(f, 11) tail fold
+      """WITH toks AS (SELECT string_split_regex(trim(text), ' +') AS a
+                       FROM documents),
+         grams AS (SELECT unnest([array_to_string(a[i:i+2], ' ')
+                                  for i in range(1, len(a) - 1)]) AS g
+                   FROM toks WHERE len(a) >= 3),
+         tf AS (SELECT g, COUNT(*) AS f FROM grams GROUP BY 1)
+         SELECT CAST(LEAST(f, 11) AS BIGINT) AS fb,
+                CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(f) AS BIGINT) AS mass
+         FROM tf GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

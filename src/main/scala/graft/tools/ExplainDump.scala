@@ -66,6 +66,10 @@ object ExplainDump {
     "q167_shard_plan" -> "shard plan: DistRank range-repartition + per-partition offsets (one long per partition on the driver — no single-partition row_number), serpentine shard formula in the projection, 8-row summary agg",
     "q168_embedding_audit" -> "embedding audit: two codegen kernel calls per row on a narrow scan, ONE label-keyed partial→final agg — no join, no window",
     "q169_curriculum_interleave" -> "curriculum interleave: per-stratum ranking windows pruned by rank<=take BEFORE the position formula; stratum index + count as broadcasts; final sort sees <=take rows",
+    "q170_split_manifest" -> "split manifest: one codegen'd kmv_key per row (map-only assign), ONE (split, lang) partial→final agg — no RNG, no shuffle before the 15-row report",
+    "q171_pii_scrub" -> "PII scrub audit: two codegen'd regexp passes per row (map-only), one lang agg — the regexp cost IS the operator at 100 TB",
+    "q172_split_leakage" -> "split leakage: map-only assign on both sides, gram explode, train-side distinct, ONE gram-keyed semi-join, per-lang distinct counts — the q80 decontamination shape at the split boundary",
+    "q173_freq_spectrum" -> "frequency spectrum: gram explode (map-only) → vocab-sized type count with map-side partial agg → <=11-row spectrum fold; output size independent of corpus size",
     "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query

@@ -110,7 +110,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q168: embedding audit — the non-finite/quant-norm codegen kernels
   *    compile and evaluate inside executor JVMs over parquet-read vectors;
   *  - q169: curriculum interleave — per-stratum ranks over shuffled rows
-  *    plus the stratum-index broadcast recombine across processes.
+  *    plus the stratum-index broadcast recombine across processes;
+  *  - q170: split manifest — the kmv_key codegen hash compiles and
+  *    evaluates on executor JVMs and the (split, lang) partials merge on
+  *    the wire (a split that differed across processes would be
+  *    catastrophic — this is the determinism claim, tested for real);
+  *  - q172: split leakage — the gram distinct + semi-join shuffles cross
+  *    the process boundary on top of the q170 assignment;
+  *  - q173: frequency spectrum — the vocabulary-sized type-count partials
+  *    and the spectrum fold merge across executors.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -151,7 +159,10 @@ class LocalClusterSpec extends AnyFunSuite {
     "q166_heavy_hitters",
     "q167_shard_plan",
     "q168_embedding_audit",
-    "q169_curriculum_interleave")
+    "q169_curriculum_interleave",
+    "q170_split_manifest",
+    "q172_split_leakage",
+    "q173_freq_spectrum")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
