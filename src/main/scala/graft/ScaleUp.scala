@@ -107,7 +107,7 @@ object ScaleUp {
     def write(df: DataFrame, t: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
     def span(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key))).head().getLong(0) + 1L
 
     // fixed dimensions: copied verbatim, never tiled
     write(read("region"), "region", 1)
@@ -158,7 +158,7 @@ object ScaleUp {
     val events = read("events")
     val tsMicros = eventsTsMicrosExpr(events)
     val nEv = span(events, "event_id")
-    val nUser = events.agg(max(col("user_id"))).head.getLong(0) + 1L
+    val nUser = events.agg(max(col("user_id"))).head().getLong(0) + 1L
     write(tile(events) { (df, c) =>
       df.withColumn("event_id", col("event_id") + lit(c * nEv))
         .withColumn("user_id", col("user_id") + lit(c * nUser))
