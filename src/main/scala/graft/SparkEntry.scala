@@ -2735,7 +2735,18 @@ object SparkEntry {
       // independent of corpus size. See operators.FreqSpectrum.
       graft.operators.FreqSpectrum.spectrum(
         Parallelize.ensure(Tables.documents(s, dir)), "text",
-        n = 3, capF = 10))
+        n = 3, capF = 10)),
+    "q174_skew_profile" -> ((s, dir) =>
+      // shuffle-key skew profile of events.user_id — the measurement that
+      // decides salting/AQE-skew-split before a 100 TB join. One key
+      // count agg (vocab-sized, map-side partials), then everything runs
+      // on the count-of-counts table (provably <= ~sqrt(2n) rows) with
+      // the percentiles as an inverse CDF over keys; top-k mass via
+      // TakeOrdered; exact integer DIV for the ppm shares and the
+      // max/median ratio. ONE output row at any scale. See
+      // operators.SkewProfile.
+      graft.operators.SkewProfile.profile(
+        Tables.events(s, dir).select(col("user_id")), "user_id", k = 10))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5834,7 +5845,35 @@ object SparkEntry {
          SELECT CAST(LEAST(f, 11) AS BIGINT) AS fb,
                 CAST(COUNT(*) AS BIGINT) AS n_types,
                 CAST(SUM(f) AS BIGINT) AS mass
-         FROM tf GROUP BY 1 ORDER BY 1"""
+         FROM tf GROUP BY 1 ORDER BY 1""",
+    "q174_skew_profile" ->
+      // same key counts, same inverse-CDF-over-keys percentile rule
+      // (smallest cnt with cumulative keys >= ceil(p*n_keys/100), spelled
+      // as ckeys*100 >= n_keys*p), same top-10 (cnt desc, key) mass, same
+      // integer floor divisions
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt
+                    FROM events GROUP BY 1),
+         sp AS (SELECT cnt, COUNT(*) AS nk FROM c GROUP BY 1),
+         cu AS (SELECT cnt, SUM(nk) OVER (ORDER BY cnt) AS ckeys FROM sp),
+         t AS (SELECT SUM(cnt) AS n_rows, COUNT(*) AS n_keys,
+                      MAX(cnt) AS max_cnt FROM c),
+         p AS (SELECT
+                 MIN(CASE WHEN ckeys * 100 >= n_keys * 50 THEN cnt END)
+                   AS p50_cnt,
+                 MIN(CASE WHEN ckeys * 100 >= n_keys * 99 THEN cnt END)
+                   AS p99_cnt
+               FROM cu, t),
+         tk AS (SELECT SUM(cnt) AS topk_mass, MAX(cnt) AS top1_mass
+                FROM (SELECT cnt FROM c ORDER BY cnt DESC, key LIMIT 10))
+         SELECT CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_keys AS BIGINT) AS n_keys,
+                CAST(max_cnt AS BIGINT) AS max_cnt,
+                CAST(p50_cnt AS BIGINT) AS p50_cnt,
+                CAST(p99_cnt AS BIGINT) AS p99_cnt,
+                CAST(top1_mass * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+                CAST(topk_mass * 1000000 // n_rows AS BIGINT) AS topk_ppm,
+                CAST(max_cnt * 100 // p50_cnt AS BIGINT) AS skew_x100
+         FROM t, p, tk"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

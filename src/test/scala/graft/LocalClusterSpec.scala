@@ -118,7 +118,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q172: split leakage — the gram distinct + semi-join shuffles cross
   *    the process boundary on top of the q170 assignment;
   *  - q173: frequency spectrum — the vocabulary-sized type-count partials
-  *    and the spectrum fold merge across executors.
+  *    and the spectrum fold merge across executors;
+  *  - q174: skew profile — key-count partials, the count-of-counts window
+  *    and the TakeOrdered top-k all recombine across the wire.
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -162,7 +164,8 @@ class LocalClusterSpec extends AnyFunSuite {
     "q169_curriculum_interleave",
     "q170_split_manifest",
     "q172_split_leakage",
-    "q173_freq_spectrum")
+    "q173_freq_spectrum",
+    "q174_skew_profile")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
