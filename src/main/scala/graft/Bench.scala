@@ -30,17 +30,28 @@ import org.apache.spark.sql.SparkSession
   * is exactly the silent corruption this rule forbids; a query with zero
   * successful runs reports 1e18 (valid JSON, unmistakably not a timing).
   *
-  * WALL-CLOCK BUDGET (round-10, the reason BENCH_r09 rc=124 can't recur):
-  * the suite self-limits to SPARK_GRAFT_BENCH_BUDGET_SEC seconds of
-  * measured time (default 2550 — r8's full suite took ~51 min of driver
-  * wall and passed; r9's grew past the driver timeout and was killed with
-  * nothing on stdout). Every query at every scale ALWAYS gets one run —
-  * completeness is never sacrificed — but runs beyond the first happen
-  * only while the suite is on schedule. The schedule interpolates each
-  * suite's share of the budget across its queries (query i of m may use
-  * extra runs only until suiteStart + share·(i+1)/m), so an overrun early
-  * in the alphabet starves nobody downstream of their guaranteed run and
-  * the degradation is spread evenly instead of truncating the tail. Shares:
+  * WALL-CLOCK BUDGET (round-10, the reason BENCH_r09 rc=124 can't recur;
+  * round-11 reshaped the allocation): the suite self-limits to
+  * SPARK_GRAFT_BENCH_BUDGET_SEC seconds of measured time (default 2550 —
+  * r8's full suite took ~51 min of driver wall and passed; r9's grew past
+  * the driver timeout and was killed with nothing on stdout). Every query
+  * at every scale ALWAYS gets one run — completeness is never sacrificed —
+  * and extra runs are allocated ROUND-ROBIN BY PASS: pass 1 runs every
+  * query once, then pass 2 re-runs every query, and so on up to the run
+  * cap, each post-first run gated on the suite's remaining budget. When
+  * the budget runs out mid-pass, every query has the same run count ±1 —
+  * the round-10 scheme spent reps front-to-back, which starved exactly the
+  * late-alphabet high-variance streaming drains down to nruns=1 and let a
+  * single 47.8 s stall stand as q87's committed sf0.1 "median". Two more
+  * guards from that finding: the STREAMING family (names containing
+  * "stream") always gets min(3, cap) runs regardless of schedule — its
+  * per-run variance is the highest in the suite, so a 1-run median is
+  * meaningless there — and each suite runs ONE untimed warm-up execution
+  * of its first query before measuring, so whole-stage-codegen JIT is
+  * billed to nobody (q01's nruns=1 committed median was 5.09 s of warm-up
+  * vs its own 1.18 s steady state). The budget gate predicts the next
+  * run's cost as max(last attempt, slowest success so far), so one
+  * lucky fast run can't talk the governor into a slow overshoot. Shares:
   * primary 36%, small +16%, large +40%, tail rechecks the last 8%. Actual
   * per-query run counts land in `nruns`/`nruns_small`/`nruns_large`; the
   * budget and total elapsed land in `env`. BENCH.json is rewritten after
@@ -74,6 +85,19 @@ import org.apache.spark.sql.SparkSession
   * Round 7's five false flags (all host-contention artifacts that took a
   * judge rerun to clear) would have self-cleared under this scheme; the
   * tail times are recorded in `tail_recheck`.
+  *
+  * Cross-scale INVERSION recheck (round-11): `scaling_flagged` only looks
+  * at large/primary and primary/small ratios, where an INFLATED primary
+  * median suppresses flags instead of raising them — q87's 47.8 s sf0.1
+  * single-run median sat beside its own 6.3 s sf1 median and no check
+  * fired, because a query can't physically cost 7.5x more on 10x less
+  * data. Any query whose primary median exceeds 2x its large-scale median
+  * (and exceeds 1 s, so overhead jitter can't trip it) is re-run twice at
+  * the primary scale in the tail-recheck window; those runs are APPENDED
+  * to the query's primary run set (they are genuine same-scale
+  * measurements, not a separate adjudication), so the committed median
+  * recomputes over a set the stall cannot dominate. The tail runs are
+  * also recorded in `tail_recheck` under `<name>@inv` for transparency.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -237,42 +261,62 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
-    // One suite under the budget schedule: every query gets one run
-    // unconditionally; extra runs (up to nRuns) only while on schedule.
-    // `endShare` is the cumulative budget fraction this suite must finish
-    // by; the allowance interpolates linearly from the suite's actual start
-    // so early overruns shrink everyone's extras instead of truncating the
-    // alphabetical tail.
+    // One suite under the budget schedule, allocated ROUND-ROBIN BY PASS:
+    // pass 0 runs every query once unconditionally (completeness first),
+    // then passes 1..nRuns-1 sweep the whole list again, each extra run
+    // gated on the suite's remaining budget — so when time runs out the
+    // degradation is even (everyone at k or k+1 runs) instead of starving
+    // the alphabetical tail. The streaming family (per-run variance is the
+    // worst in the suite) is exempt from the gate up to min(3, nRuns) runs.
+    // Before measuring, the first query runs once UNTIMED so JVM/codegen
+    // warm-up is billed to nobody. Cost prediction for the gate is
+    // max(last attempt, slowest success so far) — a lucky fast run must
+    // not license a slow overshoot (round-10 advice).
     def runSuite(dir: String, nRuns: Int, endShare: Double,
                  onResult: Raw => Unit): Raw = {
-      val m = selected.size.max(1)
       val t0 = elapsed
       val end = math.max(budgetSec * endShare, t0)
-      val results = scala.collection.mutable.ArrayBuffer.empty[(String, (Seq[Double], Int))]
-      selected.zipWithIndex.foreach { case ((name, fn), i) =>
-        val allowance = t0 + (end - t0) * (i + 1).toDouble / m
-        val ok = scala.collection.mutable.ArrayBuffer.empty[Double]
-        var attempts = 0
-        var lastCost = 0.0
-        var continue = true
-        while (continue && attempts < nRuns) {
-          val t = System.nanoTime()
-          try {
-            fn(spark, dir).write.mode("overwrite").format("noop").save()
-            lastCost = (System.nanoTime() - t) / 1e9
-            ok += lastCost
-          } catch { case e: Throwable =>
-            lastCost = (System.nanoTime() - t) / 1e9
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          }
-          attempts += 1
-          // first run is unconditional; further runs must fit the schedule
-          continue = elapsed + lastCost <= allowance
+      selected.headOption.foreach { case (name, fn) =>
+        try fn(spark, dir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
         }
-        results += (name -> (ok.toSeq, attempts))
-        onResult(results.toSeq)
       }
-      results.toSeq
+      val okRuns = selected.map { case (n, _) =>
+        n -> scala.collection.mutable.ArrayBuffer.empty[Double] }.toMap
+      val attempts = scala.collection.mutable.Map(selected.map { case (n, _) => n -> 0 }: _*)
+      val predicted = scala.collection.mutable.Map(selected.map { case (n, _) => n -> 0.0 }: _*)
+      def snapshot: Raw = selected.map { case (n, _) => n -> (okRuns(n).toSeq, attempts(n)) }
+      val streamFloor = math.min(3, nRuns)
+      var pass = 0
+      var anyRan = true
+      while (pass < nRuns && anyRan) {
+        anyRan = false
+        selected.foreach { case (name, fn) =>
+          val mustRun = pass == 0 ||
+            (name.contains("stream") && attempts(name) < streamFloor)
+          if (attempts(name) < nRuns &&
+              (mustRun || elapsed + predicted(name) <= end)) {
+            val t = System.nanoTime()
+            val cost = try {
+              fn(spark, dir).write.mode("overwrite").format("noop").save()
+              val c = (System.nanoTime() - t) / 1e9
+              okRuns(name) += c
+              c
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              (System.nanoTime() - t) / 1e9
+            }
+            attempts(name) += 1
+            predicted(name) = math.max(cost,
+              if (okRuns(name).isEmpty) cost else okRuns(name).max)
+            anyRan = true
+            onResult(snapshot)
+          }
+        }
+        pass += 1
+      }
+      snapshot
     }
     val raw = runSuite(sfDir, runs, 0.36, rs => writeFile(jsonLine(rs, None, None)))
     val smallDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
@@ -324,9 +368,29 @@ object Bench {
     val tailLarge = large.map { case (largeDir2, _) =>
       prelimFlaggedLarge.map(q => q -> rerunOnce(q, largeDir2)).toMap
     }.getOrElse(Map.empty[String, Double])
-    val line = jsonLine(raw, small, large, tailPrimary, tailLarge)
+    // cross-scale inversion recheck (scaladoc): a primary median above 2x
+    // the SAME query's large-scale median cannot be plan cost on 10x less
+    // data — it is a stall captured by too few reps. Re-measure twice at
+    // the primary scale in this quiet tail window and APPEND the runs to
+    // the primary set, so the recomputed median is over a set the stall
+    // cannot dominate; the raw tail times also land in tail_recheck@inv.
+    val inversionFlagged = large.map { case (_, lg) =>
+      val lgMap = medians(lg).toMap
+      prelimResults.collect { case (k, v)
+        if v > 1.0 && lgMap.get(k).exists(l => l > 0 && v > 2 * l) => k }
+    }.getOrElse(Nil)
+    val invRuns = inversionFlagged.map { q =>
+      q -> Seq(rerunOnce(q, sfDir), rerunOnce(q, sfDir)).filterNot(_.isInfinite)
+    }.toMap
+    val rawFinal = raw.map { case (k, (ts, att)) =>
+      invRuns.get(k).map(extra => k -> (ts ++ extra, att + 2)).getOrElse(k -> (ts, att))
+    }
+    val tailPrimaryAll = tailPrimary ++ invRuns.map { case (k, rs) =>
+      s"$k@inv" -> (if (rs.isEmpty) Double.PositiveInfinity else rs.min)
+    }
+    val line = jsonLine(rawFinal, small, large, tailPrimaryAll, tailLarge)
     writeFile(line)
-    medians(raw).sortBy(-_._2).foreach { case (k, v) =>
+    medians(rawFinal).sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] $v%8.3f s  $k")
     }
     println(line)
