@@ -5736,7 +5736,7 @@ object SparkEntry {
       // list_reduce idiom), same Knuth spread mod 2^32 as the engine's
       // kmv_key, bucket = key mod 100, 80/10/10 CASE
       """WITH src AS (SELECT doc_id, lang, text,
-                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                        regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')
                           AS t
                       FROM documents),
          b AS (SELECT doc_id, lang, text,
@@ -5798,7 +5798,7 @@ object SparkEntry {
       // q170's split replayed, then val 5-grams IN train 5-grams — the
       // same distinct/semi-join counts per val language
       """WITH src AS (SELECT doc_id, lang, trim(text) AS tt,
-                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                        regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')
                           AS t
                       FROM documents),
          b AS (SELECT doc_id, lang, tt,

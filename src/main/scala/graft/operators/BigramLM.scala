@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism across engines follows the round-9 DECIMAL-surprisal rule
   * ([[UnigramLM]] scaladoc): `-ln p` is rounded to 9dp ONCE per distinct
-  * bigram type and carried as DECIMAL(19,9); the per-document sum of
+  * bigram type — evaluated inside the vocab-keyed `model` frame, BEFORE
+  * the join back to per-document tf rows, so the plan computes exactly
+  * one log per type — and carried as DECIMAL(19,9); the per-document sum of
   * `tf * surprisal` is exact integer-scaled arithmetic, order-independent;
   * only the final per-document division is float, on already-equal
   * operands (ln parity per the q82/q125/q134 precedent).
@@ -63,13 +65,17 @@ object BigramLM {
     val total = vocab.agg(sum(col("c12")).as("n_total")) // 1-row broadcast
     val p = lit(lambda) * col("c12").cast("double") / col("c1").cast("double") +
       lit(1.0 - lambda) * col("c2").cast("double") / col("n_total").cast("double")
-    val surprisal = round(-log(p), 9).cast("decimal(19,9)")
-    tf.join(vocab, Seq("w1", "w2"))
+    // surprisal lives in the vocab-keyed model frame: one log+round per
+    // DISTINCT bigram type, not per (doc, bigram) joined row
+    val model = vocab
       .join(left, Seq("w1"))
       .join(uni, Seq("w2"))
       .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        round(-log(p), 9).cast("decimal(19,9)").as("surprisal"))
+    tf.join(model, Seq("w1", "w2"))
       .select(col("doc_id"), col("tf"),
-        (col("tf").cast("decimal(9,0)") * surprisal).as("term"))
+        (col("tf").cast("decimal(9,0)") * col("surprisal")).as("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_bigrams"), sum(col("term")).as("sum_nll"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -37,6 +37,18 @@ object HeavyHitters {
 
   /** `(token, cnt, n_total)` for every token with cnt·denom > n·num
     * (i.e. frequency > num/denom), exact counts, ordered by cnt desc.
+    *
+    * EAGER, BY DESIGN: pass 1 (the MG candidate scan) executes via
+    * `.head()` at CALL time, not when the returned DataFrame is first
+    * acted on — the ≤k candidates and n_total are baked into the returned
+    * plan as literals (that is what makes pass 2 a join-free codegen'd
+    * `isin` filter). Two consequences a caller must know: (a) calling
+    * this — or even just `.explain()`-ing the result — pays one full scan
+    * of `tokens`; (b) the candidate set and n_total are FROZEN at call
+    * time, so if the underlying source mutates between the call and the
+    * result's execution, pass 2 filters new data against the old
+    * candidates. Both are the standard two-pass contract (same freeze as
+    * any collected-then-broadcast model, e.g. the k-means centroid loop).
     */
   def exactHeavyHitters(tokens: DataFrame, tokenCol: String, k: Int,
                         num: Long, denom: Long): DataFrame = {

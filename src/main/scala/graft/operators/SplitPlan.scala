@@ -29,10 +29,17 @@ object SplitPlan {
 
   /** Normalized content bucket in [0, 100): collapse whitespace, lowercase,
     * hash, spread, mod. Identical text → identical bucket, any engine.
+    *
+    * The whitespace class is the EXPLICIT `[ \t\n\f\r]+`, not `\s+`: Java's
+    * `\s` includes vertical tab (\x0B) while RE2's does not, so a `\s+`
+    * normalization would bucket a \x0B-bearing document differently in
+    * Spark vs a RE2-based engine replaying the split — and a cross-engine
+    * split divergence is the one failure this operator exists to prevent.
+    * Same engine-identical-subset discipline as [[PiiScrub]].
     */
   def contentBucket(text: Column): Column =
     pmod(KmvSketch.kmvKey(
-      regexp_replace(lower(trim(text)), "\\s+", " ")), lit(100L))
+      regexp_replace(lower(trim(text)), "[ \\t\\n\\f\\r]+", " ")), lit(100L))
 
   /** Adds `bucket` and `split` ("train" / "val" / "test") columns.
     * Fractions are integer percents; train takes [0, pctTrain), val

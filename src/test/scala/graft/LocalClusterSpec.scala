@@ -163,6 +163,7 @@ class LocalClusterSpec extends AnyFunSuite {
     "q168_embedding_audit",
     "q169_curriculum_interleave",
     "q170_split_manifest",
+    "q171_pii_scrub",
     "q172_split_leakage",
     "q173_freq_spectrum",
     "q174_skew_profile")

@@ -20,6 +20,16 @@ class ShardPlanSpec extends SparkSpec {
     assert(resorted == (1L to 1000L))
   }
 
+  test("DistRank on an empty input yields an empty frame with the rank column") {
+    // zero-row guard: repartitionByRange on empty input, every partition
+    // count 0, offsets all 1 — no index-out-of-bounds, schema still grows
+    val df = spark.range(0, 100).select(col("id"), (col("id") % 7).as("size"))
+      .filter(lit(false))
+    val ranked = DistRank.byRange(df, Seq(col("size").desc, col("id").asc))
+    assert(ranked.columns.toSeq == Seq("id", "size", "rank"))
+    assert(ranked.count() == 0)
+  }
+
   test("DistRank leaves nothing persisted (IterState discipline)") {
     // compare against the pre-call snapshot: other suites sharing this
     // session may legitimately hold cached RDDs of their own
