@@ -2746,7 +2746,20 @@ object SparkEntry {
       // max/median ratio. ONE output row at any scale. See
       // operators.SkewProfile.
       graft.operators.SkewProfile.profile(
-        Tables.events(s, dir).select(col("user_id")), "user_id", k = 10))
+        Tables.events(s, dir).select(col("user_id")), "user_id", k = 10)),
+    "q175_long_span_dedup" -> ((s, dir) =>
+      // Lee-et-al long-span substring dedup (arXiv 2107.06499): per-doc
+      // maximal token spans >= 50 tokens whose every 50-token window
+      // repeats somewhere in the corpus (cross-doc or within-doc), via
+      // position-ordered xxhash64 window stream -> gram-keyed count>=2 ->
+      // semi-join back (ReusedExchange) -> per-doc gaps-and-islands
+      // interval union. No suffix array, no driver state; the oracle
+      // carries full gram strings so every gate run doubles as the hash
+      // collision audit. Non-vacuous unplanted at every scale (the
+      // template near-dups share >=50-token prefixes). See dedup.SpanDedup.
+      graft.dedup.SpanDedup.profile(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", n = 50))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5873,7 +5886,41 @@ object SparkEntry {
                 CAST(top1_mass * 1000000 // n_rows AS BIGINT) AS top1_ppm,
                 CAST(topk_mass * 1000000 // n_rows AS BIGINT) AS topk_ppm,
                 CAST(max_cnt * 100 // p50_cnt AS BIGINT) AS skew_x100
-         FROM t, p, tk"""
+         FROM t, p, tk""",
+    "q175_long_span_dedup" ->
+      // gram-STRING ground truth for the engine's xxhash64 window stream
+      // (the q99 hash-vs-string equivalence, now with positions): same
+      // 50-token windows, same count>=2 repeat rule (within-doc second
+      // occurrences count), same gaps-and-islands union with the break at
+      // gap > 50 — so spans, token coverage and max length match to the
+      // integer, and every gate run audits the engine's hash keying
+      """WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(text), ' +') AS a
+                    FROM documents),
+         p AS (SELECT doc_id, a,
+                 unnest([i for i in range(1, len(a) - 48)]) AS pos
+               FROM t WHERE len(a) >= 50),
+         g AS (SELECT doc_id, pos,
+                 array_to_string(a[pos:pos+49], ' ') AS gram
+               FROM p),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         hits AS (SELECT doc_id, pos FROM g
+                  WHERE gram IN (SELECT gram FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > 50
+                        THEN 1 ELSE 0 END AS brk
+                 FROM hits),
+         isl2 AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM isl),
+         sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 49 AS e
+                FROM isl2 GROUP BY doc_id, island)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+                CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+                CAST(MAX(e - s + 1) AS INTEGER) AS max_span
+         FROM sp GROUP BY doc_id ORDER BY doc_id"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

@@ -54,7 +54,7 @@ object MinHashKernels {
   /** " "-join of tokens [from, until) with concat_ws semantics: NULL tokens
     * are skipped entirely (no separator emitted for them).
     */
-  private def joined(toks: ArrayData, from: Int, until: Int): String = {
+  private[dedup] def joined(toks: ArrayData, from: Int, until: Int): String = {
     val sb = new java.lang.StringBuilder
     var emitted = false
     var j = from
@@ -69,7 +69,7 @@ object MinHashKernels {
     sb.toString
   }
 
-  private def hash(s: String): Long =
+  private[dedup] def hash(s: String): Long =
     XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
 
   /** MinHash signature: element s = min over shingle hashes of the s-th

@@ -166,7 +166,8 @@ class LocalClusterSpec extends AnyFunSuite {
     "q171_pii_scrub",
     "q172_split_leakage",
     "q173_freq_spectrum",
-    "q174_skew_profile")
+    "q174_skew_profile",
+    "q175_long_span_dedup")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
