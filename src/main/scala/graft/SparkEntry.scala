@@ -2759,7 +2759,28 @@ object SparkEntry {
       // template near-dups share >=50-token prefixes). See dedup.SpanDedup.
       graft.dedup.SpanDedup.profile(
         Parallelize.ensure(Tables.documents(s, dir)),
-        "doc_id", "text", n = 50))
+        "doc_id", "text", n = 50)),
+    "q176_domain_blocklist" -> ((s, dir) => {
+      // CCNet-style domain blocklist: four blocked source domains as a
+      // broadcast anti/left join — the corpus side never shuffles; audit
+      // and filter share the one blocked bit. Per-lang kept/blocked
+      // counts + kept chars. See operators.DomainFilter.
+      import s.implicits._
+      val blocklist = Seq("src3", "src7", "src13", "src19").toDF("domain")
+      graft.operators.DomainFilter.blocklistAudit(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        "source", "lang", "n_chars", blocklist)
+    }),
+    "q177_domain_mass_cap" -> ((s, dir) =>
+      // per-domain corpus-share cap at 4% (40000 ppm): over-cap domains
+      // hash-thinned by the deterministic keep rule
+      // spread(doc_id) * n_domain < capN * 2^32 (exact DECIMAL cross-
+      // multiply — no division, no RNG, no per-domain sort; the giant
+      // domain is never sorted). One vocab-sized domain count agg, 1-row
+      // total broadcast, map-side decision. See operators.DomainFilter.
+      graft.operators.DomainFilter.capAudit(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        "source", "doc_id", capPpm = 40000L))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5920,7 +5941,42 @@ object SparkEntry {
          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
                 CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
                 CAST(MAX(e - s + 1) AS INTEGER) AS max_span
-         FROM sp GROUP BY doc_id ORDER BY doc_id"""
+         FROM sp GROUP BY doc_id ORDER BY doc_id""",
+    "q176_domain_blocklist" ->
+      // same literal blocklist, same per-lang kept/blocked split
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN source IN ('src3','src7','src13','src19')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+                CAST(SUM(CASE WHEN source IN ('src3','src7','src13','src19')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN source IN ('src3','src7','src13','src19')
+                         THEN 0 ELSE n_chars END) AS BIGINT) AS kept_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q177_domain_mass_cap" ->
+      // same Knuth spread (kmv-family constants), same exact HUGEINT
+      // cross-multiplied keep rule, same integer-DIV ppm shares
+      """WITH c AS (SELECT source AS domain, COUNT(*) AS n_domain
+                    FROM documents GROUP BY 1),
+         t AS (SELECT SUM(n_domain) AS total FROM c),
+         cc AS (SELECT domain, n_domain,
+                  total * 40000 // 1000000 AS capN FROM c, t),
+         f AS (SELECT cc.domain, cc.n_domain, cc.capN,
+                 ((d.doc_id % 999999937) * 2654435761) % 4294967296
+                   AS spread
+               FROM documents d JOIN cc ON d.source = cc.domain),
+         k AS (SELECT domain, COUNT(*) AS n_docs,
+                 SUM(CASE WHEN n_domain <= capN
+                          OR spread::HUGEINT * n_domain
+                             < capN::HUGEINT * 4294967296
+                          THEN 1 ELSE 0 END) AS n_kept
+               FROM f GROUP BY 1),
+         tt AS (SELECT SUM(n_docs) AS t_before, SUM(n_kept) AS t_after
+                FROM k)
+         SELECT domain, CAST(n_docs AS BIGINT) AS n_docs,
+                CAST(n_kept AS BIGINT) AS n_kept,
+                CAST(n_docs * 1000000 // t_before AS BIGINT) AS before_ppm,
+                CAST(n_kept * 1000000 // t_after AS BIGINT) AS after_ppm
+         FROM k, tt ORDER BY domain"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

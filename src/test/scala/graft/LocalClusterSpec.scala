@@ -167,7 +167,9 @@ class LocalClusterSpec extends AnyFunSuite {
     "q172_split_leakage",
     "q173_freq_spectrum",
     "q174_skew_profile",
-    "q175_long_span_dedup")
+    "q175_long_span_dedup",
+    "q176_domain_blocklist",
+    "q177_domain_mass_cap")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
