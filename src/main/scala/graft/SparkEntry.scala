@@ -2780,7 +2780,18 @@ object SparkEntry {
       // total broadcast, map-side decision. See operators.DomainFilter.
       graft.operators.DomainFilter.capAudit(
         Parallelize.ensure(Tables.documents(s, dir)),
-        "source", "doc_id", capPpm = 40000L))
+        "source", "doc_id", capPpm = 40000L)),
+    "q178_span_removal" -> ((s, dir) =>
+      // the Lee-et-al dedup ITSELF (q175 is the audit): every repeated
+      // 50-token window keeps exactly its canonical (lowest (doc, pos),
+      // as one BIGINT id*2^20+pos min) occurrence; tokens covered only by
+      // non-canonical repeated windows are cut and the text rejoined.
+      // Per-lang counts + a kmv_key checksum of every FINAL text, so the
+      // oracle pins the reconstructed bytes, not just the counts. See
+      // dedup.SpanDedup.removeSpans/removalAudit.
+      graft.dedup.SpanDedup.removalAudit(
+        Parallelize.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", "lang", n = 50))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -5976,7 +5987,71 @@ object SparkEntry {
                 CAST(n_kept AS BIGINT) AS n_kept,
                 CAST(n_docs * 1000000 // t_before AS BIGINT) AS before_ppm,
                 CAST(n_kept * 1000000 // t_after AS BIGINT) AS after_ppm
-         FROM k, tt ORDER BY domain"""
+         FROM k, tt ORDER BY domain""",
+    "q178_span_removal" ->
+      // q175's gram-string stream + the canonical min(id*2^20+pos) key,
+      // islands over the NON-canonical positions, list-comprehension cut
+      // and rejoin (COALESCE: array_to_string of an empty list is NULL in
+      // DuckDB, '' in Spark's concat_ws), and the kmv_key rolling fold
+      // over every final text — checksums match to the integer only if
+      // every reconstructed byte matches
+      """WITH t AS (SELECT doc_id, lang, text,
+                      string_split_regex(trim(text), ' +') AS a
+                    FROM documents),
+         p AS (SELECT doc_id, a,
+                 unnest([i for i in range(1, len(a) - 48)]) AS pos
+               FROM t WHERE len(a) >= 50),
+         g AS (SELECT doc_id, pos,
+                 array_to_string(a[pos:pos+49], ' ') AS gram
+               FROM p),
+         st AS (SELECT gram, COUNT(*) AS c,
+                  MIN(doc_id * 1048576 + pos) AS firstkey
+                FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+         rem AS (SELECT g.doc_id, g.pos FROM g JOIN st USING (gram)
+                 WHERE g.doc_id * 1048576 + g.pos <> st.firstkey),
+         isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > 50
+                        THEN 1 ELSE 0 END AS brk
+                 FROM rem),
+         isl2 AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS island
+                  FROM isl),
+         sp AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 49 AS e
+                FROM isl2 GROUP BY doc_id, island),
+         cuts AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS cl
+                  FROM sp GROUP BY doc_id),
+         fin AS (SELECT t.doc_id, t.lang, t.text, len(t.a) AS nb,
+                   c.doc_id IS NOT NULL AS modified,
+                   CASE WHEN c.doc_id IS NULL THEN NULL
+                        ELSE [t.a[i] for i in range(1, len(t.a) + 1)
+                              if len(list_filter(c.cl,
+                                x -> i >= x.s AND i <= x.e)) = 0] END
+                     AS klist
+                 FROM t LEFT JOIN cuts c USING (doc_id)),
+         m AS (SELECT lang, nb, modified,
+                 CASE WHEN modified THEN nb - len(klist) ELSE 0 END
+                   AS removed,
+                 CASE WHEN modified
+                      THEN COALESCE(array_to_string(klist, ' '), '')
+                      ELSE text END AS ftext
+               FROM fin),
+         ck AS (SELECT lang, nb, modified, removed,
+                  CASE WHEN len(ftext) = 0 THEN 0
+                       ELSE (list_reduce([ascii(ftext[i])
+                               for i in range(1, len(ftext) + 1)],
+                              (x, y) -> (CAST(x AS BIGINT) * 31 + y)
+                                        % 999999937)
+                             * 2654435761) % 4294967296 END AS k
+                FROM m)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN modified THEN 1 ELSE 0 END) AS BIGINT)
+                  AS docs_modified,
+                CAST(SUM(nb) AS BIGINT) AS tokens_before,
+                CAST(SUM(removed) AS BIGINT) AS tokens_removed,
+                CAST(SUM(k) AS BIGINT) AS text_checksum
+         FROM ck GROUP BY 1 ORDER BY 1"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

@@ -76,15 +76,14 @@ object SpanDedup {
     stream.join(dup, Seq("gh"), "left_semi").select(col(idCol), col("pos"))
   }
 
-  /** Maximal duplicated spans per document:
-    * `(idCol, span_start, span_end, span_len)` — each span the union of
-    * overlapping-or-adjacent repeated windows (next window start within
-    * `n` positions of the previous), 1-based inclusive token bounds.
+  /** Gaps-and-islands interval union over a `(idCol, pos)` window-position
+    * stream: maximal `(idCol, span_start, span_end, span_len)` spans,
+    * merging windows whose starts are within `n` of each other. The only
+    * sort is the PER-DOCUMENT window — bounded by doc length.
     */
-  def spans(docs: DataFrame, idCol: String, textCol: String,
-            n: Int): DataFrame = {
+  private def islandSpans(hits: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    repeatedWindows(docs, idCol, textCol, n)
+    hits
       // first row's lag is NULL -> comparison NULL -> otherwise(0): the
       // first window of a doc never "breaks", it opens island 0
       .withColumn("brk",
@@ -96,6 +95,113 @@ object SpanDedup {
         (max(col("pos")) + n - 1).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Maximal duplicated spans per document:
+    * `(idCol, span_start, span_end, span_len)` — each span the union of
+    * overlapping-or-adjacent repeated windows (next window start within
+    * `n` positions of the previous), 1-based inclusive token bounds.
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String,
+            n: Int): DataFrame =
+    islandSpans(repeatedWindows(docs, idCol, textCol, n), idCol, n)
+
+  // ---- removal: the dedup itself, not just the audit -------------------
+
+  /** Window stream + the canonical-occurrence stats join: `(idCol, pos)`
+    * of every NON-canonical repeated window — the positions the removal
+    * cuts. The canonical occurrence of a repeated window is its minimal
+    * `(doc, pos)`, compared as the single integer `id * 2^20 + pos` so
+    * both engines take a plain BIGINT min (ids must stay below 2^43 and
+    * docs below 2^20 tokens — the RollingWindow-style documented bound,
+    * enforced by `assert_true` in the encode so a violating corpus fails
+    * loudly instead of mis-keying).
+    */
+  private def removedWindows(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val stream = docs
+      .select(col(idCol),
+        gramHashSeq(split(trim(col(textCol)), " +"), n).as("ghs"))
+      .select(col(idCol), posexplode(col("ghs")).as(Seq("pos0", "gh")))
+      // the assert_true rides the key expression (never pruned): NULL on
+      // success, throws on a doc at/over 2^20 tokens
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("gh"))
+      .withColumn("okey",
+        col(idCol) * lit(1048576L) + col("pos") +
+          coalesce(assert_true(col("pos") < lit(1048576L)).cast("long"), lit(0L)))
+    val stats = stream.groupBy(col("gh"))
+      .agg(count(lit(1)).as("c"), min(col("okey")).as("firstkey"))
+      .filter(col("c") >= 2)
+      .select(col("gh"), col("firstkey"))
+    stream.join(stats, Seq("gh"))
+      .filter(col("okey") =!= col("firstkey"))
+      .select(col(idCol), col("pos"))
+  }
+
+  /** Adds a `cuts` column — the doc's removal spans as an array of
+    * `(s, e)` structs, NULL for untouched docs.
+    */
+  private def withCuts(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    val cuts = islandSpans(removedWindows(docs, idCol, textCol, n), idCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("cuts"))
+    docs.join(cuts, Seq(idCol), "left")
+  }
+
+  /** Final text after cutting: tokens outside every cut interval rejoined
+    * with single spaces (whitespace-normalized by construction — a doc
+    * cut down to nothing becomes the empty string); untouched docs keep
+    * their original text byte-for-byte.
+    */
+  private def cutText(textCol: String): Column = {
+    val toks = split(trim(col(textCol)), " +")
+    val indexed = transform(toks, (t, i) => struct((i + 1).as("p"), t.as("t")))
+    val kept = filter(indexed, x => !exists(col("cuts"),
+      c => x.getField("p") >= c.getField("s") &&
+        x.getField("p") <= c.getField("e")))
+    when(col("cuts").isNull, col(textCol))
+      .otherwise(concat_ws(" ", transform(kept, _.getField("t"))))
+  }
+
+  /** The deduplicated corpus — Lee et al.'s actual dedup, not just the
+    * audit: every repeated `n`-token window keeps exactly its canonical
+    * (lowest `(doc, pos)`) occurrence, and tokens covered only by
+    * non-canonical repeated windows are cut. Same schema as `docs`,
+    * `textCol` rewritten; all other columns ride through.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int): DataFrame =
+    withCuts(docs, idCol, textCol, n)
+      .withColumn(textCol, cutText(textCol))
+      .drop("cuts")
+
+  /** Per-language removal audit: `(lang, n_docs, docs_modified,
+    * tokens_before, tokens_removed, text_checksum)` ordered by lang —
+    * the checksum is the per-doc kmv_key of the FINAL text summed per
+    * language, so the oracle pins the reconstructed bytes of every
+    * document, not just the counts.
+    */
+  def removalAudit(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, n: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), " +")
+    withCuts(docs, idCol, textCol, n)
+      .withColumn("nb", size(toks))
+      .withColumn("ftext", cutText(textCol))
+      .withColumn("removed",
+        when(col("cuts").isNull, lit(0))
+          .otherwise(col("nb") - size(split(col("ftext"), " ")) +
+            when(length(col("ftext")) === 0, lit(1)).otherwise(lit(0))))
+      .groupBy(col(langCol).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cuts").isNull, lit(0)).otherwise(lit(1)))
+          .as("docs_modified"),
+        sum(col("nb")).as("tokens_before"),
+        sum(col("removed")).as("tokens_removed"),
+        sum(graft.functions.KmvSketch.kmvKey(col("ftext")))
+          .as("text_checksum"))
+      .orderBy(col("lang"))
   }
 
   /** Per-document duplication profile over the maximal spans:

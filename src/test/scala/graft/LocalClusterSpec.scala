@@ -169,7 +169,8 @@ class LocalClusterSpec extends AnyFunSuite {
     "q174_skew_profile",
     "q175_long_span_dedup",
     "q176_domain_blocklist",
-    "q177_domain_mass_cap")
+    "q177_domain_mass_cap",
+    "q178_span_removal")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq

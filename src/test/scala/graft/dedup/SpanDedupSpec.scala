@@ -92,6 +92,63 @@ class SpanDedupSpec extends SparkSpec {
     assert(prof.map(_.getLong(0)).toSet.intersect(shortIds).isEmpty)
   }
 
+  test("removal keeps the canonical (lowest doc, pos) occurrence and cuts the rest") {
+    val d1 = toks("a", 0, 2) + " " + toks("s", 0, 10) + " " + toks("b", 0, 3)
+    val d2 = toks("s", 0, 10) + " " + toks("c", 0, 5)
+    val docs = Seq((1L, "en", d1), (2L, "en", d2)).toDF("doc_id", "lang", "text")
+    val out = SpanDedup.removeSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == d1)                      // canonical holder untouched
+    assert(out(2L) == toks("c", 0, 5))         // shared span cut, tail kept
+  }
+
+  test("removal cuts the within-doc SECOND occurrence, keeps the first") {
+    val d = toks("r", 0, 5) + " " + toks("x", 0, 5) + " " + toks("r", 0, 5)
+    val out = SpanDedup.removeSpans(
+        Seq((7L, "en", d)).toDF("doc_id", "lang", "text"),
+        "doc_id", "text", n = 5)
+      .head().getString(2)
+    assert(out == toks("r", 0, 5) + " " + toks("x", 0, 5))
+  }
+
+  test("a doc that is entirely a non-canonical copy is cut to the empty string") {
+    val shared = toks("w", 0, 8)
+    val docs = Seq((1L, "en", shared), (2L, "en", shared))
+      .toDF("doc_id", "lang", "text")
+    val out = SpanDedup.removeSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == shared && out(2L) == "")
+  }
+
+  test("untouched docs keep their text byte-for-byte; extra columns ride through") {
+    val weird = "  u0   u1 u2\tu3  " // odd whitespace must survive untouched
+    val docs = Seq((1L, "en", weird, 42)).toDF("doc_id", "lang", "text", "extra")
+    val out = SpanDedup.removeSpans(docs, "doc_id", "text", n = 3).head()
+    assert(out.getString(2) == weird)
+    assert(out.getInt(3) == 42)
+    assert(SpanDedup.removeSpans(docs, "doc_id", "text", n = 3).columns.toSeq ==
+      Seq("doc_id", "lang", "text", "extra"))
+  }
+
+  test("removalAudit: counts and checksum reconcile with the removed corpus") {
+    val d1 = toks("a", 0, 2) + " " + toks("s", 0, 10) + " " + toks("b", 0, 3)
+    val d2 = toks("s", 0, 10) + " " + toks("c", 0, 5)
+    val d3 = toks("u", 0, 7)
+    val docs = Seq((1L, "en", d1), (2L, "en", d2), (3L, "de", d3))
+      .toDF("doc_id", "lang", "text")
+    val audit = SpanDedup.removalAudit(docs, "doc_id", "text", "lang", n = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(audit("de") == ((1L, 0L, 7L, 0L,
+      kmv(d3))))                                // untouched: checksum of raw text
+    assert(audit("en") == ((2L, 1L, 30L, 10L,  // 15 + 15 tokens, 10 cut from d2
+      kmv(d1) + kmv(toks("c", 0, 5)))))
+  }
+
+  private def kmv(s: String): Long =
+    Seq(s).toDF("t")
+      .select(graft.functions.KmvSketch.kmvKey(col("t"))).head().getLong(0)
+
   test("plan shape: the semi-join back is broadcast (small dup set) or exchange-reused") {
     // two acceptable adaptive shapes, both scale-correct: when the
     // repeated-gram set is small AQE broadcasts it and the probe side
