@@ -31,21 +31,32 @@ import org.apache.spark.sql.SparkSession
   * successful runs reports 1e18 (valid JSON, unmistakably not a timing).
   *
   * WALL-CLOCK BUDGET (round-10, the reason BENCH_r09 rc=124 can't recur;
-  * round-11 reshaped the allocation): the suite self-limits to
+  * round-11 reshaped the allocation TWICE): the suite self-limits to
   * SPARK_GRAFT_BENCH_BUDGET_SEC seconds of measured time (default 2550 —
   * r8's full suite took ~51 min of driver wall and passed; r9's grew past
   * the driver timeout and was killed with nothing on stdout). Every query
-  * at every scale ALWAYS gets one run — completeness is never sacrificed —
-  * and extra runs are allocated ROUND-ROBIN BY PASS: pass 1 runs every
-  * query once, then pass 2 re-runs every query, and so on up to the run
-  * cap, each post-first run gated on the suite's remaining budget. When
-  * the budget runs out mid-pass, every query has the same run count ±1 —
-  * the round-10 scheme spent reps front-to-back, which starved exactly the
-  * late-alphabet high-variance streaming drains down to nruns=1 and let a
-  * single 47.8 s stall stand as q87's committed sf0.1 "median". Two more
-  * guards from that finding: the STREAMING family (names containing
-  * "stream") always gets min(3, cap) runs regardless of schedule — its
-  * per-run variance is the highest in the suite, so a 1-run median is
+  * at every scale ALWAYS gets one run — completeness is never sacrificed.
+  * Extra runs: PASS 1 runs every query once in name order; then queries
+  * are revisited in DESCENDING pass-1 cost order, each revisit running
+  * that query's remaining reps BACK-TO-BACK, every rep gated on the
+  * suite's remaining budget. Two failure modes shaped this:
+  *  - the round-10 scheme spent reps front-to-back ALPHABETICALLY, which
+  *    starved exactly the late-alphabet high-variance streaming drains
+  *    down to nruns=1 and let a single 47.8 s stall stand as q87's
+  *    committed sf0.1 "median". Cost-descending revisits fix that for
+  *    free: the expensive, variance-heavy queries are served reps FIRST,
+  *    and the queries that can starve at the tail are the cheapest ones,
+  *    where a 1-run median costs the least;
+  *  - a round-robin-by-pass allocation (tried first in round 11) fixed
+  *    the starvation but broke cross-round comparability: with 177 other
+  *    queries between two reps, EVERY rep re-pays plan/codegen-cache
+  *    re-entry (measured: narrow spreads uniformly ~1.5x the r8 table,
+  *    min rep 2.3x r8's min — all-cold, not first-cold), while every
+  *    prior round's table measured warm back-to-back steady state. Reps
+  *    within one revisit are therefore back-to-back again.
+  * Two more guards: the STREAMING family (names containing "stream")
+  * always gets min(3, cap) runs regardless of schedule — its per-run
+  * variance is the highest in the suite, so a 1-run median is
   * meaningless there — and each suite runs ONE untimed warm-up execution
   * of its first query before measuring, so whole-stage-codegen JIT is
   * billed to nobody (q01's nruns=1 committed median was 5.09 s of warm-up
@@ -261,17 +272,19 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
-    // One suite under the budget schedule, allocated ROUND-ROBIN BY PASS:
-    // pass 0 runs every query once unconditionally (completeness first),
-    // then passes 1..nRuns-1 sweep the whole list again, each extra run
-    // gated on the suite's remaining budget — so when time runs out the
-    // degradation is even (everyone at k or k+1 runs) instead of starving
-    // the alphabetical tail. The streaming family (per-run variance is the
-    // worst in the suite) is exempt from the gate up to min(3, nRuns) runs.
-    // Before measuring, the first query runs once UNTIMED so JVM/codegen
-    // warm-up is billed to nobody. Cost prediction for the gate is
-    // max(last attempt, slowest success so far) — a lucky fast run must
-    // not license a slow overshoot (round-10 advice).
+    // One suite under the budget schedule (see the scaladoc's allocation
+    // history): pass 1 runs every query once in name order; then queries
+    // are revisited in DESCENDING pass-1 cost order, each revisit running
+    // the remaining reps BACK-TO-BACK (warm steady-state medians,
+    // comparable with every prior round's table), every rep gated on the
+    // suite budget. The streaming family (worst per-run variance) is
+    // exempt from the gate up to min(3, nRuns) runs; expensive queries
+    // are served reps first, so budget exhaustion starves only the
+    // cheapest tail, where a 1-run median costs least. Before measuring,
+    // the first query runs once UNTIMED so JVM/codegen warm-up is billed
+    // to nobody. Cost prediction for the gate is max(last attempt,
+    // slowest success so far) — a lucky fast run must not license a slow
+    // overshoot (round-10 advice).
     def runSuite(dir: String, nRuns: Int, endShare: Double,
                  onResult: Raw => Unit): Raw = {
       val t0 = elapsed
@@ -288,33 +301,31 @@ object Bench {
       val predicted = scala.collection.mutable.Map(selected.map { case (n, _) => n -> 0.0 }: _*)
       def snapshot: Raw = selected.map { case (n, _) => n -> (okRuns(n).toSeq, attempts(n)) }
       val streamFloor = math.min(3, nRuns)
-      var pass = 0
-      var anyRan = true
-      while (pass < nRuns && anyRan) {
-        anyRan = false
-        selected.foreach { case (name, fn) =>
-          val mustRun = pass == 0 ||
-            (name.contains("stream") && attempts(name) < streamFloor)
-          if (attempts(name) < nRuns &&
-              (mustRun || elapsed + predicted(name) <= end)) {
-            val t = System.nanoTime()
-            val cost = try {
-              fn(spark, dir).write.mode("overwrite").format("noop").save()
-              val c = (System.nanoTime() - t) / 1e9
-              okRuns(name) += c
-              c
-            } catch { case e: Throwable =>
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              (System.nanoTime() - t) / 1e9
-            }
-            attempts(name) += 1
-            predicted(name) = math.max(cost,
-              if (okRuns(name).isEmpty) cost else okRuns(name).max)
-            anyRan = true
-            onResult(snapshot)
-          }
+      def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+        val t = System.nanoTime()
+        val cost = try {
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          val c = (System.nanoTime() - t) / 1e9
+          okRuns(name) += c
+          c
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (System.nanoTime() - t) / 1e9
         }
-        pass += 1
+        attempts(name) += 1
+        predicted(name) = math.max(cost,
+          if (okRuns(name).isEmpty) cost else okRuns(name).max)
+        onResult(snapshot)
+      }
+      selected.foreach { case (name, fn) => runOnce(name, fn) } // pass 1
+      val byCostDesc = selected.sortBy { case (n, _) => -predicted(n) }
+      byCostDesc.foreach { case (name, fn) =>
+        var continue = true
+        while (continue && attempts(name) < nRuns) {
+          val mustRun = name.contains("stream") && attempts(name) < streamFloor
+          if (mustRun || elapsed + predicted(name) <= end) runOnce(name, fn)
+          else continue = false
+        }
       }
       snapshot
     }
