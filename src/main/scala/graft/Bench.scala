@@ -36,24 +36,25 @@ import org.apache.spark.sql.SparkSession
   * r8's full suite took ~51 min of driver wall and passed; r9's grew past
   * the driver timeout and was killed with nothing on stdout). Every query
   * at every scale ALWAYS gets one run — completeness is never sacrificed.
-  * Extra runs: PASS 1 runs every query once in name order; then queries
-  * are revisited in DESCENDING pass-1 cost order, each revisit running
-  * that query's remaining reps BACK-TO-BACK, every rep gated on the
-  * suite's remaining budget. Two failure modes shaped this:
-  *  - the round-10 scheme spent reps front-to-back ALPHABETICALLY, which
-  *    starved exactly the late-alphabet high-variance streaming drains
-  *    down to nruns=1 and let a single 47.8 s stall stand as q87's
-  *    committed sf0.1 "median". Cost-descending revisits fix that for
-  *    free: the expensive, variance-heavy queries are served reps FIRST,
-  *    and the queries that can starve at the tail are the cheapest ones,
-  *    where a 1-run median costs the least;
+  * Extra runs, in two passes: PASS A visits queries once in name order
+  * and runs each query's reps BACK-TO-BACK at its one visit (a single
+  * cold entry per query, warm steady-state medians) under the r10
+  * interpolated allowance; PASS B spends whatever budget remains topping
+  * up the under-repped queries, fewest-runs-first then costliest-first.
+  * Two failure modes shaped this:
+  *  - the round-10 scheme (pass A alone) starved exactly the
+  *    late-alphabet high-variance streaming drains down to nruns=1 —
+  *    their allowance share was proportional to query COUNT, not cost —
+  *    and let a single 47.8 s stall stand as q87's committed sf0.1
+  *    "median". The streaming floor + the top-up pass close that hole;
   *  - a round-robin-by-pass allocation (tried first in round 11) fixed
   *    the starvation but broke cross-round comparability: with 177 other
   *    queries between two reps, EVERY rep re-pays plan/codegen-cache
   *    re-entry (measured: narrow spreads uniformly ~1.5x the r8 table,
   *    min rep 2.3x r8's min — all-cold, not first-cold), while every
-  *    prior round's table measured warm back-to-back steady state. Reps
-  *    within one revisit are therefore back-to-back again.
+  *    prior round's table measured warm back-to-back steady state; and a
+  *    separate completeness pass before any reps (tried second) paid the
+  *    cold entry cost TWICE per query and starved the cheap majority.
   * Two more guards: the STREAMING family (names containing "stream")
   * always gets min(3, cap) runs regardless of schedule — its per-run
   * variance is the highest in the suite, so a 1-run median is
@@ -273,17 +274,16 @@ object Bench {
       ()
     }
     // One suite under the budget schedule (see the scaladoc's allocation
-    // history): pass 1 runs every query once in name order; then queries
-    // are revisited in DESCENDING pass-1 cost order, each revisit running
-    // the remaining reps BACK-TO-BACK (warm steady-state medians,
-    // comparable with every prior round's table), every rep gated on the
-    // suite budget. The streaming family (worst per-run variance) is
-    // exempt from the gate up to min(3, nRuns) runs; expensive queries
-    // are served reps first, so budget exhaustion starves only the
-    // cheapest tail, where a 1-run median costs least. Before measuring,
-    // the first query runs once UNTIMED so JVM/codegen warm-up is billed
-    // to nobody. Cost prediction for the gate is max(last attempt,
-    // slowest success so far) — a lucky fast run must not license a slow
+    // history): pass A visits queries once in name order, each running
+    // its reps BACK-TO-BACK at that one visit (single cold entry, warm
+    // steady-state medians, comparable with every prior round's table)
+    // under the interpolated allowance; pass B tops up the under-repped,
+    // fewest-runs-first then costliest-first, on the remaining budget.
+    // The streaming family (worst per-run variance) is exempt from the
+    // allowance up to min(3, nRuns) runs. Before measuring, the first
+    // query runs once UNTIMED so JVM/codegen warm-up is billed to
+    // nobody. Cost prediction for the gate is max(last attempt, slowest
+    // success so far) — a lucky fast run must not license a slow
     // overshoot (round-10 advice).
     def runSuite(dir: String, nRuns: Int, endShare: Double,
                  onResult: Raw => Unit): Raw = {
@@ -317,15 +317,35 @@ object Bench {
           if (okRuns(name).isEmpty) cost else okRuns(name).max)
         onResult(snapshot)
       }
-      selected.foreach { case (name, fn) => runOnce(name, fn) } // pass 1
-      val byCostDesc = selected.sortBy { case (n, _) => -predicted(n) }
-      byCostDesc.foreach { case (name, fn) =>
+      // pass A (name order): each query runs its reps BACK-TO-BACK at its
+      // one visit — a single cold entry per query, warm steady-state
+      // medians — under the r10 interpolated allowance (query i of m may
+      // take extra reps until t0 + share*(i+1)/m), with the streaming
+      // floor exempt from the allowance
+      val m = selected.size.max(1)
+      selected.zipWithIndex.foreach { case ((name, fn), i) =>
+        val allowance = t0 + (end - t0) * (i + 1).toDouble / m
         var continue = true
         while (continue && attempts(name) < nRuns) {
-          val mustRun = name.contains("stream") && attempts(name) < streamFloor
-          if (mustRun || elapsed + predicted(name) <= end) runOnce(name, fn)
+          val mustRun = attempts(name) == 0 ||
+            (name.contains("stream") && attempts(name) < streamFloor)
+          if (mustRun || elapsed + predicted(name) <= allowance) runOnce(name, fn)
           else continue = false
         }
+      }
+      // pass B (top-up): spend whatever remains of the suite budget on the
+      // under-repped queries, fewest-runs-first then costliest-first — the
+      // queries whose medians need reps most. Each top-up rep re-pays one
+      // cache re-entry; for these (the expensive starved queries) the
+      // cold/warm delta is small relative to real work.
+      var topup = true
+      while (topup) {
+        topup = false
+        val starved = selected
+          .filter { case (n, _) => attempts(n) < nRuns }
+          .sortBy { case (n, _) => (attempts(n), -predicted(n)) }
+        starved.find { case (n, _) => elapsed + predicted(n) <= end }
+          .foreach { case (name, fn) => runOnce(name, fn); topup = true }
       }
       snapshot
     }
