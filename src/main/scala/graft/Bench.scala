@@ -63,7 +63,11 @@ import org.apache.spark.sql.SparkSession
   * billed to nobody (q01's nruns=1 committed median was 5.09 s of warm-up
   * vs its own 1.18 s steady state). The budget gate predicts the next
   * run's cost as max(last attempt, slowest success so far), so one
-  * lucky fast run can't talk the governor into a slow overshoot. Shares:
+  * lucky fast run can't talk the governor into a slow overshoot. Pass A is
+  * capped at 3 back-to-back reps (round-12: r11's uncapped pass A let the
+  * early alphabet take all 5 reps, starving 23 late queries to nruns=1
+  * committed singles); the 4th/5th reps exist only in pass B, which is
+  * level-ordered — every query gets a 2nd before any gets a 3rd. Shares:
   * primary 36%, small +16%, large +40%, tail rechecks the last 8%. Actual
   * per-query run counts land in `nruns`/`nruns_small`/`nruns_large`; the
   * budget and total elapsed land in `env`. BENCH.json is rewritten after
@@ -110,6 +114,19 @@ import org.apache.spark.sql.SparkSession
   * measurements, not a separate adjudication), so the committed median
   * recomputes over a set the stall cannot dominate. The tail runs are
   * also recorded in `tail_recheck` under `<name>@inv` for transparency.
+  * Because appended inversion runs LOWER the primary median, the large
+  * flags are recomputed against the final medians and any NEWLY flagged
+  * query gets its tail recheck too — no flag is ever emitted unadjudicated.
+  *
+  * Contention auto-reject (round-12): loadavg cannot see hypervisor steal
+  * (the r11 degradation window read loadavg ~0.8 while multithreaded
+  * throughput fell 5-10x), so the suite opens with the BASELINE.md canary —
+  * one untimed + one timed q03 run at the sf1 dir (~1.5 s healthy). When
+  * the timed probe exceeds 3x healthy, EVERY write for the whole run goes
+  * to BENCH.rejected.json: a contended sweep can never overwrite the
+  * committed quiet artifact again, mechanically closing the r10/r11
+  * end-of-round overwrite trap. The probe time and the routing decision
+  * are stamped into `env` either way.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -133,6 +150,36 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, _) =>
       args.isEmpty || args.exists(name.contains)
     }
+    // Contention probe (BASELINE.md prescription, round-11 trap): the
+    // 17:20-17:55Z hypervisor-degradation window inflated a contiguous
+    // alphabetical block of sf1 entries 6-18x while guest loadavg read
+    // ~0.8 — loadavg alone cannot see hypervisor steal. q03's sf1 join is
+    // the canary: ~1.5 s healthy, 11.3 s degraded. Run it once untimed
+    // (absorbs JVM/codegen JIT) then once timed; when the timed probe
+    // exceeds 3x healthy, the WHOLE run is written to BENCH.rejected.json
+    // so a contended sweep can never overwrite the committed quiet
+    // artifact again (the r10 AND r11 end-of-round commits both did).
+    val probeDirOpt = Some(sys.env.getOrElse("SPARK_GRAFT_SF_DIR_LARGE", "testdata/sf1"))
+      .filter(d => java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d)))
+    val probeSec: Double = (for {
+      dir <- probeDirOpt
+      fn <- SparkEntry.queries.get("q03_revenue_by_nation")
+    } yield {
+      try {
+        fn(spark, dir).write.mode("overwrite").format("noop").save() // untimed JIT
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] probe failed: ${e.getMessage}"); Double.NaN
+      }
+    }).getOrElse(Double.NaN)
+    val hostContended = !probeSec.isNaN && probeSec > 4.5
+    val outFile = if (hostContended) "BENCH.rejected.json" else "BENCH.json"
+    if (hostContended) System.err.println(
+      f"[bench] q03-sf1 probe $probeSec%.2f s > 4.5 s (healthy ~1.5 s): host " +
+        s"contended — writing $outFile, committed BENCH.json left untouched")
+    else System.err.println(f"[bench] q03-sf1 probe ${probeSec}%.2f s -> $outFile")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt.max(1)
     val runsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_SMALL", "3").toInt.max(1)
     val runsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_LARGE", "3").toInt.max(1)
@@ -176,6 +223,7 @@ object Bench {
         s""""maxMemMB":${Runtime.getRuntime.maxMemory / (1024 * 1024)},"host":${jstr(host)},""" +
         s""""os":${jstr(os)},"java":${jstr(sys.props.getOrElse("java.version", "?"))},"startedAt":"$benchStartedAt",""" +
         s""""budgetSec":${budgetSec.toLong},"elapsedSec":${elapsed.toLong},""" +
+        s""""probeQ03LargeSec":${jsonNum(probeSec)},"probeRejected":$hostContended,""" +
         s""""loadavgStart":${jstr(loadavgStart)},"loadavgNow":${jstr(loadavg)}}"""
     }
     def jsonNum(v: Double): String =
@@ -269,7 +317,7 @@ object Bench {
     // run still leaves the medians measured so far (the driver's parser can
     // read this file even when stdout never got its line).
     def writeFile(line: String): Unit = {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
@@ -321,12 +369,19 @@ object Bench {
       // one visit — a single cold entry per query, warm steady-state
       // medians — under the r10 interpolated allowance (query i of m may
       // take extra reps until t0 + share*(i+1)/m), with the streaming
-      // floor exempt from the allowance
+      // floor exempt from the allowance. Pass A is CAPPED at 3 reps even
+      // when nRuns is higher: round 11 let early-alphabet queries take
+      // all 5 reps back-to-back, which exhausted the primary window
+      // before the late alphabet ran (23 committed nruns=1 singles) and
+      // left pass B nothing to spend. A warm median of 3 is already
+      // stable; the 4th/5th reps are pass-B luxuries that no query may
+      // buy until every query holds at least 2.
       val m = selected.size.max(1)
+      val passACap = math.min(nRuns, 3)
       selected.zipWithIndex.foreach { case ((name, fn), i) =>
         val allowance = t0 + (end - t0) * (i + 1).toDouble / m
         var continue = true
-        while (continue && attempts(name) < nRuns) {
+        while (continue && attempts(name) < passACap) {
           val mustRun = attempts(name) == 0 ||
             (name.contains("stream") && attempts(name) < streamFloor)
           if (mustRun || elapsed + predicted(name) <= allowance) runOnce(name, fn)
@@ -334,9 +389,10 @@ object Bench {
         }
       }
       // pass B (top-up): spend whatever remains of the suite budget on the
-      // under-repped queries, fewest-runs-first then costliest-first — the
-      // queries whose medians need reps most. Each top-up rep re-pays one
-      // cache re-entry; for these (the expensive starved queries) the
+      // under-repped queries, STRICTLY level-ordered — every query gets
+      // its 2nd rep (fewest-attempts-first, then costliest) before any
+      // query gets a 3rd, and so on up to nRuns. Each top-up rep re-pays
+      // one cache re-entry; for these (the expensive starved queries) the
       // cold/warm delta is small relative to real work.
       var topup = true
       while (topup) {
@@ -419,7 +475,19 @@ object Bench {
     val tailPrimaryAll = tailPrimary ++ invRuns.map { case (k, rs) =>
       s"$k@inv" -> (if (rs.isEmpty) Double.PositiveInfinity else rs.min)
     }
-    val line = jsonLine(rawFinal, small, large, tailPrimaryAll, tailLarge)
+    // An inversion rerun LOWERS the primary median it appends to, which can
+    // push a large/primary ratio over the >12 bar for a query that was
+    // never in prelimFlaggedLarge — an unadjudicated flag, breaking the
+    // round-8 "a flag survives only if the tail run reproduces it"
+    // contract. Recompute the large flags from the FINAL primary medians
+    // and give any newly flagged query its tail recheck before emitting.
+    val tailLargeAll = large.map { case (largeDir2, lg) =>
+      val newlyFlagged = flaggedOf(medians(lg), medians(rawFinal).toMap, 2.0)
+        .map(_._1).distinct
+        .filterNot(prelimFlaggedLarge.contains).filterNot(tailLarge.contains)
+      tailLarge ++ newlyFlagged.map(q => q -> rerunOnce(q, largeDir2)).toMap
+    }.getOrElse(tailLarge)
+    val line = jsonLine(rawFinal, small, large, tailPrimaryAll, tailLargeAll)
     writeFile(line)
     medians(rawFinal).sortBy(-_._2).foreach { case (k, v) =>
       System.err.println(f"[bench] $v%8.3f s  $k")

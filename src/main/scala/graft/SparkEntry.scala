@@ -3233,9 +3233,9 @@ object SparkEntry {
       // distinct count from the normalization it promises (lower + collapsed
       // whitespace), for both the raw and the upper-cased input
       """SELECT COUNT(*) AS n_docs,
-                COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                COUNT(DISTINCT regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g'))
                   AS n_distinct_fp,
-                COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                COUNT(DISTINCT regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g'))
                   AS n_distinct_fp_case
          FROM documents""",
     "q23_simhash_neardups" ->
@@ -3255,12 +3255,12 @@ object SparkEntry {
                   ' ' || regexp_replace(text, ' ', '  ', 'g') || '  '
            FROM documents WHERE doc_id < 20
          ), n AS (
-           SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+           SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS t
            FROM a)
          SELECT doc_id, MIN(doc_id) OVER (PARTITION BY t) AS canonical_id
          FROM n ORDER BY doc_id""",
     "q26_ngram_jaccard" ->
-      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') t
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') t
                     FROM documents),
               g AS (SELECT doc_id,
                            CASE WHEN len(t) >= 3
@@ -4275,7 +4275,7 @@ object SparkEntry {
       // order statistics, estimator (k-1)*2^32 // h_k with the exact-below-k
       // escape, Jaccard = common-in-union-sketch / |union sketch| in ppm
       """WITH src AS (SELECT doc_id,
-                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                        regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g')
                           AS t,
                         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
                       FROM documents),
@@ -5020,13 +5020,13 @@ object SparkEntry {
                         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
                       FROM documents),
               a AS (SELECT DISTINCT
-                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                      regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS t
                     FROM src WHERE sn % 2 = 0),
               braw AS (SELECT text FROM src WHERE sn % 2 = 1
                        UNION ALL
                        SELECT text FROM src WHERE sn % 2 = 0 AND doc_id < 60),
               b AS (SELECT DISTINCT
-                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                      regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS t
                     FROM braw),
               c AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
                            (SELECT COUNT(*) FROM b) AS n_b,
@@ -5047,7 +5047,7 @@ object SparkEntry {
                   substr(text, 1, CAST(FLOOR(n_chars * 0.4) AS INT))
            FROM documents WHERE doc_id < 20),
            n AS (SELECT doc_id,
-                        regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+                        regexp_replace(lower(trim(text)), '[ \t\n\f\r]+', ' ', 'g') AS t
                  FROM corpus),
            g AS (SELECT doc_id,
                         CASE WHEN len(t) >= 3

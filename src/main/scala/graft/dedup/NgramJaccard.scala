@@ -17,9 +17,15 @@ object NgramJaccard {
     * projected column before calling the n-gram builders: an expression
     * inlined into a `transform` lambda is re-evaluated per array element
     * (regex-per-ngram instead of regex-per-row — an order-of-magnitude trap).
+    *
+    * The whitespace class is the EXPLICIT `[ \t\n\f\r]+`, not `\s+`:
+    * Java's `\s` includes vertical tab (\x0B) while RE2's does not — the
+    * [[graft.operators.SplitPlan]] cross-engine discipline, applied here so
+    * the DuckDB oracles replaying this normalization agree on \x0B-bearing
+    * text.
     */
   def normalized(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(trim(text)), "[ \\t\\n\\f\\r]+", " ")
 
   /** All character n-grams of a pre-normalized text column, with
     * duplicates. `norm` should be a plain column reference (see

@@ -124,11 +124,14 @@ object SpanDedup {
         gramHashSeq(split(trim(col(textCol)), " +"), n).as("ghs"))
       .select(col(idCol), posexplode(col("ghs")).as(Seq("pos0", "gh")))
       // the assert_true rides the key expression (never pruned): NULL on
-      // success, throws on a doc at/over 2^20 tokens
+      // success, throws on a doc at/over 2^20 tokens OR an id at/over 2^43
+      // — either would overflow okey silently (ANSI off) and mis-pick
+      // canonical occurrences
       .select(col(idCol), (col("pos0") + 1).as("pos"), col("gh"))
       .withColumn("okey",
         col(idCol) * lit(1048576L) + col("pos") +
-          coalesce(assert_true(col("pos") < lit(1048576L)).cast("long"), lit(0L)))
+          coalesce(assert_true(col(idCol) < lit(8796093022208L) &&
+            col("pos") < lit(1048576L)).cast("long"), lit(0L)))
     val stats = stream.groupBy(col("gh"))
       .agg(count(lit(1)).as("c"), min(col("okey")).as("firstkey"))
       .filter(col("c") >= 2)

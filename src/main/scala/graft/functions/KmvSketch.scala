@@ -172,7 +172,7 @@ object KmvSketch {
     */
   def corpusOverlapSketch(documents: DataFrame, k: Int = 128): DataFrame = {
     val spark = documents.sparkSession
-    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val norm = regexp_replace(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+", " ")
     val src = documents
       .withColumn("sn", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
       .withColumn("h", kmvKey(norm))

@@ -99,20 +99,24 @@ object DomainFilter {
     * cap keeps everything; an over-cap domain keeps ids with
     * `spread * n_domain < capN * 2^32` — expected survivors ≈ capN.
     */
-  private def keepRule(spread: Column): Column =
-    col("n_domain") <= col("capN") ||
-      spread.cast("decimal(38,0)") * col("n_domain") <
-        col("capN").cast("decimal(38,0)") * lit(4294967296L)
+  private def keepRule(spread: Column, nDomain: Column, capN: Column): Column =
+    nDomain <= capN ||
+      spread.cast("decimal(38,0)") * nDomain <
+        capN.cast("decimal(38,0)") * lit(4294967296L)
 
   /** The capped corpus: every row of `docs` whose domain is within cap,
-    * plus the hash-selected survivors of over-cap domains.
+    * plus the hash-selected survivors of over-cap domains. Join-side
+    * columns are referenced and dropped through the counts frame's own
+    * refs — a by-name drop("domain") would also delete a caller's column
+    * when `domainCol == "domain"` (or a corpus column named
+    * n_domain/capN), silently breaking the same-schema-as-docs contract.
     */
   def capDomainMass(docs: DataFrame, domainCol: String, idCol: String,
                     capPpm: Long): DataFrame = {
     val counts = domainCounts(docs, domainCol, capPpm)
     docs.join(broadcast(counts), docs(domainCol) === counts("domain"))
-      .filter(keepRule(idSpread(col(idCol))))
-      .drop("domain", "n_domain", "capN")
+      .filter(keepRule(idSpread(docs(idCol)), counts("n_domain"), counts("capN")))
+      .drop(counts("domain")).drop(counts("n_domain")).drop(counts("capN"))
   }
 
   /** Per-domain cap audit:
@@ -124,8 +128,9 @@ object DomainFilter {
     val counts = domainCounts(docs, domainCol, capPpm)
     val flagged = docs.join(broadcast(counts), docs(domainCol) === counts("domain"))
       .withColumn("keep",
-        when(keepRule(idSpread(col(idCol))), lit(1L)).otherwise(lit(0L)))
-    val perDomain = flagged.groupBy(col("domain"))
+        when(keepRule(idSpread(docs(idCol)), counts("n_domain"), counts("capN")),
+          lit(1L)).otherwise(lit(0L)))
+    val perDomain = flagged.groupBy(counts("domain"))
       .agg(count(lit(1)).as("n_docs"), sum(col("keep")).as("n_kept"))
     val totals = perDomain
       .agg(sum(col("n_docs")).as("t_before"), sum(col("n_kept")).as("t_after"))
