@@ -2791,7 +2791,32 @@ object SparkEntry {
       // dedup.SpanDedup.removeSpans/removalAudit.
       graft.dedup.SpanDedup.removalAudit(
         Parallelize.ensure(Tables.documents(s, dir)),
-        "doc_id", "text", "lang", n = 50))
+        "doc_id", "text", "lang", n = 50)),
+    "q179_editdist_blocking_stats" -> ((s, dir) =>
+      // the q136 blocking FUNNEL as a first-class oracle-gated row — the
+      // no-silent-caps adjudication the round-11 verdict ordered: how many
+      // variant rows the deletion neighborhoods emit, how many candidate
+      // slots the variant join produces, how many survive the threshold
+      // verify, how many distinct pairs remain. The oracle replays the
+      // funnel with variant STRINGS where the engine joins 8-byte
+      // xxhash64 keys, so a passing gate is simultaneously the
+      // hash-collision audit for the re-keyed join (a collision would
+      // inflate n_candidates on the engine side only).
+      graft.dedup.EditDistanceJoin
+        .blockingStats(Tables.customer(s, dir), "c_custkey", "c_name")),
+    "q180_prefix_blocking_stats" -> ((s, dir) =>
+      // q133's funnel, order-blind columns only: n_candidate_slots /
+      // n_candidate_pairs depend on WHICH tokens land in each df-sorted
+      // prefix, and the engine tie-breaks equal-df tokens by 64-bit hash
+      // where a string-based oracle tie-breaks by gram text — same
+      // worst-case bound, different draws. The gated columns (doc count,
+      // total prefix mass, verified pairs) are order-independent theorems;
+      // the candidate counts are logged per-scale in THREESCALE.md and
+      // invariant-asserted in PrefixFilterJoinSpec.
+      graft.dedup.PrefixFilterJoin
+        .blockingStats(Tables.documents(s, dir), num = 4, den = 5,
+          shingleWords = 5)
+        .select(col("n_docs"), col("n_prefix_rows"), col("n_result_pairs")))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -6051,7 +6076,62 @@ object SparkEntry {
                 CAST(SUM(nb) AS BIGINT) AS tokens_before,
                 CAST(SUM(removed) AS BIGINT) AS tokens_removed,
                 CAST(SUM(k) AS BIGINT) AS text_checksum
-         FROM ck GROUP BY 1 ORDER BY 1"""
+         FROM ck GROUP BY 1 ORDER BY 1""",
+    "q179_editdist_blocking_stats" ->
+      // the funnel replayed with variant STRINGS (engine: xxhash64 keys) —
+      // pos -1 marks the full string, i marks delete-character-i
+      // (substr(s,1,i-1)||substr(s,i+1)); the candidate join carries the
+      // engine's position-consistency residual (same pos, or either side
+      // the full string)
+      """WITH base AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+              vars AS (
+                  SELECT id, s, -1 AS pos, s AS v FROM base
+                  UNION ALL
+                  SELECT id, s, CAST(i AS INT) AS pos,
+                         substr(s, 1, i - 1) || substr(s, i + 1) AS v
+                  FROM (SELECT id, s,
+                          unnest(generate_series(1, length(s))) AS i
+                        FROM base)),
+              cand AS (SELECT a.id AS id1, b.id AS id2,
+                              a.s AS s1, b.s AS s2
+                       FROM vars a JOIN vars b
+                       ON a.v = b.v AND a.id < b.id
+                          AND (a.pos = b.pos
+                               OR a.pos = -1 OR b.pos = -1)),
+              ver AS (SELECT id1, id2 FROM cand
+                      WHERE levenshtein(s1, s2) <= 1)
+         SELECT (SELECT COUNT(*) FROM base) AS n_strings,
+                (SELECT COUNT(*) FROM vars) AS n_variant_rows,
+                (SELECT COUNT(*) FROM cand) AS n_candidates,
+                (SELECT COUNT(*) FROM ver) AS n_verified,
+                (SELECT COUNT(*)
+                 FROM (SELECT DISTINCT id1, id2 FROM ver) d) AS n_pairs""",
+    "q180_prefix_blocking_stats" ->
+      // order-blind funnel columns: same shingle builder as q133's oracle;
+      // prefix mass is SUM(l - ceil(4l/5) + 1) over per-doc distinct-gram
+      // counts (identical to the engine's hash-set sizes absent
+      // collisions); the result count reuses the brute-force join
+      """WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), ' +') AS tk
+                       FROM documents),
+              sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) >= 5
+                            THEN list_distinct(
+                              [array_to_string(tk[i:i+4], ' ')
+                               for i in range(1, len(tk) - 3)])
+                            ELSE [array_to_string(tk, ' ')] END AS grams
+                     FROM toks),
+              lens AS (SELECT CAST(len(grams) AS BIGINT) AS l FROM sh),
+              res AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+                      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                      WHERE len(list_intersect(a.grams, b.grams)) * 5
+                            >= len(list_distinct(
+                                 list_concat(a.grams, b.grams))) * 4)
+         SELECT (SELECT COUNT(*) FROM sh) AS n_docs,
+                (SELECT CAST(SUM(l - CAST(ceil(CAST(l * 4 AS DOUBLE) / 5)
+                                          AS BIGINT) + 1) AS BIGINT)
+                 FROM lens) AS n_prefix_rows,
+                (SELECT COUNT(*) FROM res) AS n_result_pairs"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

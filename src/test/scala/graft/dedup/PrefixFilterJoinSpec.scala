@@ -77,4 +77,38 @@ class PrefixFilterJoinSpec extends SparkSpec {
     assert(engine(docs, 4, 5) == Set((1L, 2L, 3L, 3L), (1L, 3L, 3L, 3L),
       (2L, 3L, 3L, 3L)))
   }
+
+  test("blockingStats: funnel invariants + order-blind columns exact") {
+    val base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val docs = Seq(
+      1L -> base, 2L -> base, 3L -> (base + " again and again today"),
+      4L -> base.replace("quick", "slow"),
+      5L -> "completely different text about distributed query engines and planners",
+      6L -> "completely different text about distributed query planners and engines",
+      7L -> "unrelated short doc", 8L -> ((base + " ") * 3).trim,
+      9L -> base.split(" ").take(8).mkString(" "),
+      10L -> "another singleton document with its own words entirely distinct")
+    val r = PrefixFilterJoin.blockingStats(docs.toDF("doc_id", "text"),
+      num = 4, den = 5, shingleWords = 5).head()
+    val (nDocs, nPrefix, slots, candPairs, res) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    // order-blind columns are theorems: doc count, prefix mass
+    // sum(l - ceil(4l/5) + 1) over distinct-shingle counts, result size
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split(" +").toSeq
+      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSet
+      else Set(ws.mkString(" "))
+    }
+    val expectedPrefix = docs.map { case (_, t) =>
+      val l = shingles(t).size.toLong
+      l - math.ceil(l * 4.0 / 5.0).toLong + 1
+    }.sum
+    assert(nDocs == docs.size.toLong)
+    assert(nPrefix == expectedPrefix)
+    assert(res == engine(docs, 4, 5).size.toLong)
+    // funnel can only narrow: raw slots >= distinct candidates >= verified
+    assert(slots >= candPairs && candPairs >= res)
+    // and the candidate stage is doing real pruning vs all-pairs (45)
+    assert(candPairs < docs.size.toLong * (docs.size - 1) / 2)
+  }
 }

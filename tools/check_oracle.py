@@ -44,6 +44,11 @@ COMPANIONS = {
     # and the other stages (mix/decon/pack/card) are individually sf1-gated
     # by q152/q80/q70/q117
     "q153_corpus_build": "q154_planted_corpus_build",
+    # blocking-funnel audits over the same quadratic constructions: q180's
+    # oracle reuses q133's brute-force all-pairs join, q179's string-variant
+    # candidate join is quadratic-ish in the per-variant bucket sizes
+    "q179_editdist_blocking_stats": "q146_planted_editdist",
+    "q180_prefix_blocking_stats": "q145_planted_prefix_join",
 }
 
 
