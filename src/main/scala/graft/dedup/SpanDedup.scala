@@ -3,11 +3,12 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Long-span substring deduplication — the Lee et al. "Deduplicating
   * Training Data Makes Language Models Better" (arXiv 2107.06499) repeated-
@@ -222,9 +223,9 @@ object SpanDedup {
 }
 
 /** `span_gram_hashes(tokens, n) → array<bigint>`, position-ordered,
-  * non-distinct — [[MinHashKernels.shingleHashes]] minus the dedup and the
-  * sub-`n` whole-doc fallback (a doc shorter than one window has no
-  * window, rather than an artificial one).
+  * non-distinct — [[MinHashKernels.shingleHashes]]'s window walk minus the
+  * dedup and the sub-`n` whole-doc fallback (a doc shorter than one window
+  * has no window, rather than an artificial one).
   */
 case class GramHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -237,15 +238,51 @@ case class GramHashSeqExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Static kernel for [[GramHashSeqExpr]] (codegen calls it directly). */
+/** Static kernel for [[GramHashSeqExpr]] (codegen calls it directly).
+  *
+  * Karp-Rabin rolling polynomial over per-token xxhash64 values (round-12;
+  * the round-11 form re-joined the window's tokens per position, touching
+  * every token ~n times — O(n·len) hashing per doc, the dominant map-stage
+  * constant in q175/q178 at n=50). Now each token is xxhash64'd ONCE and
+  * window i's key is Σ h(tok_{i+j})·B^(n-1-j) mod 2^64, rolled in O(1) per
+  * step: equal token windows give equal keys by construction, and distinct
+  * windows collide with ~2^-64 probability over xxhash64'd terms — and the
+  * DuckDB oracle carries full gram STRINGS at every gate scale, so any
+  * collision that ever mattered would fail the q175/q178/q99 hash gates
+  * (the same audit that licensed hashing in the first place). NULL tokens
+  * hash as 0 at their position instead of being skipped concat_ws-style —
+  * unreachable from the library's `split`-produced arrays, which never
+  * contain NULLs.
+  */
 object SpanKernels {
+  /** Odd 64-bit base (golden-ratio constant): multiplication by an odd
+    * number is a bijection mod 2^64, so the leading term never degenerates.
+    */
+  private val B = 0x9E3779B97F4A7C15L
+
   def gramHashSeq(toks: ArrayData, n: Int): ArrayData = {
     val cnt = toks.numElements()
     if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
-    val out = new Array[Long](cnt - n + 1)
+    val th = new Array[Long](cnt) // per-token hash, computed once per token
     var i = 0
+    while (i < cnt) {
+      th(i) =
+        if (toks.isNullAt(i)) 0L
+        else XxHash64Function.hash(toks.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    var bn = 1L // B^(n-1), the weight the outgoing token leaves with
+    i = 1
+    while (i < n) { bn *= B; i += 1 }
+    val out = new Array[Long](cnt - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    i = 1
     while (i + n <= cnt) {
-      out(i) = MinHashKernels.hash(MinHashKernels.joined(toks, i, i + n))
+      h = (h - th(i - 1) * bn) * B + th(i + n - 1)
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)

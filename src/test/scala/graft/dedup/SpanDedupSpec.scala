@@ -16,16 +16,21 @@ class SpanDedupSpec extends SparkSpec {
   private def toks(prefix: String, from: Int, until: Int): String =
     (from until until).map(i => s"$prefix$i").mkString(" ")
 
-  test("kernel: position-ordered, non-distinct, equal to shingleHashes modulo dedup") {
+  test("kernel: position-ordered, non-distinct, rolling == direct recompute") {
     val df = Seq("a b a b a").toDF("text")
       .select(split(col("text"), " ").as("tk"))
     val seq2 = df.select(SpanDedup.gramHashSeq(col("tk"), 2)).head().getSeq[Long](0)
     assert(seq2.length == 4)            // positions 1..4, duplicates kept
     assert(seq2(0) == seq2(2))          // "a b" at pos 1 and 3
     assert(seq2(1) == seq2(3))          // "b a" at pos 2 and 4
-    val distinctHashes = df.select(MinHashExprs.shingleHashes(col("tk"), 2))
-      .head().getSeq[Long](0)
-    assert(seq2.distinct == distinctHashes) // same hash fn, same order
+    assert(seq2(0) != seq2(1))          // "a b" vs "b a": order matters
+    // the O(1)-per-step roll must equal a from-scratch polynomial per
+    // window: compare against windows computed as their own 1-doc arrays
+    // (a length-n doc has exactly one window — no roll step involved)
+    val win = Seq("a b", "b a").toDF("text")
+      .select(SpanDedup.gramHashSeq(split(col("text"), " "), 2))
+      .collect().map(_.getSeq[Long](0).head)
+    assert(seq2 == Seq(win(0), win(1), win(0), win(1)))
   }
 
   test("kernel: a doc shorter than one window yields NO windows (no whole-doc fallback)") {
