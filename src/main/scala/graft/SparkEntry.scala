@@ -2816,7 +2816,17 @@ object SparkEntry {
       graft.dedup.PrefixFilterJoin
         .blockingStats(Tables.documents(s, dir), num = 4, den = 5,
           shingleWords = 5)
-        .select(col("n_docs"), col("n_prefix_rows"), col("n_result_pairs")))
+        .select(col("n_docs"), col("n_prefix_rows"), col("n_result_pairs"))),
+    "q181_bpe_merges64" -> ((s, dir) =>
+      // tokenizer training past the toy: 64 merge rules through the
+      // round-12 BATCHED selector (top-batchLimit collect, driver accepts
+      // a provably sequential-identical disjoint prefix — BpeTrainer
+      // scaladoc carries the dominance proof). The oracle is the SAME
+      // one-merge-per-round SQL unroll at n=64, so a passing gate is a
+      // bit-level proof that batching changed nothing but the round-trip
+      // count.
+      graft.operators.BpeTrainer.learnMerges(
+        Parallelize.ensure(Tables.documents(s, dir)), nMerges = 64))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -6131,7 +6141,8 @@ object SparkEntry {
                 (SELECT CAST(SUM(l - CAST(ceil(CAST(l * 4 AS DOUBLE) / 5)
                                           AS BIGINT) + 1) AS BIGINT)
                  FROM lens) AS n_prefix_rows,
-                (SELECT COUNT(*) FROM res) AS n_result_pairs"""
+                (SELECT COUNT(*) FROM res) AS n_result_pairs""",
+    "q181_bpe_merges64" -> bpeOracleSql(64)
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg
@@ -6157,11 +6168,15 @@ object SparkEntry {
     * q132 unrolling pattern) — same wrapped-symbol encoding, same
     * frequency-weighted pair count, same (count desc, binary string)
     * tie-break, same literal-replace merge as `operators.BpeTrainer`.
+    * Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference
+    * and each round references its predecessor twice, so an uninlined
+    * 64-round chain re-executes the scan exponentially ("too many open
+    * files" long before any answer).
     */
   private def bpeOracleSql(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (SELECT regexp_replace(token, '(.)', '<\1>', 'g') AS enc,
+      """WITH w0 AS MATERIALIZED (SELECT regexp_replace(token, '(.)', '<\1>', 'g') AS enc,
                             COUNT(*) AS freq
                      FROM (SELECT unnest(string_split_regex(trim(text), ' +'))
                              AS token
@@ -6171,15 +6186,15 @@ object SparkEntry {
                      GROUP BY 1)""")
     for (r <- 1 to n) {
       sb.append(s""",
-         p$r AS (SELECT s[i] AS lft, s[i + 1] AS rgt, SUM(freq) AS cnt
+         p$r AS MATERIALIZED (SELECT s[i] AS lft, s[i + 1] AS rgt, SUM(freq) AS cnt
                  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
                        FROM (SELECT freq,
                                string_split(trim(enc, '<>'), '><') AS s
                              FROM w${r - 1}))
                  GROUP BY 1, 2),
-         m$r AS (SELECT lft, rgt, cnt FROM p$r
+         m$r AS MATERIALIZED (SELECT lft, rgt, cnt FROM p$r
                  ORDER BY cnt DESC, lft, rgt LIMIT 1),
-         w$r AS (SELECT replace(enc, '<' || m.lft || '><' || m.rgt || '>',
+         w$r AS MATERIALIZED (SELECT replace(enc, '<' || m.lft || '><' || m.rgt || '>',
                                 '<' || m.lft || m.rgt || '>') AS enc, freq
                  FROM w${r - 1}, m$r m)""")
     }

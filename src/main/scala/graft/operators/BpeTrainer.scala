@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — the standard trick that makes BPE training distributable:
   * all rounds operate on the (distinct word, corpus frequency) table, not
-  * the corpus. ONE corpus pass builds it; afterwards every round is a
-  * vocab-sized explode + partial-aggregated pair count, a 1-row argmax
-  * collect, and a narrow per-word merge — lineage truncated and released
-  * per round ([[graft.IterState]] discipline, no persisted state after
-  * return).
+  * the corpus. ONE corpus pass builds it; afterwards every cluster round
+  * is a vocab-sized explode + partial-aggregated pair count, a BOUNDED
+  * top-`batchLimit` collect from which the driver accepts a provably
+  * sequential-identical prefix of disjoint merges (see [[learnMerges]] —
+  * many merges per round-trip instead of one), and one narrow chained
+  * per-word replace — lineage truncated and released per round
+  * ([[graft.IterState]] discipline, no persisted state after return).
   *
   * Cross-engine exactness: words are encoded as delimiter-wrapped symbol
   * strings (`cat` → `<c><a><t>`) so a merge is a LITERAL string
@@ -46,10 +48,41 @@ object BpeTrainer {
 
   /** The ordered merge table: (round, left, right, pair_count), one row
     * per learned merge; stops early if no pair remains.
+    *
+    * BATCHED selection (round 12 — the step from toy to trainable): each
+    * cluster round collects the top `batchLimit` ranked pairs (count desc,
+    * then lexicographic — the sequential tie-break) and accepts, on the
+    * driver, a prefix of them that is PROVABLY what sequential greedy
+    * would have picked one at a time, so the result is bit-identical to
+    * the one-merge-per-round algorithm (and to the unrolled SQL oracle)
+    * while driver round-trips drop from one per merge to one per batch:
+    *
+    *  - walk the ranked list accepting pairs whose symbols are disjoint
+    *    from every previously accepted pair; STOP at the first
+    *    interacting pair (count = cBound). Everything ranked above the
+    *    stop is accepted, so every non-accepted pair has count <= cBound;
+    *  - applying an accepted merge (a,b) cannot change another accepted
+    *    pair's count (disjoint symbols neither create nor consume its
+    *    adjacencies) and every NEW pair it creates, (x,ab) or (ab,y),
+    *    inherits count <= the existing interacting pair (x,a)/(b,y) —
+    *    which, sharing a symbol with (a,b), was not accepted, so <=
+    *    cBound. Existing non-accepted pairs only ever lose adjacencies;
+    *  - therefore accepted pairs whose count is STRICTLY above cBound
+    *    dominate every pair sequential could ever see between them:
+    *    sequential picks exactly this prefix, in ranked order. The rank-1
+    *    pair is sequential's pick by definition and is always kept; later
+    *    accepted pairs are truncated at the first count == cBound (a tie
+    *    with an unseen/interacting pair could be stolen by binary order).
+    *    If the fetch returned fewer than `batchLimit` rows with no
+    *    interaction, the pair table is complete and all-disjoint — then
+    *    no new pair can arise at all (any adjacency to a merged symbol
+    *    would be an existing pair sharing a symbol — a contradiction) and
+    *    the whole list is safe.
     */
   def learnMerges(documents: DataFrame, textCol: String = "text",
-                  nMerges: Int = 8): DataFrame = {
+                  nMerges: Int = 8, batchLimit: Int = 64): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
+    require(batchLimit >= 1, "batchLimit must be >= 1")
     val spark = documents.sparkSession
     var (words, release) = graft.IterState.checkpoint(
       wordTable(documents, textCol))
@@ -68,19 +101,35 @@ object BpeTrainer {
         .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("lft"), col("rgt"))
-        .limit(1).collect()
+        .limit(batchLimit)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        val (l, rt, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((r, l, rt, cnt))
+        val complete = top.length < batchLimit
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cBound = -1L
+        var stopped = false
+        top.foreach { case p @ (l, rt, c) =>
+          if (!stopped) {
+            if (used.contains(l) || used.contains(rt)) {
+              stopped = true; cBound = c
+            } else { accepted += p; used += l; used += rt }
+          }
+        }
+        if (!stopped && !complete) cBound = top.last._3 // unseen pairs <= this
+        val safe = (accepted.head +: accepted.tail.takeWhile(_._3 > cBound))
+          .take(nMerges - r + 1)
+        safe.foreach { case (l, rt, c) => merges += ((r, l, rt, c)); r += 1 }
+        val newEnc = safe.foldLeft(col("enc")) { case (e, (l, rt, _)) =>
+          replace(e, lit(s"<$l><$rt>"), lit(s"<$l$rt>"))
+        }
         val (next, releaseNext) = graft.IterState.checkpoint(
-          words.select(
-            replace(col("enc"), lit(s"<$l><$rt>"), lit(s"<$l$rt>")).as("enc"),
-            col("freq")))
+          words.select(newEnc.as("enc"), col("freq")))
         release()
         words = next
         release = releaseNext
-        r += 1
       }
     }
     release()

@@ -53,4 +53,25 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got(1L) === ((3L, 5L))) // 2x low + 1x lower = 1+1+3
     assert(got(2L) === ((1L, 3L)))
   }
+
+  test("batched selection is bit-identical to one-merge-per-round") {
+    // a messy corpus with interacting top pairs, exact count ties and
+    // single-symbol words — everything the batching dominance proof has
+    // to survive. batchLimit=1 IS the sequential algorithm (the batch
+    // degenerates to the argmax), so equality at 32 merges is a direct
+    // sequential-vs-batched bit check including round numbering.
+    val texts = Seq(
+      "the cat sat on the mat the cat ran to the hat",
+      "a banana and an apple in a cabana", "zz zz zzz z",
+      "low lower lowest slow slower glow", "the theme there then these",
+      "xyxyxy xyxy xy x y", "mississippi missive dismiss",
+      "aa ab ba bb aab abb baa bba")
+    val df = texts.toDF("text")
+    def run(limit: Int) = BpeTrainer.learnMerges(df, nMerges = 32, batchLimit = limit)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = run(1)
+    assert(sequential.size === 32, "corpus must sustain 32 merges")
+    assert(run(64) === sequential)
+    assert(run(5) === sequential) // mid-size batches hit the truncation path
+  }
 }
