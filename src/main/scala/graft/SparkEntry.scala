@@ -2826,7 +2826,20 @@ object SparkEntry {
       // bit-level proof that batching changed nothing but the round-trip
       // count.
       graft.operators.BpeTrainer.learnMerges(
-        Parallelize.ensure(Tables.documents(s, dir)), nMerges = 64))
+        Parallelize.ensure(Tables.documents(s, dir)), nMerges = 64)),
+    "q182_planted_dedup_groups" -> ((s, dir) =>
+      // q21's operator (exact duplicate-group listing) over corpus +
+      // planted: the 8 planted exact-dup pairs (Planted.docRows, e in
+      // 40..47) make the duplicate-groups path non-vacuous at EVERY
+      // scale — q21 itself is 0-rows-on-both-engines at the sf0.01 gate
+      // (the organic corpus has no exact-duplicate texts there), which
+      // exercises the md5-keyed groupBy only vacuously. Planted
+      // vocabulary is corpus-disjoint, so the planted canonical slice is
+      // closed-form: one group per pair, n_copies = 2.
+      graft.dedup.ExactDedup.duplicateGroups(
+          Parallelize.ensure(Tables.documents(s, dir))
+            .unionByName(Planted.docs(s)))
+        .filter(col("canonical_id") >= Planted.base))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -6142,7 +6155,22 @@ object SparkEntry {
                                           AS BIGINT) + 1) AS BIGINT)
                  FROM lens) AS n_prefix_rows,
                 (SELECT COUNT(*) FROM res) AS n_result_pairs""",
-    "q181_bpe_merges64" -> bpeOracleSql(64)
+    "q181_bpe_merges64" -> bpeOracleSql(64),
+    "q182_planted_dedup_groups" ->
+      // the 8 exact-dup pair texts rebuilt literally from the Planted
+      // construction (12 'pg<e>x<j>' tokens), md5-hashed — closed form,
+      // no table scan
+      """WITH e AS (SELECT 40 + i AS g FROM range(8) t(i)),
+              txt AS (SELECT g,
+                        array_to_string(
+                          ['pg' || CAST(g AS VARCHAR) || 'x' ||
+                           CAST(j AS VARCHAR) for j in range(12)],
+                          ' ') AS text
+                      FROM e)
+         SELECT md5(text) AS content_hash,
+                CAST(900000000 + g * 10 AS BIGINT) AS canonical_id,
+                CAST(2 AS BIGINT) AS n_copies
+         FROM txt ORDER BY canonical_id"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg
