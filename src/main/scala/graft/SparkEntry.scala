@@ -2839,7 +2839,36 @@ object SparkEntry {
       graft.dedup.ExactDedup.duplicateGroups(
           Parallelize.ensure(Tables.documents(s, dir))
             .unionByName(Planted.docs(s)))
-        .filter(col("canonical_id") >= Planted.base))
+        .filter(col("canonical_id") >= Planted.base)),
+    "q183_ann_index_persist" -> ((s, dir) => {
+      // the production retrieval shape: a PERSISTED ANN index (PQ codes +
+      // codebook + IVF coarse lists as parquet, staged once per sf dir)
+      // is LOADED from disk — training never runs in the query path after
+      // the first staging — and queried through the composed
+      // IVF-probe -> ADC-shortlist -> exact-refine pipeline. Recall
+      // floor: refined top-10 recovers >= 6/10 of the exact cosine
+      // top-10 per query (floor-gate TRUE at sf0.01 and sf0.1; measured
+      // per-query hits 9-10/10 at sf0.001 in AnnIndexSpec; nProbe=8 of
+      // 16 lists, shortlist=150). See similarity.AnnIndex.
+      val emb = Tables.embeddings(s, dir)
+      val idx = graft.similarity.AnnIndex.load(s, stagedAnnIndex(s, dir))
+      val queries = graft.similarity.ProductQuantization
+        .normalized(emb.filter(col("vec_id") < 5), "embedding", "nvec")
+        .orderBy(col("vec_id")).select(col("vec_id"), col("nvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val approx = graft.similarity.AnnIndex
+        .searchRefined(idx, emb, queries, k = 10, nProbe = 8, shortlist = 150)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) * 10 >= col("n_exact") * 6).as("meets_floor"))
+        .orderBy(col("query_id"))
+    })
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -2861,6 +2890,23 @@ object SparkEntry {
     * dedup pipeline. Deterministic content (min-id canonical per md5), so
     * staged once per dir with the usual `_SUCCESS` guard.
     */
+  /** q183's fixture: the persistable ANN index (PQ codes + codebook + IVF
+    * coarse lists) built and written ONCE per sf dir — every later
+    * invocation loads the parquet artifacts without touching the training
+    * path, which is exactly the build-once/query-forever contract the
+    * query gates.
+    */
+  private def stagedAnnIndex(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ann_index_$key")
+    if (!java.nio.file.Files.exists(out.resolve("codes").resolve("_SUCCESS"))) {
+      graft.similarity.AnnIndex.write(Tables.embeddings(s, dir), out.toString,
+        m = 8, k = 64, nLists = 16, maxIter = 3)
+    }
+    out.toString
+  }
+
   private def stagedExactDedupedDocs(s: SparkSession, dir: String): String = {
     val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
@@ -6170,7 +6216,12 @@ object SparkEntry {
          SELECT md5(text) AS content_hash,
                 CAST(900000000 + g * 10 AS BIGINT) AS canonical_id,
                 CAST(2 AS BIGINT) AS n_copies
-         FROM txt ORDER BY canonical_id"""
+         FROM txt ORDER BY canonical_id""",
+    "q183_ann_index_persist" ->
+      // recall-floor oracle, q27/q95's shape: every query's loaded-index
+      // top-10 must recover >= 6/10 of the exact cosine top-10
+      """SELECT vec_id AS query_id, TRUE AS meets_floor
+         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id"""
   )
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg

@@ -1,0 +1,161 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable ANN index — the production retrieval shape: BUILD ONCE
+  * (train + encode + write), QUERY FOREVER (any later session loads the
+  * compact artifacts and searches without touching the training path).
+  * Everything in the index directory is plain parquet, so the artifacts
+  * are inspectable, partition-prunable and portable across sessions and
+  * clusters:
+  *
+  *   <dir>/codes     — (vec_id, codes array<int>, list_id int): the PQ
+  *                     byte-codes (m per vector, each < k <= 256) plus the
+  *                     vector's IVF coarse-list assignment. The ONLY
+  *                     corpus-sized artifact — ~m bytes + one int per
+  *                     vector, the few-TB shadow of a 100 TB float corpus.
+  *   <dir>/codebook  — (subspace, code, centroid array<double>, sub_dim):
+  *                     m·k rows, KBs — the PQ codebooks.
+  *   <dir>/coarse    — (list_id, centroid array<double>): nLists rows —
+  *                     the IVF coarse quantizer.
+  *
+  * Search composes the classic IVF+ADC+refine pipeline (Jégou et al.
+  * TPAMI 2011, §V) over the LOADED artifacts: the driver picks each
+  * query's `nProbe` nearest coarse lists (nLists-sized arithmetic), the
+  * code scan prunes to those lists (partition-prunable predicate at
+  * scale) and scores survivors by ADC lookup, and only the per-query
+  * `shortlist` best code-scored rows fetch their original floats for the
+  * exact cosine re-rank — so float reads touch shortlist/corpus of the
+  * data and the final ranking on the shortlist is exact.
+  *
+  * Determinism: training uses the same first-k-by-id init as q46/q95 and
+  * the seeded [[ArrayKMeans]] fit, so a rebuilt index is bit-identical —
+  * a correctness gate can stage the index to disk once and replay
+  * against it forever (q183's fixture pattern).
+  */
+object AnnIndex {
+
+  final case class Loaded(codes: DataFrame,
+                          cb: ProductQuantization.Codebook,
+                          coarse: Array[Array[Double]])
+
+  /** Train PQ codebooks + IVF coarse centroids over the corpus, encode
+    * every vector, and write the three artifact tables under `dir`.
+    */
+  def write(embeddings: DataFrame, dir: String, m: Int = 8, k: Int = 64,
+            nLists: Int = 16, maxIter: Int = 3, idCol: String = "vec_id",
+            vecCol: String = "embedding"): Unit = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cb = ProductQuantization.train(embeddings, vecCol, m, k, maxIter, idCol)
+    val coarse = ArrayKMeans.fitFrom(
+      ProductQuantization.normalized(embeddings, vecCol, "ann_nvec")
+        .select(col("ann_nvec").as("v")),
+      "v",
+      ProductQuantization.normalized(embeddings, vecCol, "ann_nvec")
+        .orderBy(col(idCol)).limit(nLists)
+        .select(col("ann_nvec")).collect().map(_.getSeq[Double](0).toArray),
+      k = nLists, maxIter = maxIter, seed = 1L)
+    ProductQuantization.encode(embeddings, vecCol, cb, idCol)
+      .join(ProductQuantization.normalized(embeddings, vecCol, "ann_nvec")
+        .select(col(idCol), Knn.assignList(col("ann_nvec"), coarse).as("list_id")),
+        Seq(idCol))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val cbRows = for { j <- 0 until cb.m; c <- 0 until cb.k }
+      yield (j, c, cb.centroids(j)(c).toSeq)
+    cbRows.toDF("subspace", "code", "centroid")
+      .withColumn("sub_dim", lit(cb.subDim))
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    coarse.zipWithIndex.map { case (cent, i) => (i, cent.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+  }
+
+  /** Reload the artifacts. The codebook/coarse collects are m·k and
+    * nLists rows — KB-sized driver state, the sanctioned sketch collect.
+    */
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val codes = spark.read.parquet(s"$dir/codes")
+    val cbRows = spark.read.parquet(s"$dir/codebook").collect()
+    require(cbRows.nonEmpty, s"empty codebook under $dir")
+    val subDim = cbRows.head.getAs[Int]("sub_dim")
+    val m = cbRows.map(_.getAs[Int]("subspace")).max + 1
+    val k = cbRows.map(_.getAs[Int]("code")).max + 1
+    val cents = Array.ofDim[Array[Double]](m, k)
+    cbRows.foreach { r =>
+      cents(r.getAs[Int]("subspace"))(r.getAs[Int]("code")) =
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray
+    }
+    val coarseRows = spark.read.parquet(s"$dir/coarse").collect()
+    val coarse = Array.ofDim[Array[Double]](coarseRows.length)
+    coarseRows.foreach { r =>
+      coarse(r.getAs[Int]("list_id")) =
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray
+    }
+    Loaded(codes, ProductQuantization.Codebook(subDim, cents), coarse)
+  }
+
+  /** The `nProbe` coarse lists nearest to a normalized query — driver
+    * arithmetic over the nLists-row quantizer.
+    */
+  private def probeLists(q: Array[Double], coarse: Array[Array[Double]],
+                         nProbe: Int): Seq[Int] =
+    coarse.zipWithIndex.map { case (c, i) =>
+      var d2 = 0d; var j = 0
+      while (j < c.length) { val t = q(j) - c(j); d2 += t * t; j += 1 }
+      (d2, i)
+    }.sortBy(p => (p._1, p._2)).take(nProbe).map(_._2).toSeq
+
+  /** IVF-pruned ADC shortlist + exact cosine re-rank over a loaded index:
+    * (query_id, neighbor_id, cosine, rank), rank 1 = best — the
+    * [[Knn.bruteForce]] contract restricted to the probed shortlist.
+    * `embeddings` supplies the original floats for the refine fetch only.
+    */
+  def searchRefined(index: Loaded, embeddings: DataFrame,
+                    queries: Seq[(Long, Array[Double])], k: Int,
+                    nProbe: Int = 8, shortlist: Int = 50,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "no queries")
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val cb = index.cb
+    // per-query ADC score rides an array entry that is NULL outside the
+    // query's probed lists — the filter prunes it before the explode, so
+    // un-probed rows contribute nothing downstream
+    val scored = index.codes.select(col(idCol), explode(filter(array(queries.map {
+      case (qid, qvec) =>
+        val probes = probeLists(qvec, index.coarse, nProbe)
+        val flat = ProductQuantization.lookupTable(qvec, cb)
+        val adist = (0 until cb.m).map { j =>
+          element_at(typedLit(flat.slice(j * cb.k, (j + 1) * cb.k)),
+            col("codes").getItem(j) + 1)
+        }.reduce(_ + _)
+        when(col("list_id").isin(probes: _*),
+          struct(lit(qid).as("query_id"), adist.as("adist")))
+    }: _*), x => x.isNotNull)).as("q"))
+      .select(col(idCol), col("q.query_id"), col("q.adist"))
+      .filter(col(idCol) =!= col("query_id"))
+    val cands = scored
+      .groupBy(col("query_id"))
+      // negate: TopKAggregator keeps the LARGEST scores; nearest = smallest
+      .agg(TopKAggregator.topK(shortlist)(col(idCol), -col("adist")).as("top"))
+      .select(col("query_id"), explode(col("top")).as("s"))
+      .select(col("query_id"), col("s.id").as("neighbor_id"))
+    val qDf = broadcast(queries.toDF("query_id", "q_vec"))
+    val normed = ProductQuantization.normalized(embeddings, vecCol, "ann_nvec")
+      .select(col(idCol).as("neighbor_id"), col("ann_nvec"))
+    cands
+      .join(normed, Seq("neighbor_id"))
+      .join(qDf, Seq("query_id"))
+      // unit vectors on both sides: cosine = dot
+      .withColumn("cosine", Knn.dot(col("ann_nvec"), col("q_vec")))
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.similarity
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The persistable index: the disk round-trip must reproduce the trained
+  * model bit-for-bit, and the loaded IVF+ADC+refine search must hold the
+  * q95-style recall floor against brute force.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ann_spec_").toString
+
+  test("write/load round-trips the codebook, coarse lists and codes exactly") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    AnnIndex.write(emb, dir, m = 4, k = 8, nLists = 4, maxIter = 2)
+    val idx = AnnIndex.load(spark, dir)
+    // the rebuilt model equals a fresh deterministic train run
+    val cb = ProductQuantization.train(emb, "embedding", m = 4, k = 8, maxIter = 2)
+    assert(idx.cb.subDim === cb.subDim)
+    for (j <- 0 until cb.m; c <- 0 until cb.k)
+      assert(idx.cb.centroids(j)(c).toSeq === cb.centroids(j)(c).toSeq,
+        s"codebook mismatch at subspace $j code $c")
+    assert(idx.coarse.length === 4)
+    // one codes row per corpus vector, every list assignment in range
+    assert(idx.codes.count() === emb.count())
+    val lists = idx.codes.select(min($"list_id"), max($"list_id"))
+      .as[(Int, Int)].collect()(0)
+    assert(lists._1 >= 0 && lists._2 < 4)
+  }
+
+  test("loaded-index search holds the recall floor vs brute force") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    AnnIndex.write(emb, dir, m = 8, k = 64, nLists = 16, maxIter = 3)
+    val idx = AnnIndex.load(spark, dir)
+    val queries = ProductQuantization
+      .normalized(emb.filter($"vec_id" < 5), "embedding", "nvec")
+      .orderBy($"vec_id").select($"vec_id", $"nvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val approx = AnnIndex
+      .searchRefined(idx, emb, queries, k = 10, nProbe = 8, shortlist = 150)
+      .select($"query_id", $"neighbor_id")
+    val exact = Knn.bruteForce(emb, emb.filter($"vec_id" < 5), k = 10)
+      .select($"query_id", $"neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(queries.map(_._1).forall(q => hits.getOrElse(q, 0L) >= 6L),
+      s"recall floor broken: $hits")
+    info(s"per-query top-10 hits at sf0.001: $hits")
+  }
+}
