@@ -1942,9 +1942,13 @@ object SparkEntry {
       // a THEOREM (dedup.EditDistanceJoin scaladoc), so the oracle is the
       // full all-pairs brute force and the compare is exact equality
       // (q133's discipline, for edit distance instead of shingle sets).
+      // NO final orderBy (round 12): the answer is SET-valued and the gate
+      // compare sorts rows itself; the output grows 12x per decade
+      // (39.75M pairs at sf10 — measured, THREESCALE.md) and a global
+      // range-sort of the result was a third of the query's sf10 cost for
+      // nothing a consumer needs.
       graft.dedup.EditDistanceJoin
-        .similarPairs(Tables.customer(s, dir), "c_custkey", "c_name")
-        .orderBy(col("id1"), col("id2"))),
+        .similarPairs(Tables.customer(s, dir), "c_custkey", "c_name")),
     "q137_ks_drift" -> ((s, dir) => {
       // two-sample Kolmogorov-Smirnov drift gate between the value
       // distributions of the lexicographic min/max event types (q125's
