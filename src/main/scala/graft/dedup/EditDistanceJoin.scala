@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object EditDistanceJoin {
 
+  /** 1..len as an array, empty when len = 0: Spark's `sequence(1, 0)`
+    * DESCENDS ([1, 0] — the same trap BpeTrainer's pair builder guards),
+    * so an empty string must short-circuit or it grows two phantom
+    * deletion positions.
+    */
+  private def positions(len: Column): Column =
+    when(len < 1, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), len.cast("int")))
+
   /** The deletion-1 neighborhood of `s` as a distinct array: s itself plus
     * every delete-one-character variant. Length and the string are staged
     * as plain refs so the lambda body stays cheap per element.
@@ -31,7 +40,7 @@ object EditDistanceJoin {
   def deletionVariants(s: Column, len: Column): Column =
     array_distinct(concat(
       array(s),
-      transform(sequence(lit(1), len), i =>
+      transform(positions(len), i =>
         concat(s.substr(lit(1), i - 1), s.substr(i + 1, len)))))
 
   /** All unordered pairs (id1 < id2) with lev(str1, str2) <= 1, with the
@@ -80,7 +89,7 @@ object EditDistanceJoin {
       .withColumn("len", length(col("s")))
       .withColumn("pv", explode(concat(
         array(struct(lit(-1).as("pos"), xxhash64(col("s")).as("vh"))),
-        transform(sequence(lit(1), col("len")), i =>
+        transform(positions(col("len")), i =>
           struct(i.cast("int").as("pos"),
             xxhash64(concat(col("s").substr(lit(1), i - 1),
               col("s").substr(i + 1, col("len")))).as("vh"))))))

@@ -18,6 +18,19 @@ class EditDistanceJoinSpec extends SparkSpec {
     assert(got == Set("abc", "bc", "ac", "ab"))
   }
 
+  test("empty and 1-char strings: no phantom positions, exact pairs") {
+    // sequence(1, 0) DESCENDS in Spark — an unguarded empty string would
+    // grow two phantom deletion rows
+    val got = Seq("").toDF("s")
+      .select(EditDistanceJoin.deletionVariants(col("s"), length(col("s"))))
+      .head().getSeq[String](0)
+    assert(got == Seq(""))
+    // "", "", "a", "b": lev("","")=0, lev("","a")=1, lev("a","b")=1
+    assert(pairsOf(Seq("", "", "a", "b")) == Set(
+      (0L, 1L, 0), (0L, 2L, 1), (0L, 3L, 1), (1L, 2L, 1), (1L, 3L, 1),
+      (2L, 3L, 1)))
+  }
+
   private def pairsOf(strs: Seq[String]): Set[(Long, Long, Int)] =
     EditDistanceJoin.similarPairs(
         strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "name"),
