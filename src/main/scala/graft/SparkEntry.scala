@@ -1574,20 +1574,26 @@ object SparkEntry {
     }),
     "q123_triangle_count" -> ((s, dir) => {
       // triangle counting over the part co-purchase graph (parts sharing
-      // an order). The edge build is an order-keyed self-join — per-order
-      // fan-out is quadratic only in ORDER SIZE (TPC-H caps it at 7
-      // lineitems). Edges are then oriented low→high under the total
-      // order (degree, id) — the classic wedge bound: every wedge apex is
-      // the LOWEST-degree vertex of its triangle, so hub vertices never
-      // enumerate their neighbor pairs and the wedge join stays
-      // ~O(m^1.5) instead of sum-of-degree-squares. The oracle counts the
-      // same triangles under plain id orientation — orientation choice
-      // cannot change the set of triangles, only the join cost.
+      // an order). The edge build groups lineitems by order and emits the
+      // sorted-distinct part pairs MAP-SIDE (one narrow groupBy exchange;
+      // per-order fan-out is quadratic only in ORDER SIZE, capped at 7
+      // lineitems by TPC-H) — the r11 order-keyed self-join read lineitem
+      // twice and shuffled both sides to produce the same pair set. Edges
+      // are then oriented low→high under the total order (degree, id) —
+      // the classic wedge bound: every wedge apex is the LOWEST-degree
+      // vertex of its triangle, so hub vertices never enumerate their
+      // neighbor pairs and the wedge join stays ~O(m^1.5) instead of
+      // sum-of-degree-squares. The oracle counts the same triangles under
+      // plain id orientation — orientation choice cannot change the set
+      // of triangles, only the join cost.
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val pairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
-          && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      val pairs = li.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
       val perVertex = graft.operators.Triangles.perVertexCounts(pairs)
         .withColumnRenamed("v", "part")
       val total = perVertex.agg((sum(col("n_tri")) / 3).cast("long")

@@ -25,9 +25,24 @@ import org.apache.spark.sql.functions._
   * closure probe — at sf1 that is tens of millions of 3-long rows through
   * an exchange, and it dominated the suite (sf1 median ~43 s staged, up to
   * 624 s unstaged under memory pressure). Here wedges never exist as rows:
-  * the two adjacency joins shuffle edge-sized tables (the second carries
-  * the out(t) arrays of the HIGHER-ranked endpoint — the small ones, by
-  * orientation), and the intersection runs inside the join projection.
+  * ONE adjacency join shuffles an edge-sized table, and the intersection
+  * runs inside the join projection.
+  *
+  * Round-12 probe-join shape (phase-profiled at sf1: the old probe stage
+  * was 26 s of the query's 39 s):
+  *   - the probe stream is `adj` itself re-exploded — edge (s, t) rows are
+  *     exactly (s, out(s)) unnested — so the first adjacency join of the
+  *     r10 form (re-attaching out(s) to an edge table that was DERIVED
+  *     from out(s)) disappears; only the `t`-keyed join remains;
+  *   - that remaining join takes a SHUFFLE_HASH hint on the vertex-sized
+  *     adjacency side: sort-merge would range-sort the edge-sized stream
+  *     WITH its ~0.5 KB adjacency payloads (the single hottest cost in the
+  *     r10 plan); hashing the small side touches the heavy stream exactly
+  *     once, in place;
+  *   - adjacency lists are sorted ONCE at build (`sort_array` inside the
+  *     aggregate) so the per-edge intersection is a codegen'd linear merge
+  *     ([[graft.functions.SetKernels.sortedIntersect]]) instead of
+  *     `array_intersect`'s per-row hash-set build.
   */
 object Triangles {
 
@@ -36,14 +51,16 @@ object Triangles {
     * triangles exists under any acyclic orientation, so results match a
     * plain id-ordered oracle.
     *
-    * The oriented edge table feeds two consumers (the adjacency build and
-    * the probe stream) and the adjacency table two join sides keyed
-    * differently, so both are FILE-STAGED eagerly
-    * ([[graft.IterState.copyOut]]: computed once, scanned by every
+    * The normalized edge table feeds two consumers (the degree aggregate
+    * and the orientation join) and the adjacency table two (the exploded
+    * probe stream and the t-keyed build side), so both are FILE-STAGED
+    * eagerly ([[graft.IterState.copyOut]]: computed once, scanned by every
     * consumer from parquet) — no block-manager state ever exists, the
     * joins get the whole heap, and at cluster scale the stage is the
     * fault-tolerant form anyway (the r8 block-checkpointed variant swung
-    * [49, 94] s at sf1 from GC pressure alone).
+    * [49, 94] s at sf1 from GC pressure alone). Vertex ids are normalized
+    * to BIGINT on entry (the sorted-merge intersection kernel is
+    * long-typed), so `v` is BIGINT whatever the input id type.
     *
     * `materialize = false` returns the fully LAZY plan instead (no
     * staging, subtrees recomputed per consumer modulo exchange reuse) —
@@ -52,10 +69,13 @@ object Triangles {
   def perVertexCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     def stage(df: DataFrame): DataFrame =
       if (materialize) graft.IterState.copyOut(df) else df
-    val pairs = edges
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+    // normalized distinct edge set: two consumers (degree agg and the
+    // orientation join), so staged once
+    val pairs = stage(edges
+      .select(least(col("a"), col("b")).cast("bigint").as("a"),
+        greatest(col("a"), col("b")).cast("bigint").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = pairs
@@ -63,24 +83,28 @@ object Triangles {
       .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
     val aFirst = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
-    val orient = stage(withDeg.select(
+    val orient = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
-      when(aFirst, col("b")).otherwise(col("a")).as("t")))
-    // out-adjacency (distinct by construction; order irrelevant to the
-    // set intersection). Out-degree is bounded ~sqrt(m) by orientation,
-    // so no array outgrows an executor.
-    val adj = stage(orient.groupBy(col("s")).agg(collect_list(col("t")).as("nbrs")))
+      when(aFirst, col("b")).otherwise(col("a")).as("t"))
+    // out-adjacency (distinct by construction), ASCENDING-sorted once so
+    // every downstream intersection is a linear merge. Out-degree is
+    // bounded ~sqrt(m) by orientation, so no array outgrows an executor.
+    val adj = stage(orient.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs")))
     // probe each oriented edge (s, t): common out-neighbors of s and t are
     // exactly the third vertices w with s→w and t→w — one triangle each,
-    // each triangle seen only at its (lowest, middle) edge. Join the
-    // HIGHER endpoint's (small) adjacency first so the second shuffle
-    // carries the light arrays.
-    val withT = orient.join(
-      adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")), Seq("t"))
-    val closed = withT.join(
-        adj.select(col("s"), col("nbrs").as("nbrs_s")), Seq("s"))
+    // each triangle seen only at its (lowest, middle) edge. The edge
+    // stream is adj re-exploded (carrying out(s) with it), so only ONE
+    // join is needed: t-keyed against the vertex-sized adjacency table,
+    // hash-built on that small side — the edge-sized stream is never
+    // sorted and crosses the wire exactly once.
+    val probes = adj.select(col("s"), col("nbrs").as("nbrs_s"),
+      explode(col("nbrs")).as("t"))
+    val closed = probes.join(
+        adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")).hint("shuffle_hash"),
+        Seq("t"))
       .select(col("s"), col("t"),
-        array_intersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
+        graft.functions.SetExprs.sortedIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
       .filter(size(col("ws")) > 0)
     // one pass to per-vertex credits: s and t each join |ws| triangles,
     // every apex w joins one — no re-read of the join output per branch

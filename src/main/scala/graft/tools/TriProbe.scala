@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{Sessions, Tables, IterState}
+
+/** Phase-timing probe for q123_triangle_count — attributes the query's
+  * wall time to its physical stages so plan work targets the real cost.
+  * Usage: `runMain graft.tools.TriProbe <sfDir>`. Probe-only (not part of
+  * the library surface); mirrors the exact construction in
+  * [[graft.operators.Triangles.perVertexCounts]] with a count() after
+  * each staged phase.
+  */
+object TriProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = Sessions.local("graft-triprobe")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val rawPairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
+        && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val pairs = timed("edges: selfjoin+distinct") {
+      IterState.copyOut(rawPairs.filter(col("a") =!= col("b")).distinct())
+    }
+    println(s"  m = ${pairs.count()} edges")
+    val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val withDeg = pairs
+      .join(deg.select(col("v").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val orient = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("s"),
+      when(aFirst, col("b")).otherwise(col("a")).as("t"))
+    val adj = timed("deg+orient+adj (stage)") {
+      IterState.copyOut(orient.groupBy(col("s"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs")))
+    }
+    val stats = adj.select(count(lit(1)).as("n"),
+      sum(size(col("nbrs"))).as("tot"), max(size(col("nbrs"))).as("mx"))
+      .collect()(0)
+    println(s"  adj: n=${stats.getLong(0)} totOut=${stats.getLong(1)} maxOut=${stats.getInt(2)}")
+    val probes = adj.select(col("s"), col("nbrs").as("nbrs_s"),
+      explode(col("nbrs")).as("t"))
+    val closed = probes.join(
+        adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")).hint("shuffle_hash"),
+        Seq("t"))
+      .select(col("s"), col("t"),
+        graft.functions.SetExprs.sortedIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val staged = timed("probe joins + intersect") { IterState.copyOut(closed) }
+    println(s"  closed edges = ${staged.count()}")
+    val nTri = timed("credits explode + agg") {
+      val vc = struct(col("s").as("v"), size(col("ws")).cast("bigint").as("c"))
+      staged.select(explode(concat(
+          array(vc, struct(col("t").as("v"), size(col("ws")).cast("bigint").as("c"))),
+          transform(col("ws"), w => struct(w.as("v"), lit(1L).as("c"))))).as("e"))
+        .select(col("e.v").as("v"), col("e.c").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("n_tri"))
+        .agg(sum(col("n_tri"))).collect()(0).getLong(0)
+    }
+    println(s"  3*triangles = $nTri")
+    IterState.purge(spark)
+    spark.stop()
+  }
+}
