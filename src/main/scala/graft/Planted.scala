@@ -140,4 +140,38 @@ object Planted {
     import s.implicits._
     customerRows.toDF("c_custkey", "c_name")
   }
+
+  /** Planted REPETITION docs for the Gopher-battery gate (q185): the
+    * organic corpus trips the top-n rules but contains no duplicated
+    * 5..10-grams at the sf0.01 gate scale, so the dup-n half of
+    * [[graft.operators.GopherRepetition]] would gate vacuously (0 == 0).
+    * One doc per n = its n-token block repeated twice plus n unique
+    * filler tokens — the repeat covers exactly the first 2n token
+    * positions for rule n (and trips the smaller top-m rules on the way,
+    * all exactly recomputed by the oracle), the filler dilutes below 100%
+    * — plus one all-unique control doc that must score 0 on every dup
+    * rule. Vocabulary (`gp/gq/gc` prefixes) is corpus- and
+    * Planted-docRows-disjoint. Reproduced literally in the q185 oracle
+    * SQL — change BOTH or neither.
+    */
+  val gopherBase = 920000000L
+
+  def gopherDocRows: Seq[(Long, String, String, String, Long)] = {
+    val ruleDocs = (5 to 10).map { n =>
+      val block = (0 until n).map(j => s"gp${n}x$j")
+      val filler = (0 until n).map(j => s"gq${n}y$j")
+      val text = (block ++ block ++ filler).mkString(" ")
+      (gopherBase + n.toLong, text, "planted", "planted", text.length.toLong)
+    }
+    val control = {
+      val text = (0 until 30).map(j => s"gc0z$j").mkString(" ")
+      (gopherBase + 100L, text, "planted", "planted", text.length.toLong)
+    }
+    ruleDocs :+ control
+  }
+
+  def gopherDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    gopherDocRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
 }

@@ -2878,7 +2878,34 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("n_hits"), lit(0L)) * 10 >= col("n_exact") * 6).as("meets_floor"))
         .orderBy(col("query_id"))
-    })
+    }),
+    "q184_gopher_repetition" -> ((s, dir) =>
+      // the Gopher repetition-filter battery (Rae et al. 2112.11446,
+      // Table A1): per-lang counts of docs flagged by each of the nine
+      // n-gram rules (top-2/3/4-gram char fraction, duplicated-5..10-gram
+      // position-union char coverage) plus the any-rule total. ONE
+      // codegen kernel call per document computes all nine exact-integer
+      // numerators in a single pass (per-doc gram map, never corpus
+      // vocabulary), then one lang agg — no explode, no join, no shuffle
+      // before the report. Non-vacuous organically: the synthetic
+      // vocabulary is small, so real docs trip the dup-n rules at every
+      // scale. See operators.GopherRepetition.
+      graft.operators.GopherRepetition.audit(
+        Parallelize.ensure(Tables.documents(s, dir)))),
+    "q185_planted_gopher_stats" -> ((s, dir) =>
+      // planted companion for the dup-n half of the battery (organic
+      // corpus: zero duplicated 5..10-grams at the gate scale, so q184's
+      // dup columns alone gate 0 == 0). The REAL kernel runs over corpus
+      // + planted (map-only, so the planted restriction is trivially
+      // sound) and emits the EXACT per-doc numerators for the six
+      // rule-docs + control; the oracle rebuilds the same texts literally
+      // and replays the battery. See Planted.gopherDocRows.
+      graft.operators.GopherRepetition.stats(
+          Parallelize.ensure(Tables.documents(s, dir))
+            .unionByName(Planted.gopherDocs(s)))
+        .filter(col("doc_id") >= Planted.gopherBase)
+        .drop("lang")
+        .orderBy(col("doc_id")))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -6231,8 +6258,121 @@ object SparkEntry {
       // recall-floor oracle, q27/q95's shape: every query's loaded-index
       // top-10 must recover >= 6/10 of the exact cosine top-10
       """SELECT vec_id AS query_id, TRUE AS meets_floor
-         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id"""
+         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
+    "q184_gopher_repetition" ->
+      // the nine rules replayed per doc: top-n = row_number over
+      // (count desc, gram asc) under binary collation; dup-n = distinct
+      // covered token positions joined back to token lengths
+      gopherOracleSql,
+    "q185_planted_gopher_stats" ->
+      // the planted construction rebuilt literally + the same battery
+      // CTEs, emitting exact per-doc numerators
+      gopherPlantedOracleSql
   )
+
+  /** q184's oracle: the Gopher n-gram battery replayed rule by rule in
+    * SQL — per-doc gram counts, `c x len(g)` for the top-2/3/4 winner
+    * ((count desc, gram bytewise-asc) tie-break, DuckDB's binary
+    * collation = the kernel's UTF-8 byte compare), and position-union
+    * coverage for dup-5..10 (distinct covered 1-based token positions
+    * joined back to `len(a[p])`). Flags are exact-integer
+    * `num x 100 > total x pct`.
+    */
+  private def gopherOracleSql: String = {
+    val rules = graft.operators.GopherRepetition.Rules
+    val flags = rules.map { case (name, _, pct) =>
+      val src = if (name.startsWith("top")) "t" + name.drop(3) else "d" + name.drop(3)
+      s"COALESCE($src.num, 0) * 100 > b.total * $pct"
+    }
+    val perRule = rules.zip(flags).map { case ((name, _, _), f) =>
+      s"CAST(SUM(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS n_$name"
+    }
+    s"""WITH base AS (SELECT doc_id, lang,
+                        string_split_regex(trim(text), ' +') AS a,
+                        list_sum([len(x)
+                                  for x in string_split_regex(trim(text), ' +')])
+                          AS total
+                      FROM documents),
+         $gopherBatteryCtes
+         SELECT b.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                ${perRule.mkString(",\n                ")},
+                CAST(SUM(CASE WHEN ${flags.mkString(" OR ")}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         FROM base b $gopherBatteryJoins
+         GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q185's oracle: [[graft.Planted.gopherDocRows]] rebuilt literally in
+    * SQL (block-twice-plus-filler per n = 5..10, all-unique control),
+    * then the same battery CTEs emit the per-doc numerators.
+    */
+  private def gopherPlantedOracleSql: String = {
+    val numCols = graft.operators.GopherRepetition.Rules.map { case (name, _, _) =>
+      val src = if (name.startsWith("top")) "t" + name.drop(3) else "d" + name.drop(3)
+      s"CAST(COALESCE($src.num, 0) AS BIGINT) AS ${name}_chars"
+    }
+    s"""WITH planted AS (
+           SELECT CAST(920000000 + n AS BIGINT) AS doc_id,
+                  array_to_string(
+                    [concat('gp', n, 'x', j) for j in range(0, n)] ||
+                    [concat('gp', n, 'x', j) for j in range(0, n)] ||
+                    [concat('gq', n, 'y', j) for j in range(0, n)], ' ') AS text
+           FROM (SELECT unnest(range(5, 11)) AS n)
+           UNION ALL
+           SELECT CAST(920000100 AS BIGINT) AS doc_id,
+                  array_to_string(['gc0z' || j for j in range(0, 30)], ' ') AS text),
+         base AS (SELECT doc_id,
+                    string_split_regex(trim(text), ' +') AS a,
+                    list_sum([len(x)
+                              for x in string_split_regex(trim(text), ' +')])
+                      AS total
+                  FROM planted),
+         $gopherBatteryCtes
+         SELECT b.doc_id, CAST(b.total AS BIGINT) AS total_chars,
+                ${numCols.mkString(",\n                ")}
+         FROM base b $gopherBatteryJoins
+         ORDER BY b.doc_id"""
+  }
+
+  /** The nine per-doc rule CTEs shared by the q184/q185 oracles; expects
+    * a CTE `base(doc_id, a, total, ...)` in scope.
+    */
+  private def gopherBatteryCtes: String = {
+    def topCte(n: Int) =
+      s"""g$n AS (SELECT doc_id, unnest([array_to_string(a[i:i+${n - 1}], ' ')
+                                  for i in range(1, len(a) - ${n - 2})]) AS g
+                 FROM base WHERE len(a) >= $n),
+         c$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY 1, 2),
+         t$n AS (SELECT doc_id, c * len(g) AS num FROM (
+                   SELECT doc_id, g, c, ROW_NUMBER() OVER (
+                     PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+                   FROM c$n) WHERE rn = 1)"""
+    def dupCte(n: Int) =
+      s"""p$n AS (SELECT doc_id, st.i AS i, st.g AS g FROM (
+                   SELECT doc_id,
+                          unnest([{'i': i,
+                                   'g': array_to_string(a[i:i+${n - 1}], ' ')}
+                                  for i in range(1, len(a) - ${n - 2})]) AS st
+                   FROM base WHERE len(a) >= $n)),
+         r$n AS (SELECT doc_id, g FROM (
+                   SELECT doc_id, g, COUNT(*) AS c FROM p$n GROUP BY 1, 2)
+                 WHERE c >= 2),
+         v$n AS (SELECT DISTINCT doc_id, p FROM (
+                   SELECT p$n.doc_id,
+                          unnest([p$n.i + o for o in range(0, $n)]) AS p
+                   FROM p$n JOIN r$n USING (doc_id, g))),
+         d$n AS (SELECT v.doc_id, SUM(len(b.a[v.p])) AS num
+                 FROM v$n v JOIN base b USING (doc_id) GROUP BY 1)"""
+    (Seq(2, 3, 4).map(topCte) ++ (5 to 10).map(dupCte))
+      .mkString(",\n         ")
+  }
+
+  /** One row per doc from each rule CTE — pairs with [[gopherBatteryCtes]]
+    * and a `base b` FROM alias.
+    */
+  private def gopherBatteryJoins: String =
+    (Seq(2, 3, 4).map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN d$n USING (doc_id)")).mkString(" ")
 
   /** Shared oracle for the two exact-kNN forms (window and bounded-agg
     * implementations have the identical output contract).

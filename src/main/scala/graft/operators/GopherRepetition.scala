@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** The Gopher repetition-filter battery (Rae et al., "Scaling Language
+  * Models: Methods, Analysis & Insights from Training Gopher",
+  * arXiv 2112.11446, Table A1) — the standard pre-training gate against
+  * boilerplate/self-repeating documents, as used (with the same
+  * thresholds) by MassiveText, RefinedWeb and the open reimplementations.
+  *
+  * Nine rules per document, each an exact integer numerator over one
+  * denominator (total token characters):
+  *
+  *   - top-n-gram character fraction (n = 2, 3, 4): characters inside ALL
+  *     occurrences of the single most frequent word n-gram —
+  *     `count x chars(gram)`, ties broken toward the bytewise-smallest
+  *     gram so both engines pick the same winner. Flag above 20/18/16 %.
+  *   - duplicated-n-gram character fraction (n = 5..10): characters of
+  *     tokens covered by at least one occurrence of any n-gram appearing
+  *     >= 2 times — POSITION-UNION coverage (overlaps counted once), the
+  *     interval-union semantics of the original. Flag above
+  *     15/14/13/12/11/10 %.
+  *
+  * The paper's duplicate-line/paragraph rules are line-keyed; this corpus
+  * contract is single-line documents (no '\n' anywhere in TESTDATA), so
+  * they are omitted rather than shipped as an untestable always-zero gate
+  * — the n-gram family is the non-vacuous half here (small synthetic
+  * vocabulary => heavy organic repetition at every scale).
+  *
+  * Character conventions, pinned so both engines measure the same
+  * quantity: the denominator and the dup-n numerators count TOKEN
+  * characters (separators excluded — coverage is a token-position set);
+  * the top-n numerator is `count x len(joined gram)` with the (n-1)
+  * single-space joiners included, the same string both engines build.
+  * A doc shorter than n tokens scores 0 for that rule. All comparisons
+  * are exact integers (`num x 100 > total x pct`), never a float.
+  *
+  * 100 TB shape: ONE codegen kernel call per document (all nine
+  * numerators in a single pass over the token array — per-doc state is a
+  * gram hashmap bounded by document length, never corpus vocabulary),
+  * then one lang-keyed aggregate with map-side partials. No explode, no
+  * join, no shuffle before the report — the kernel cost IS the operator,
+  * exactly the [[PiiScrub]] scan shape.
+  */
+object GopherRepetition {
+
+  /** (rule name, index into the kernel's numerator array, flag threshold
+    * in integer percent). Order matches [[GopherKernels.stats]] layout.
+    */
+  val Rules: Seq[(String, Int, Int)] = Seq(
+    ("top2", 1, 20), ("top3", 2, 18), ("top4", 3, 16),
+    ("dup5", 4, 15), ("dup6", 5, 14), ("dup7", 6, 13),
+    ("dup8", 7, 12), ("dup9", 8, 11), ("dup10", 9, 10))
+
+  /** Per-document exact stats: id, lang, `total_chars` and one numerator
+    * column per rule (`top2_chars` ... `dup10_chars`).
+    */
+  def stats(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val st = GopherExprs.gopherStats(split(trim(col(textCol)), " +"))
+    val withArr = docs.select(col(idCol), col(langCol), st.as("g"))
+    val ruleCols = Rules.map { case (name, idx, _) =>
+      element_at(col("g"), idx + 1).as(s"${name}_chars")
+    }
+    withArr.select(
+      (Seq(col(idCol), col(langCol), element_at(col("g"), 1).as("total_chars"))
+        ++ ruleCols): _*)
+  }
+
+  /** Per-language audit: document count, per-rule flagged counts, and the
+    * count flagged by ANY rule — the battery's keep/drop decision mass.
+    */
+  def audit(docs: DataFrame, textCol: String = "text",
+            idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val s = stats(docs, textCol, idCol, langCol)
+    def flagged(name: String, pct: Int): Column =
+      col(s"${name}_chars") * 100 > col("total_chars") * pct
+    val anyFlag = Rules.map { case (n, _, p) => flagged(n, p) }
+      .reduce(_ || _)
+    val perRule = Rules.map { case (n, _, p) =>
+      sum(when(flagged(n, p), 1L).otherwise(0L)).as(s"n_$n")
+    }
+    s.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (perRule :+ sum(when(anyFlag, 1L).otherwise(0L)).as("n_flagged")): _*)
+      .orderBy(col(langCol))
+  }
+}
+
+/** Single-pass kernel for [[GopherRepetition]]: all nine numerators plus
+  * the denominator from one token array.
+  */
+object GopherKernels {
+
+  /** Layout: [total_chars, top2, top3, top4, dup5, dup6, dup7, dup8,
+    * dup9, dup10] — all exact longs. NULL tokens count as empty strings
+    * (Spark's `split` never produces them; defensive only).
+    */
+  def stats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val words = new Array[String](n)
+    val chars = new Array[Int](n)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val w = if (toks.isNullAt(i)) "" else toks.getUTF8String(i).toString
+      words(i) = w
+      chars(i) = w.codePointCount(0, w.length)
+      total += chars(i)
+      i += 1
+    }
+    val out = new Array[Long](10)
+    out(0) = total
+    var r = 1
+    var g = 2
+    while (g <= 4) { out(r) = topGramChars(words, chars, g); r += 1; g += 1 }
+    g = 5
+    while (g <= 10) { out(r) = dupCoverageChars(words, chars, g); r += 1; g += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** count(top gram) x chars(top gram); ties toward the UTF-8-bytewise
+    * smallest gram (matching SQL `ORDER BY cnt DESC, g ASC` under binary
+    * collation). chars(gram) includes the (g-1) single-space joiners —
+    * the gram STRING's length, the same quantity `len(g)` measures on the
+    * oracle side.
+    */
+  private def topGramChars(words: Array[String], chars: Array[Int],
+                           g: Int): Long = {
+    val n = words.length
+    if (n < g) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i + g <= n) {
+      counts.merge(join(words, i, g), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var bestCnt = 0L
+    var bestGram: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > bestCnt || (c == bestCnt && bytewiseLess(e.getKey, bestGram))) {
+        bestCnt = c
+        bestGram = e.getKey
+      }
+    }
+    bestCnt * bestGram.codePointCount(0, bestGram.length)
+  }
+
+  /** Token characters covered by the union of all occurrences of every
+    * duplicated (count >= 2) g-gram.
+    */
+  private def dupCoverageChars(words: Array[String], chars: Array[Int],
+                               g: Int): Long = {
+    val n = words.length
+    if (n < g) return 0L
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i + g <= n) {
+      counts.merge(join(words, i, g), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val covered = new Array[Boolean](n)
+    i = 0
+    while (i + g <= n) {
+      if (counts.get(join(words, i, g)) >= 2L) {
+        var p = i
+        while (p < i + g) { covered(p) = true; p += 1 }
+      }
+      i += 1
+    }
+    var sum = 0L
+    i = 0
+    while (i < n) { if (covered(i)) sum += chars(i); i += 1 }
+    sum
+  }
+
+  private def join(words: Array[String], from: Int, g: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var j = from
+    while (j < from + g) {
+      if (j > from) sb.append(' ')
+      sb.append(words(j))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** UTF-8 bytewise a < b (b == null counts as +infinity). */
+  private def bytewiseLess(a: String, b: String): Boolean = {
+    if (b == null) return true
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val m = math.min(x.length, y.length)
+    var i = 0
+    while (i < m) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+}
+
+/** `gopher_stats(tokens) → array<bigint>` (see [[GopherKernels.stats]]). */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_stats"
+  override protected def nullSafeEval(a: Any): Any =
+    GopherKernels.stats(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.operators.GopherKernels.stats($a)")
+  override protected def withNewChildInternal(newChild: Expression): GopherStatsExpr =
+    copy(child = newChild)
+}
+
+object GopherExprs {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  def gopherStats(toks: Column): Column =
+    column(GopherStatsExpr(expression(toks)))
+}
