@@ -174,4 +174,56 @@ object Planted {
     import s.implicits._
     gopherDocRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
+
+  /** Planted rows for the persisted-dedup-store gates (q186/q187).
+    *
+    * STORED docs (ids [[dsBase]]+0..9, 12 `ds<i>x<j>` tokens) are distilled
+    * into the staged store alongside the organic ingested half. The BATCH
+    * side plants one group per verdict the ingest must produce:
+    *   - ids +100..104: EXACT copies of stored 0..4 → 'dup_vs_store'
+    *     (md5 equality through the loaded hash table);
+    *   - ids +200..204: stored 0..4 with ONE doubled inter-token space →
+    *     'near_dup_vs_store' BY CONSTRUCTION: md5 differs (byte-level) but
+    *     simhash64 tokenizes on whitespace runs, so the signature is
+    *     BIT-IDENTICAL (Hamming 0) to the stored doc's;
+    *   - ids +300..304: 12 fresh `dn<i>y<j>` tokens → 'new' (disjoint
+    *     vocabulary; DedupStoreSpec pins the recomputed Hamming > 3).
+    * Vocabulary is disjoint from the corpus and every other planted set.
+    */
+  val dsBase = 930000000L
+
+  private def dsText(i: Int): String =
+    (0 until 12).map(j => s"ds${i}x$j").mkString(" ")
+
+  def dedupStoredRows: Seq[(Long, String, String, String, Long)] =
+    (0 until 10).map { i =>
+      val t = dsText(i)
+      (dsBase + i, t, "planted", "planted", t.length.toLong)
+    }
+
+  def dedupBatchRows: Seq[(Long, String, String, String, Long)] = {
+    val exact = (0 until 5).map { i =>
+      val t = dsText(i)
+      (dsBase + 100L + i, t, "planted", "planted", t.length.toLong)
+    }
+    val spaced = (0 until 5).map { i =>
+      val t = dsText(i).replaceFirst(" ", "  ")
+      (dsBase + 200L + i, t, "planted", "planted", t.length.toLong)
+    }
+    val fresh = (0 until 5).map { i =>
+      val t = (0 until 12).map(j => s"dn${i}y$j").mkString(" ")
+      (dsBase + 300L + i, t, "planted", "planted", t.length.toLong)
+    }
+    exact ++ spaced ++ fresh
+  }
+
+  def dedupStoredDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    dedupStoredRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def dedupBatchDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    dedupBatchRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
 }

@@ -1,0 +1,90 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Persisted-dedup-store truth tables: disk round-trip fidelity, the
+  * four-verdict ingest, the planted q187 construction's guarantees, and
+  * the append-then-reingest cycle.
+  */
+class DedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_dstore_test").toString
+
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en") }.toSeq
+      .toDF("doc_id", "text", "lang")
+
+  test("write/load round-trip: canonical hashes and signatures, exactly") {
+    val corpus = docs(
+      1L -> "alpha beta gamma", 2L -> "alpha beta gamma", // exact dups
+      3L -> "delta epsilon zeta")
+    val dir = tmpDir()
+    DedupStore.write(corpus, dir)
+    val st = DedupStore.load(spark, dir)
+    // duplicates collapse to the min-id canonical before distillation
+    val hs = st.hashes.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hs.values.toSet == Set(1L, 3L))
+    val sims = st.simhashes.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sims.map(_._1).toSeq == Seq(1L, 3L))
+    // signatures equal a fresh in-query computation
+    val fresh = corpus.filter(col("doc_id").isin(1L, 3L)).orderBy("doc_id")
+      .select(graft.functions.HashExprs.simhash64(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(sims.map(_._2).toSeq == fresh.toSeq)
+  }
+
+  test("ingest labels all four verdicts; exact precedence over near") {
+    val dir = tmpDir()
+    DedupStore.write(docs(1L -> "alpha beta gamma"), dir)
+    val st = DedupStore.load(spark, dir)
+    val batch = docs(
+      10L -> "alpha beta gamma",   // dup_vs_store (exact, NOT near)
+      11L -> "new words here",     // new
+      12L -> "new words here",     // dup_in_batch (11 is the canonical)
+      13L -> "alpha  beta gamma")  // near_dup_vs_store (md5 differs,
+                                   // simhash identical: whitespace run)
+    val v = DedupStore.ingest(st, batch).select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "dup_vs_store", 11L -> "new",
+      12L -> "dup_in_batch", 13L -> "near_dup_vs_store"))
+  }
+
+  test("q187 planted construction: space variant is Hamming 0, fresh vocab > 3") {
+    val stored = graft.Planted.dedupStoredDocs(spark)
+      .select(col("doc_id"), graft.functions.HashExprs.simhash64(col("text")).as("sim"))
+    val batch = graft.Planted.dedupBatchDocs(spark)
+      .select(col("doc_id"), graft.functions.HashExprs.simhash64(col("text")).as("sim"))
+    val ham = batch.as("b").crossJoin(stored.as("s"))
+      .groupBy(col("b.doc_id"))
+      .agg(min(bit_count(col("b.sim").bitwiseXOR(col("s.sim"))))
+        .cast("long").as("mh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = graft.Planted.dsBase
+    (0 until 5).foreach { i =>
+      assert(ham(base + 100 + i) == 0L, s"exact copy $i")
+      assert(ham(base + 200 + i) == 0L, s"space variant $i")
+      assert(ham(base + 300 + i) > 3L, s"fresh vocab $i: ${ham(base + 300 + i)}")
+    }
+  }
+
+  test("append folds the accepted batch in; re-ingest sees only dups") {
+    val dir = tmpDir()
+    DedupStore.write(docs(1L -> "alpha beta gamma"), dir)
+    val batch = docs(20L -> "brand new content", 21L -> "other fresh text")
+    val st = DedupStore.load(spark, dir)
+    val accepted = DedupStore.ingest(st, batch)
+      .filter(col("verdict") === "new").drop("verdict")
+    assert(accepted.count() == 2)
+    DedupStore.append(accepted, dir)
+    val grown = DedupStore.load(spark, dir)
+    assert(grown.hashes.count() == 3 && grown.simhashes.count() == 3)
+    val again = DedupStore.ingest(grown, batch)
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == Map(20L -> "dup_vs_store", 21L -> "dup_vs_store"))
+  }
+}
