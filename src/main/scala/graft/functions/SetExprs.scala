@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Codegen'd sorted-set kernels.
   *
@@ -76,10 +76,161 @@ case class SortedIntersectExpr(left: Expression, right: Expression)
       : SortedIntersectExpr = copy(left = l, right = r)
 }
 
+/** Varint-delta codec for sorted long sets — adjacency/posting-list
+  * compression for the wire. A sorted, duplicate-free `array<long>`
+  * becomes `binary`: first value then successive deltas, each ULEB128
+  * (7 bits/byte, high bit = continuation). Neighbor lists whose ids span
+  * a dense range pack to ~3 B/element against Tungsten's 8 B + header —
+  * the difference IS the exchange volume of an array-carrying join (the
+  * [[graft.operators.Triangles]] probe join shuffles one such payload per
+  * edge; at sf10 the unpacked form is the suite's one memory wall).
+  * Intersection decodes both streams in lockstep — packed lists never
+  * materialize as arrays on the probe side.
+  */
+object VdeltaKernels {
+
+  private val EMPTY = new GenericArrayData(Array.emptyLongArray)
+
+  /** Pack an ASCENDING-sorted, duplicate-free, non-negative long array. */
+  def pack(a: ArrayData): Array[Byte] = {
+    val n = a.numElements()
+    val buf = new Array[Byte](n * 10 + 1)
+    var pos = 0
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = a.getLong(i)
+      var d = v - prev
+      prev = v
+      while ((d & ~0x7fL) != 0L) {
+        buf(pos) = ((d & 0x7f) | 0x80).toByte; pos += 1; d >>>= 7
+      }
+      buf(pos) = d.toByte; pos += 1
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, pos)
+  }
+
+  /** Inverse of [[pack]]. */
+  def unpack(b: Array[Byte]): ArrayData = {
+    val n = b.length
+    if (n == 0) return EMPTY
+    // count elements (one terminator byte without the high bit per value)
+    var cnt = 0
+    var i = 0
+    while (i < n) { if ((b(i) & 0x80) == 0) cnt += 1; i += 1 }
+    val out = new Array[Long](cnt)
+    var pos = 0
+    var prev = 0L
+    var k = 0
+    while (k < cnt) {
+      var d = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val x = b(pos); pos += 1
+        d |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      prev += d
+      out(k) = prev
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Intersection of two packed sets, decoded in lockstep — returns the
+    * common elements as `array<long>` (ascending). No array for either
+    * input ever materializes.
+    */
+  def intersect(a: Array[Byte], b: Array[Byte]): ArrayData = {
+    val na = a.length
+    val nb = b.length
+    if (na == 0 || nb == 0) return EMPTY
+    val out = new Array[Long](math.min(na, nb)) // >= min element count
+    var ia = 0; var ib = 0
+    var va = 0L; var vb = 0L
+    var k = 0
+    var haveA = false; var haveB = false
+    while ((haveA || ia < na) && (haveB || ib < nb)) {
+      if (!haveA) {
+        var d = 0L; var shift = 0; var more = true
+        while (more) {
+          val x = a(ia); ia += 1
+          d |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+        }
+        va += d; haveA = true
+      }
+      if (!haveB) {
+        var d = 0L; var shift = 0; var more = true
+        while (more) {
+          val x = b(ib); ib += 1
+          d |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+        }
+        vb += d; haveB = true
+      }
+      if (va < vb) haveA = false
+      else if (va > vb) haveB = false
+      else { out(k) = va; k += 1; haveA = false; haveB = false }
+    }
+    if (k == 0) EMPTY
+    else new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** `vdelta_pack(array<bigint>) → binary` (sorted ascending, duplicate-free,
+  * non-negative input — the caller's precondition, same as
+  * [[SortedIntersectExpr]]).
+  */
+case class VdeltaPackExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "vdelta_pack"
+  override protected def nullSafeEval(a: Any): Any =
+    VdeltaKernels.pack(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VdeltaKernels.pack($a)")
+  override protected def withNewChildInternal(newChild: Expression): VdeltaPackExpr =
+    copy(child = newChild)
+}
+
+/** `vdelta_unpack(binary) → array<bigint>`. */
+case class VdeltaUnpackExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vdelta_unpack"
+  override protected def nullSafeEval(a: Any): Any =
+    VdeltaKernels.unpack(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VdeltaKernels.unpack($a)")
+  override protected def withNewChildInternal(newChild: Expression): VdeltaUnpackExpr =
+    copy(child = newChild)
+}
+
+/** `vdelta_intersect(binary, binary) → array<bigint>` — lockstep decode,
+  * no input array ever materializes.
+  */
+case class VdeltaIntersectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vdelta_intersect"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VdeltaKernels.intersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VdeltaKernels.intersect($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression)
+      : VdeltaIntersectExpr = copy(left = l, right = r)
+}
+
 object SetExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   /** Column wrapper for [[SortedIntersectExpr]]. */
   def sortedIntersect(a: Column, b: Column): Column =
     column(SortedIntersectExpr(expression(a), expression(b)))
+
+  def vdeltaPack(a: Column): Column = column(VdeltaPackExpr(expression(a)))
+  def vdeltaUnpack(a: Column): Column = column(VdeltaUnpackExpr(expression(a)))
+  def vdeltaIntersect(a: Column, b: Column): Column =
+    column(VdeltaIntersectExpr(expression(a), expression(b)))
 }

@@ -86,25 +86,31 @@ object Triangles {
     val orient = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("t"))
-    // out-adjacency (distinct by construction), ASCENDING-sorted once so
-    // every downstream intersection is a linear merge. Out-degree is
-    // bounded ~sqrt(m) by orientation, so no array outgrows an executor.
+    // out-adjacency (distinct by construction), ASCENDING-sorted once and
+    // varint-DELTA-PACKED to binary ([[graft.functions.VdeltaKernels]]):
+    // ~3 B/neighbor on the wire and on disk vs Tungsten's 8 B + header —
+    // the probe join below ships one such list per EDGE, so the packing
+    // ratio is the exchange volume (sf10 measured the unpacked form as
+    // the suite's one memory wall). Out-degree is bounded ~sqrt(m) by
+    // orientation, so no list outgrows an executor.
     val adj = stage(orient.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("t"))).as("nbrs")))
+      .agg(graft.functions.SetExprs.vdeltaPack(
+        sort_array(collect_list(col("t")))).as("nbrs")))
     // probe each oriented edge (s, t): common out-neighbors of s and t are
     // exactly the third vertices w with s→w and t→w — one triangle each,
     // each triangle seen only at its (lowest, middle) edge. The edge
-    // stream is adj re-exploded (carrying out(s) with it), so only ONE
-    // join is needed: t-keyed against the vertex-sized adjacency table,
-    // hash-built on that small side — the edge-sized stream is never
-    // sorted and crosses the wire exactly once.
+    // stream is adj re-exploded (carrying PACKED out(s) with it; the
+    // unpacked array exists only inside the pre-exchange projection), so
+    // only ONE join is needed: t-keyed against the vertex-sized adjacency
+    // table, hash-built on that small side — the edge-sized stream is
+    // never sorted and crosses the wire exactly once, packed.
     val probes = adj.select(col("s"), col("nbrs").as("nbrs_s"),
-      explode(col("nbrs")).as("t"))
+      explode(graft.functions.SetExprs.vdeltaUnpack(col("nbrs"))).as("t"))
     val closed = probes.join(
         adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")).hint("shuffle_hash"),
         Seq("t"))
       .select(col("s"), col("t"),
-        graft.functions.SetExprs.sortedIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
+        graft.functions.SetExprs.vdeltaIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
       .filter(size(col("ws")) > 0)
     // one pass to per-vertex credits: s and t each join |ws| triangles,
     // every apex w joins one — no re-read of the join output per branch

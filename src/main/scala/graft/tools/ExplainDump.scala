@@ -75,6 +75,8 @@ object ExplainDump {
     "q176_domain_blocklist" -> "domain blocklist: broadcast left join carries the blocked bit onto the corpus scan (never an anti-join plus a recount) — one lang agg, the corpus side never shuffles",
     "q177_domain_mass_cap" -> "domain mass cap: vocab-sized domain-count agg + 1-row total broadcast, keep decided by an exact DECIMAL cross-multiply in the map stage — no division, no RNG, no per-domain sort (the giant domain is never sorted), no data-sized shuffle before the 20-row audit",
     "q178_span_removal" -> "span removal (the dedup itself): q175's hashed window stream + a gram-keyed (count, min-key) agg decide canonical occurrences; non-canonical positions island per doc; the cut/rejoin is per-row array work above a left join of doc-sized cut lists — no suffix array, no driver state, text bytes pinned by a kmv_key checksum",
+    "q184_gopher_repetition" -> "Gopher repetition battery: ONE codegen kernel call per doc (all nine numerators in one pass) + one lang agg with map-side partials — no explode, no join, no shuffle before the report",
+    "q186_dedup_store_exact" -> "persisted-store incremental dedup: batch-side md5 canonical agg + LEFT join against the loaded 48 B/doc hash table (parquet scan, never the corpus payload) + one lang agg",
     "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query

@@ -21,10 +21,15 @@ object TriProbe {
     }
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val rawPairs = li.as("x").join(li.as("y"), col("x.ok") === col("y.ok")
-        && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
-    val pairs = timed("edges: selfjoin+distinct") {
+    // q123's shipped edge build: sorted-distinct part pairs emitted
+    // map-side from one groupBy(order)
+    val rawPairs = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairs = timed("edges: pairgen+distinct") {
       IterState.copyOut(rawPairs.filter(col("a") =!= col("b")).distinct())
     }
     println(s"  m = ${pairs.count()} edges")
@@ -40,19 +45,20 @@ object TriProbe {
       when(aFirst, col("b")).otherwise(col("a")).as("t"))
     val adj = timed("deg+orient+adj (stage)") {
       IterState.copyOut(orient.groupBy(col("s"))
-        .agg(sort_array(collect_list(col("t"))).as("nbrs")))
+        .agg(graft.functions.SetExprs.vdeltaPack(
+          sort_array(collect_list(col("t")))).as("nbrs")))
     }
     val stats = adj.select(count(lit(1)).as("n"),
-      sum(size(col("nbrs"))).as("tot"), max(size(col("nbrs"))).as("mx"))
+      sum(length(col("nbrs"))).as("bytes"), max(length(col("nbrs"))).as("mx"))
       .collect()(0)
-    println(s"  adj: n=${stats.getLong(0)} totOut=${stats.getLong(1)} maxOut=${stats.getInt(2)}")
+    println(s"  adj: n=${stats.getLong(0)} packedBytes=${stats.getLong(1)} maxBytes=${stats.getInt(2)}")
     val probes = adj.select(col("s"), col("nbrs").as("nbrs_s"),
-      explode(col("nbrs")).as("t"))
+      explode(graft.functions.SetExprs.vdeltaUnpack(col("nbrs"))).as("t"))
     val closed = probes.join(
         adj.select(col("s").as("t"), col("nbrs").as("nbrs_t")).hint("shuffle_hash"),
         Seq("t"))
       .select(col("s"), col("t"),
-        graft.functions.SetExprs.sortedIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
+        graft.functions.SetExprs.vdeltaIntersect(col("nbrs_s"), col("nbrs_t")).as("ws"))
       .filter(size(col("ws")) > 0)
     val staged = timed("probe joins + intersect") { IterState.copyOut(closed) }
     println(s"  closed edges = ${staged.count()}")

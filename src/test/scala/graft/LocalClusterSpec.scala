@@ -120,7 +120,17 @@ import org.scalatest.funsuite.AnyFunSuite
   *  - q173: frequency spectrum — the vocabulary-sized type-count partials
   *    and the spectrum fold merge across executors;
   *  - q174: skew profile — key-count partials, the count-of-counts window
-  *    and the TakeOrdered top-k all recombine across the wire.
+  *    and the TakeOrdered top-k all recombine across the wire;
+  *  - q123: triangle count — the varint-delta pack/unpack/intersect
+  *    codegen kernels compile on executor JVMs and the PACKED binary
+  *    adjacency payloads cross the shuffle_hash probe join as shuffle
+  *    blocks between processes;
+  *  - q184: Gopher repetition — the nine-numerator gopher_stats kernel
+  *    compiles executor-side and its array results feed partial aggs
+  *    merged on the wire;
+  *  - q186: persisted dedup store — parquet STATE staged by one process
+  *    is loaded and anti-joined by executor JVMs (the store round-trip
+  *    crossing a real process boundary).
   */
 class LocalClusterSpec extends AnyFunSuite {
 
@@ -170,7 +180,10 @@ class LocalClusterSpec extends AnyFunSuite {
     "q175_long_span_dedup",
     "q176_domain_blocklist",
     "q177_domain_mass_cap",
-    "q178_span_removal")
+    "q178_span_removal",
+    "q123_triangle_count",
+    "q184_gopher_repetition",
+    "q186_dedup_store_exact")
 
   private def rows(spark: SparkSession, name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).sorted.toSeq
