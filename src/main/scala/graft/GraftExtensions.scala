@@ -75,5 +75,19 @@ object GraftExtensions {
       case Seq(hashes, Literal(k: Int, IntegerType)) if k > 0 => MinHashSigExpr(hashes, k)
       case _ => throw new IllegalArgumentException(
         "minhash_sig expects (array<bigint>, positive int literal)")
-    })
+    },
+    "sorted_intersect" -> {
+      case Seq(a, b) => SortedIntersectExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"sorted_intersect expects 2 arguments, got ${other.length}")
+    },
+    "vdelta_pack" -> oneArg("vdelta_pack")(VdeltaPackExpr(_)),
+    "vdelta_unpack" -> oneArg("vdelta_unpack")(VdeltaUnpackExpr(_)),
+    "vdelta_intersect" -> {
+      case Seq(a, b) => VdeltaIntersectExpr(a, b)
+      case other => throw new IllegalArgumentException(
+        s"vdelta_intersect expects 2 arguments, got ${other.length}")
+    },
+    "gopher_stats" ->
+      oneArg("gopher_stats")(graft.operators.GopherStatsExpr(_)))
 }
