@@ -2956,7 +2956,21 @@ object SparkEntry {
         min(when(col("verdict").isin("new", "near_dup_vs_store"),
           (col("verdict") === "near_dup_vs_store") === (col("mh") <= 3)))
           .as("verdicts_match_recomputed_hamming"))
-    })
+    }),
+    "q188_soft_dedup" -> ((s, dir) =>
+      // soft dedup: duplicates are down-WEIGHTED (1/n_copies each, so
+      // every distinct content carries total sampling mass 1), not
+      // dropped — copies keep their provenance. The audit is the per
+      // (lang, n_copies) stratum profile with exact-integer columns; the
+      // soft token mass of a stratum is sum_tokens / n_copies with no
+      // row-level division anywhere. Planted exact-dup pairs make the
+      // n_copies = 2 strata non-vacuous at every scale (the organic
+      // corpus has none at the gate scale). One md5-keyed count agg +
+      // exchange-reused join back + a vocab-sized report agg. See
+      // dedup.SoftDedup.
+      graft.dedup.SoftDedup.massProfile(
+        Parallelize.ensure(Tables.documents(s, dir))
+          .unionByName(Planted.docs(s))))
   )
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
@@ -6364,7 +6378,50 @@ object SparkEntry {
       """SELECT TRUE AS exact_copies_suppressed,
                 TRUE AS space_variants_near_suppressed,
                 TRUE AS fresh_vocab_survives,
-                TRUE AS verdicts_match_recomputed_hamming"""
+                TRUE AS verdicts_match_recomputed_hamming""",
+    "q188_soft_dedup" ->
+      // same md5 strata over documents + the Planted construction
+      // (rebuilt literally — the q182 contract: change BOTH or neither)
+      """WITH planted AS (
+           SELECT unnest(range(0, 40)) AS g, NULL::BIGINT AS e
+           ), pn AS (
+           SELECT 900000000 + g * 10 + m AS doc_id,
+                  array_to_string([concat('pg', g, 'x', j)
+                                   for j in range(0, 30)] ||
+                    (CASE WHEN m = 0 THEN [] ELSE [concat('pm', g, 'x', m)] END),
+                    ' ') AS text,
+                  'planted' AS lang
+           FROM planted, unnest(range(0, 4)) AS t(m)
+           WHERE m < 2 + g % 3
+           ), pe AS (
+           SELECT 900000000 + e * 10 + m AS doc_id,
+                  array_to_string([concat('pg', e, 'x', j)
+                                   for j in range(0, 12)], ' ') AS text,
+                  'planted' AS lang
+           FROM (SELECT unnest(range(40, 48)) AS e), unnest(range(0, 2)) AS t(m)
+           ), ps AS (
+           SELECT 900000000 + (48 + j) * 10 AS doc_id,
+                  array_to_string([concat('pg', 48 + j, 'x', k)
+                                   for k in range(0, 10 + j)], ' ') AS text,
+                  'planted' AS lang
+           FROM (SELECT unnest(range(0, 10)) AS j)
+           ), alld AS (
+           SELECT lang, text FROM documents
+           UNION ALL SELECT lang, text FROM pn
+           UNION ALL SELECT lang, text FROM pe
+           UNION ALL SELECT lang, text FROM ps
+           ), h AS (
+           SELECT lang, text, md5(text) AS hh,
+                  CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), ' +')) END AS tok
+           FROM alld
+           ), c AS (SELECT hh, COUNT(*) AS n_copies FROM h GROUP BY 1)
+         SELECT lang, n_copies,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT h.hh) AS BIGINT) AS n_contents,
+                CAST(SUM(tok) AS BIGINT) AS sum_tokens
+         FROM h JOIN c ON h.hh = c.hh
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in
