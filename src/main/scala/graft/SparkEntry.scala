@@ -3007,7 +3007,11 @@ object SparkEntry {
     val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_dedup_store_$key")
-    if (!java.nio.file.Files.exists(out.resolve("hashes").resolve("_SUCCESS"))) {
+    // Guard on the LAST-written table (write order: hashes, then
+    // simhashes): a crash between the two leaves hashes/_SUCCESS present,
+    // and guarding on it would freeze a half-staged store forever. The
+    // simhashes guard makes any partial write retry the whole overwrite.
+    if (!java.nio.file.Files.exists(out.resolve("simhashes").resolve("_SUCCESS"))) {
       graft.dedup.DedupStore.write(
         Parallelize.ensure(Tables.documents(s, dir))
           .filter(col("doc_id") < 250)
@@ -3021,7 +3025,9 @@ object SparkEntry {
     val key = FixtureKey(dir)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ann_index_$key")
-    if (!java.nio.file.Files.exists(out.resolve("codes").resolve("_SUCCESS"))) {
+    // Same last-written-artifact guard as stagedDedupStore (write order:
+    // codes, codebook, coarse — guard on coarse).
+    if (!java.nio.file.Files.exists(out.resolve("coarse").resolve("_SUCCESS"))) {
       graft.similarity.AnnIndex.write(Tables.embeddings(s, dir), out.toString,
         m = 8, k = 64, nLists = 16, maxIter = 3)
     }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
   * per stage can afford to sort each list ONCE at build time (inside its
   * `collect_list` aggregation) and replace the per-row hash set with a
   * linear merge — zero hashing, zero per-row scratch state, one output
-  * allocation. [[graft.operators.Triangles]] is the flagship consumer: its
-  * probe join calls this 12M times at sf1 with ~60-element lists.
+  * allocation. [[VdeltaKernels]] is the flagship consumer — since the
+  * round-12 packed-adjacency overhaul, [[graft.operators.Triangles]]'s
+  * probe join intersects varint-delta-packed lists via `vdelta_intersect`
+  * (12M calls at sf1); `sorted_intersect` remains the unpacked-form SQL
+  * surface for ad-hoc queries over plain `array<bigint>` columns.
   */
 object SetKernels {
 
@@ -186,6 +189,11 @@ object VdeltaKernels {
 case class VdeltaPackExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "vdelta_pack"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SetExprs.requireType(prettyName, child.dataType) {
+      case ArrayType(LongType, _) => true
+    }
   override protected def nullSafeEval(a: Any): Any =
     VdeltaKernels.pack(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -198,6 +206,11 @@ case class VdeltaPackExpr(child: Expression) extends UnaryExpression {
 case class VdeltaUnpackExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vdelta_unpack"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    SetExprs.requireType(prettyName, child.dataType) {
+      case BinaryType => true
+    }
   override protected def nullSafeEval(a: Any): Any =
     VdeltaKernels.unpack(a.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -213,6 +226,16 @@ case class VdeltaIntersectExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "vdelta_intersect"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val l = SetExprs.requireType(prettyName, left.dataType) {
+      case BinaryType => true
+    }
+    if (l.isFailure) l
+    else SetExprs.requireType(prettyName, right.dataType) {
+      case BinaryType => true
+    }
+  }
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VdeltaKernels.intersect(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -224,6 +247,20 @@ case class VdeltaIntersectExpr(left: Expression, right: Expression)
 
 object SetExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
+
+  /** Shared analysis-time input check (the [[SortedIntersectExpr]]
+    * discipline): these kernels read raw bytes / `getLong` slots, so a
+    * mistyped input (e.g. `array<int>`) must fail analysis, not silently
+    * decode garbage.
+    */
+  private[graft] def requireType(name: String, t: DataType)(
+      ok: PartialFunction[DataType, Boolean])
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok.applyOrElse(t, (_: DataType) => false))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$name cannot accept ${t.simpleString} input")
 
   /** Column wrapper for [[SortedIntersectExpr]]. */
   def sortedIntersect(a: Column, b: Column): Column =

@@ -10,8 +10,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** The Gopher repetition-filter battery (Rae et al., "Scaling Language
   * Models: Methods, Analysis & Insights from Training Gopher",
   * arXiv 2112.11446, Table A1) — the standard pre-training gate against
-  * boilerplate/self-repeating documents, as used (with the same
-  * thresholds) by MassiveText, RefinedWeb and the open reimplementations.
+  * boilerplate/self-repeating documents. Same THRESHOLDS as MassiveText/
+  * RefinedWeb; the character fractions use a pinned in-house convention
+  * (see below) that differs from those pipelines at the margins — the
+  * denominator here excludes inter-token separators while the top-n
+  * numerator includes the joiner spaces, so fractions can exceed 100%
+  * and short all-distinct docs can trip top-n where the paper's would
+  * not. The convention is internally consistent, documented, and what
+  * the oracle replays; it is not a bit-compatible reimplementation of
+  * any published pipeline.
   *
   * Nine rules per document, each an exact integer numerator over one
   * denominator (total token characters):
@@ -213,6 +220,15 @@ object GopherKernels {
 case class GopherStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gopher_stats"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<string> tokens, got ${other.simpleString}")
+    }
   override protected def nullSafeEval(a: Any): Any =
     GopherKernels.stats(a.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
