@@ -2627,8 +2627,10 @@ object SparkEntry {
       // discipline: -ln p rounded to 9dp once per bigram type, summed as
       // exact decimals, one final float division. Map-only pair
       // construction (arrays_zip over the token array — no self-join);
-      // model joins unhinted so AQE broadcasts only while the bigram
-      // vocab fits. See operators.BigramLM.
+      // the raw event stream probes the model through SHUFFLE_HASH
+      // joins (build = vocab-sized side) — one event-sized shuffle in
+      // the whole plan (round-13 funnel, THREESCALE.md §13). See
+      // operators.BigramLM.
       graft.operators.BigramLM
         .crossEntropy(Parallelize.ensure(Tables.documents(s, dir)))
         .orderBy(col("doc_id"))),

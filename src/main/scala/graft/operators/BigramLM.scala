@@ -20,20 +20,27 @@ import org.apache.spark.sql.functions._
   * Determinism across engines follows the round-9 DECIMAL-surprisal rule
   * ([[UnigramLM]] scaladoc): `-ln p` is rounded to 9dp ONCE per distinct
   * bigram type — evaluated inside the vocab-keyed `model` frame, BEFORE
-  * the join back to per-document tf rows, so the plan computes exactly
-  * one log per type — and carried as DECIMAL(19,9); the per-document sum of
-  * `tf * surprisal` is exact integer-scaled arithmetic, order-independent;
-  * only the final per-document division is float, on already-equal
-  * operands (ln parity per the q82/q125/q134 precedent).
+  * the join back to per-document event rows, so the plan computes
+  * exactly one log per type — and carried as DECIMAL(19,9); the
+  * per-document surprisal sum is exact integer-scaled arithmetic,
+  * order-independent (summing per event equals summing tf-weighted per
+  * type bit-for-bit); only the final per-document division is float, on
+  * already-equal operands (ln parity per the q82/q125/q134 precedent).
   *
-  * Scale shape: the bigram stream is a map-only arrays_zip over each
-  * document's token array (no self-join, no window); one (doc, w1, w2)
-  * partial-aggregated count; bigram-vocab / left-context / unigram tables
-  * are token-keyed aggregates of THAT table (tf rows, not raw events); the
-  * three model joins are unhinted equi-joins — AQE broadcasts them while
-  * the measured vocab fits and falls back to token-keyed shuffles when a
-  * 100 TB corpus's bigram vocabulary doesn't. No data-sized windows,
-  * nothing collected.
+  * Scale shape (round-13 funnel-adjudicated, THREESCALE.md §13): the
+  * bigram stream is a map-only arrays_zip over each document's token
+  * array (no self-join, no window); the bigram-vocab table is a
+  * map-side-compressing aggregate of that stream (events collapse to
+  * vocab rows inside each scan partition — the shuffle ships ~vocab-
+  * sized partials), left-context / unigram tables are token-keyed
+  * aggregates of the vocab table; the model joins are SHUFFLE_HASH with
+  * the vocab-sized side as build (probe streams unsorted, per-reducer
+  * hash state is vocab/partitions — no broadcast cliff, no probe sort).
+  * The event stream joins the model DIRECTLY — no per-(doc, bigram)
+  * pre-aggregation, which the funnel measured at 3.5% compression for a
+  * full event-sized exchange. One event-sized shuffle total (the model
+  * probe), then a doc-keyed partial-aggregated reduce. No data-sized
+  * windows, nothing collected.
   */
 object BigramLM {
 
@@ -41,6 +48,44 @@ object BigramLM {
     * map-only pair construction via slice+zip of the token array.
     */
   def bigramFrequencies(documents: DataFrame): DataFrame =
+    bigramEvents(documents)
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Funnel numbers behind the q165 decade-scaling adjudication (the
+    * q136/q133 measured-not-argued discipline): one row of per-corpus
+    * sizes for every stage of the model build — bigram events, tf rows
+    * (the join probe side), bigram vocabulary (the model build side and
+    * the join key space), left-context and unigram vocabularies. The
+    * decade ratios of these five counts decide whether q165's wall-clock
+    * growth is vocab-driven (model tables outgrowing broadcast — the
+    * designed AQE shift) or event-driven (the pair stream itself).
+    */
+  def funnelStats(documents: DataFrame): DataFrame = {
+    val tf = bigramFrequencies(documents)
+    tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("n_events"),
+      count(lit(1)).as("n_tf_rows"),
+      countDistinct(col("w1"), col("w2")).as("n_vocab"),
+      countDistinct(col("w1")).as("n_left"),
+      countDistinct(col("w2")).as("n_uni"))
+  }
+
+  /** Per-document cross-entropy under the interpolated bigram model:
+    * `(doc_id, n_bigrams, cross_entropy)`, ordered by doc_id upstream.
+    */
+  /** Raw per-event bigram stream `(doc_id, w1, w2)` — map-only, no
+    * aggregation. [[crossEntropy]] probes the model with THIS rather than
+    * [[bigramFrequencies]]: the round-13 funnel measured the per-(doc,
+    * bigram) pre-aggregation compressing events by only 3.5% (25.6M tf
+    * rows vs 26.5M events at sf10 — documents rarely repeat a bigram)
+    * while costing a full-size exchange on (doc, w1, w2). Dropping it
+    * removes one of the two event-sized shuffles outright; the decimal
+    * surprisal sum is order-independent, so summing per-event equals
+    * summing tf-weighted per-type bit-for-bit.
+    */
+  def bigramEvents(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), split(trim(col("text")), " +").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -51,15 +96,11 @@ object BigramLM {
       .select(col("doc_id"),
         col("pair.0").as("w1"), col("pair.1").as("w2"))
       .filter(length(col("w1")) > 0 && length(col("w2")) > 0)
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("tf"))
 
-  /** Per-document cross-entropy under the interpolated bigram model:
-    * `(doc_id, n_bigrams, cross_entropy)`, ordered by doc_id upstream.
-    */
   def crossEntropy(documents: DataFrame, lambda: Double = 0.75): DataFrame = {
-    val tf = bigramFrequencies(documents)
-    val vocab = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val events = bigramEvents(documents)
+    val vocab = events.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
     val left = vocab.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val uni = vocab.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val total = vocab.agg(sum(col("c12")).as("n_total")) // 1-row broadcast
@@ -67,17 +108,23 @@ object BigramLM {
       lit(1.0 - lambda) * col("c2").cast("double") / col("n_total").cast("double")
     // surprisal lives in the vocab-keyed model frame: one log+round per
     // DISTINCT bigram type, not per (doc, bigram) joined row
+    // SHUFFLE_HASH on the vocab-sized sides (the round-13 q165 funnel
+    // adjudication, THREESCALE.md §13): at sf10 the unhinted joins left
+    // AQE's broadcast envelope and fell back to SortMergeJoin — sorting
+    // the 25.6M-row event probe stream for a join whose build side is
+    // the 77k-row model table. The hint builds the hash map on the
+    // model side (vocab rows / partition, bounded per-reducer state —
+    // no broadcast driver-memory cliff at a 100 TB corpus's
+    // vocabulary) and streams the events unsorted.
     val model = vocab
-      .join(left, Seq("w1"))
-      .join(uni, Seq("w2"))
+      .join(left.hint("shuffle_hash"), Seq("w1"))
+      .join(uni.hint("shuffle_hash"), Seq("w2"))
       .crossJoin(broadcast(total))
       .select(col("w1"), col("w2"),
         round(-log(p), 9).cast("decimal(19,9)").as("surprisal"))
-    tf.join(model, Seq("w1", "w2"))
-      .select(col("doc_id"), col("tf"),
-        (col("tf").cast("decimal(9,0)") * col("surprisal")).as("term"))
+    events.join(model.hint("shuffle_hash"), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_bigrams"), sum(col("term")).as("sum_nll"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surprisal")).as("sum_nll"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("sum_nll").cast("double") /
           col("n_bigrams").cast("double"), 6).as("cross_entropy"))

@@ -8,14 +8,22 @@ import org.apache.spark.sql.SparkSession
   * "no silent caps" order: candidate-pair and survivor counts per scale,
   * measured, not argued from scaladoc).
   *
-  * Usage: `runMain graft.tools.FunnelAudit <sfDir> [<sfDir> ...]` — prints
-  * one JSON line per (dir, operator) with the [[graft.dedup
+  * Usage: `runMain graft.tools.FunnelAudit [--op=a,b] <sfDir> [...]` —
+  * prints one JSON line per (dir, operator) with the [[graft.dedup
   * .EditDistanceJoin.blockingStats]] and [[graft.dedup.PrefixFilterJoin
   * .blockingStats]] rows plus wall seconds for the stats pass itself.
+  * Ops: `editdist`, `prefix` (default both — the round-12 set), `bigram`
+  * (the round-13 q165 adjudication: [[graft.operators.BigramLM
+  * .funnelStats]] sizes + a timed dedicated crossEntropy run with the
+  * final AQE join strategies read from the executed plan).
   */
 object FunnelAudit {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: FunnelAudit <sfDir> [<sfDir> ...]")
+  def main(rawArgs: Array[String]): Unit = {
+    val (opArgs, args) = rawArgs.partition(_.startsWith("--op="))
+    val ops: Set[String] = opArgs.headOption
+      .map(_.stripPrefix("--op=").split(",").toSet)
+      .getOrElse(Set("editdist", "prefix"))
+    require(args.nonEmpty, "usage: FunnelAudit [--op=a,b] <sfDir> [...]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,25 +37,53 @@ object FunnelAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries // touch the registry so Tables caches warm the same way
     args.foreach { dir =>
-      val t0 = System.nanoTime()
-      val ed = graft.dedup.EditDistanceJoin
-        .blockingStats(Tables.customer(spark, dir), "c_custkey", "c_name")
-        .head()
-      val tEd = (System.nanoTime() - t0) / 1e9
-      println(s"""{"dir":"$dir","op":"editdist","n_strings":${ed.getLong(0)},""" +
-        s""""n_variant_rows":${ed.getLong(1)},"n_candidates":${ed.getLong(2)},""" +
-        s""""n_verified":${ed.getLong(3)},"n_pairs":${ed.getLong(4)},""" +
-        f""""sec":$tEd%.1f}""")
-      val t1 = System.nanoTime()
-      val pf = graft.dedup.PrefixFilterJoin
-        .blockingStats(Tables.documents(spark, dir), num = 4, den = 5,
-          shingleWords = 5)
-        .head()
-      val tPf = (System.nanoTime() - t1) / 1e9
-      println(s"""{"dir":"$dir","op":"prefix","n_docs":${pf.getLong(0)},""" +
-        s""""n_prefix_rows":${pf.getLong(1)},"n_candidate_slots":${pf.getLong(2)},""" +
-        s""""n_candidate_pairs":${pf.getLong(3)},"n_result_pairs":${pf.getLong(4)},""" +
-        f""""sec":$tPf%.1f}""")
+      if (ops("bigram")) {
+        val docs = Tables.documents(spark, dir)
+        val t0 = System.nanoTime()
+        val f = graft.operators.BigramLM.funnelStats(docs).head()
+        val tF = (System.nanoTime() - t0) / 1e9
+        // dedicated timed run of the full operator; the executed plan
+        // afterwards is the AQE FINAL plan, so the join-strategy counts
+        // are what actually ran at this scale, not the static estimate
+        val ce = graft.operators.BigramLM.crossEntropy(docs)
+        val t1 = System.nanoTime()
+        ce.write.format("noop").mode("overwrite").save()
+        val tCe = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        ce.write.format("noop").mode("overwrite").save()
+        val tCe2 = (System.nanoTime() - t2) / 1e9
+        val plan = ce.queryExecution.executedPlan.toString
+        def n(s: String) = s.r.findAllMatchIn(plan).size
+        println(s"""{"dir":"$dir","op":"bigram","n_docs":${f.getLong(0)},""" +
+          s""""n_events":${f.getLong(1)},"n_tf_rows":${f.getLong(2)},""" +
+          s""""n_vocab":${f.getLong(3)},"n_left":${f.getLong(4)},""" +
+          s""""n_uni":${f.getLong(5)},"bhj":${n("BroadcastHashJoin")},""" +
+          s""""smj":${n("SortMergeJoin")},"shj":${n("ShuffledHashJoin")},""" +
+          f""""stats_sec":$tF%.1f,"ce_sec":$tCe%.2f,"ce_sec2":$tCe2%.2f}""")
+      }
+      if (ops("editdist")) {
+        val t0 = System.nanoTime()
+        val ed = graft.dedup.EditDistanceJoin
+          .blockingStats(Tables.customer(spark, dir), "c_custkey", "c_name")
+          .head()
+        val tEd = (System.nanoTime() - t0) / 1e9
+        println(s"""{"dir":"$dir","op":"editdist","n_strings":${ed.getLong(0)},""" +
+          s""""n_variant_rows":${ed.getLong(1)},"n_candidates":${ed.getLong(2)},""" +
+          s""""n_verified":${ed.getLong(3)},"n_pairs":${ed.getLong(4)},""" +
+          f""""sec":$tEd%.1f}""")
+      }
+      if (ops("prefix")) {
+        val t1 = System.nanoTime()
+        val pf = graft.dedup.PrefixFilterJoin
+          .blockingStats(Tables.documents(spark, dir), num = 4, den = 5,
+            shingleWords = 5)
+          .head()
+        val tPf = (System.nanoTime() - t1) / 1e9
+        println(s"""{"dir":"$dir","op":"prefix","n_docs":${pf.getLong(0)},""" +
+          s""""n_prefix_rows":${pf.getLong(1)},"n_candidate_slots":${pf.getLong(2)},""" +
+          s""""n_candidate_pairs":${pf.getLong(3)},"n_result_pairs":${pf.getLong(4)},""" +
+          f""""sec":$tPf%.1f}""")
+      }
     }
     spark.stop()
   }
