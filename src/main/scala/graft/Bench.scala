@@ -68,7 +68,13 @@ import org.apache.spark.sql.SparkSession
   * early alphabet take all 5 reps, starving 23 late queries to nruns=1
   * committed singles); the 4th/5th reps exist only in pass B, which is
   * level-ordered — every query gets a 2nd before any gets a 3rd. Shares:
-  * primary 36%, small +16%, large +40%, tail rechecks the last 8%. Actual
+  * primary 36%, small +16%, large +40%, tail rechecks the last 8%. The
+  * LARGE leg runs cost-DESCENDING by primary-leg median (round 13): the
+  * allocation-heaviest queries measure on the cleanest heap the leg will
+  * have, ending the q123 flag-then-adjudicate cycle (three rounds of
+  * suite-tail JVM-tenured-state inflation: in-suite 39-78 s vs 11.8 s
+  * dedicated); pass-A allowances are cumulative-cost-weighted under any
+  * cost order so heavy-first queries get their true budget share. Actual
   * per-query run counts land in `nruns`/`nruns_small`/`nruns_large`; the
   * budget and total elapsed land in `env`. BENCH.json is rewritten after
   * EVERY query at EVERY scale, so even a hard kill leaves a complete,
@@ -334,10 +340,21 @@ object Bench {
     // success so far) — a lucky fast run must not license a slow
     // overshoot (round-10 advice).
     def runSuite(dir: String, nRuns: Int, endShare: Double,
-                 onResult: Raw => Unit): Raw = {
+                 onResult: Raw => Unit,
+                 costOrder: Map[String, Double] = Map.empty): Raw = {
       val t0 = elapsed
       val end = math.max(budgetSec * endShare, t0)
-      selected.headOption.foreach { case (name, fn) =>
+      // costOrder (large leg: primary-leg medians) runs the allocation-
+      // heaviest queries FIRST — on the cleanest heap the leg will ever
+      // have. Three rounds of q123 suite-tail flags (r7 "second catch",
+      // r12/r12c adjudications) traced to the opposite order: cost-
+      // ascending in effect, so the allocation-heaviest query always ran
+      // last, on a heap full of 180+ queries' tenured state.
+      val ordered =
+        if (costOrder.isEmpty) selected
+        else selected.sortBy { case (n, _) =>
+          (-costOrder.getOrElse(n, 0.0), n) }
+      ordered.headOption.foreach { case (name, fn) =>
         try fn(spark, dir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
@@ -376,10 +393,18 @@ object Bench {
       // left pass B nothing to spend. A warm median of 3 is already
       // stable; the 4th/5th reps are pass-B luxuries that no query may
       // buy until every query holds at least 2.
-      val m = selected.size.max(1)
       val passACap = math.min(nRuns, 3)
-      selected.zipWithIndex.foreach { case ((name, fn), i) =>
-        val allowance = t0 + (end - t0) * (i + 1).toDouble / m
+      // Allowance shares are CUMULATIVE-COST-weighted when a cost order
+      // is known (a heavy-first query under the uniform (i+1)/m share
+      // would exhaust its sliver and commit an nruns=1 single; its true
+      // budget share is its cost share) and uniform otherwise — the
+      // uniform case falls out of the same formula with equal weights.
+      val weights = ordered.map { case (n, _) =>
+        math.max(costOrder.getOrElse(n, 0.0), 1e-3) }
+      val totalWeight = weights.sum
+      val cumShares = weights.scanLeft(0.0)(_ + _).tail.map(_ / totalWeight)
+      ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+        val allowance = t0 + (end - t0) * cumShares(i)
         var continue = true
         while (continue && attempts(name) < passACap) {
           val mustRun = attempts(name) == 0 ||
@@ -423,7 +448,9 @@ object Bench {
       if (largeDir == "skip" || largeDir == sfDir ||
           !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(largeDir))) None
       else Some(largeDir -> runSuite(largeDir, runsLarge, 0.92,
-        rs => writeFile(jsonLine(raw, small, Some(largeDir -> rs)))))
+        rs => writeFile(jsonLine(raw, small, Some(largeDir -> rs))),
+        costOrder = raw.map { case (n, (xs, _)) =>
+          n -> (if (xs.isEmpty) 0.0 else median(xs)) }.toMap))
     // tail recheck: any query flagged superlinear gets ONE more run at the
     // end of the suite (the quietest point — nothing else is executing) at
     // the scale whose ratio flagged it; the flag survives only if the tail
