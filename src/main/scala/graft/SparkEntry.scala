@@ -2959,6 +2959,37 @@ object SparkEntry {
           (col("verdict") === "near_dup_vs_store") === (col("mh") <= 3)))
           .as("verdicts_match_recomputed_hamming"))
     }),
+    "q189_dedup_store_purge" -> ((s, dir) => {
+      // GDPR-delete THROUGH the persisted dedup store (composes q118's
+      // right-to-erasure with q186/q187's store replay): a store staged
+      // with planted stored docs, then DedupStore.purge of stored ids
+      // dsBase+0/+1 — an O(ids) tombstone append, never a rewrite of
+      // the corpus-sized state; load() subtracts tombstones at read
+      // time. The planted batch then re-ingests: exact copies and
+      // near-variants of the two PURGED docs must come back 'new'
+      // (their content genuinely forgotten — both the hash AND the
+      // simhash stopped suppressing), while copies/variants of the
+      // UNPURGED stored docs keep their q187 verdicts. Property gate
+      // (q187 precedent — simhash state is engine-internal).
+      import graft.dedup.DedupStore
+      val B = Planted.dsBase
+      val store = DedupStore.load(s, stagedPurgedDedupStore(s, dir))
+      DedupStore.ingest(store, Planted.dedupBatchDocs(s))
+        .select(col("doc_id"), col("verdict"))
+        .agg(
+          min(when(col("doc_id").isin(B + 100, B + 101),
+            col("verdict") === "new")).as("purged_exact_reingests_new"),
+          min(when(col("doc_id").isin(B + 102, B + 103, B + 104),
+            col("verdict") === "dup_vs_store"))
+            .as("unpurged_exact_still_suppressed"),
+          min(when(col("doc_id").isin(B + 200, B + 201),
+            col("verdict") === "new")).as("purged_near_reingests_new"),
+          min(when(col("doc_id").isin(B + 202, B + 203, B + 204),
+            col("verdict") === "near_dup_vs_store"))
+            .as("unpurged_near_still_suppressed"),
+          min(when(col("doc_id") >= B + 300,
+            col("verdict") === "new")).as("fresh_still_new"))
+    }),
     "q188_soft_dedup" -> ((s, dir) =>
       // soft dedup: duplicates are down-WEIGHTED (1/n_copies each, so
       // every distinct content carries total sampling mass 1), not
@@ -3019,6 +3050,29 @@ object SparkEntry {
           .filter(col("doc_id") < 250)
           .unionByName(Planted.dedupStoredDocs(s)),
         out.toString)
+    }
+    out.toString
+  }
+
+  /** q189's fixture: the [[stagedDedupStore]] construction with stored
+    * planted docs dsBase+0 and dsBase+1 PURGED (tombstoned) after the
+    * distill. Separate staging path — q186/q187 gate the unpurged store
+    * and must not see these tombstones. Guard on tombstones/_SUCCESS,
+    * the LAST artifact the staging writes.
+    */
+  private def stagedPurgedDedupStore(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_dedup_purge_$key")
+    if (!java.nio.file.Files.exists(out.resolve("tombstones").resolve("_SUCCESS"))) {
+      graft.dedup.DedupStore.write(
+        Parallelize.ensure(Tables.documents(s, dir))
+          .filter(col("doc_id") < 250)
+          .unionByName(Planted.dedupStoredDocs(s)),
+        out.toString)
+      import s.implicits._
+      graft.dedup.DedupStore.purge(
+        Seq(Planted.dsBase, Planted.dsBase + 1).toDF("doc_id"), out.toString)
     }
     out.toString
   }
@@ -6387,6 +6441,14 @@ object SparkEntry {
                 TRUE AS space_variants_near_suppressed,
                 TRUE AS fresh_vocab_survives,
                 TRUE AS verdicts_match_recomputed_hamming""",
+    "q189_dedup_store_purge" ->
+      // property oracle (q187 precedent): the purge construction's five
+      // verdict groups must all hold
+      """SELECT TRUE AS purged_exact_reingests_new,
+                TRUE AS unpurged_exact_still_suppressed,
+                TRUE AS purged_near_reingests_new,
+                TRUE AS unpurged_near_still_suppressed,
+                TRUE AS fresh_still_new""",
     "q188_soft_dedup" ->
       // same md5 strata over documents + the Planted construction
       // (rebuilt literally — the q182 contract: change BOTH or neither)

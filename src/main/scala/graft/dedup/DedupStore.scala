@@ -26,7 +26,11 @@ import graft.functions.HashExprs
   * increment reads state O(corpus rows), not O(corpus bytes). Appending
   * an accepted batch is writing its new (h, canonical_id) and (doc_id,
   * sim) rows as additional parquet files under the same directories —
-  * no rewrite, no compaction requirement.
+  * no rewrite, no compaction requirement. Deletion is [[purge]]:
+  * an O(ids) tombstone append that [[load]] subtracts at read time
+  * (merge-on-read), with [[compact]] as the optional O(store) fold —
+  * so a GDPR erasure request neither rescans nor rewrites the corpus
+  * state, and a purged doc's content re-ingests as genuinely NEW.
   *
   * Semantics are EXACTLY the in-query operators': the exact stage equals
   * q85's (min-id canonical within the batch, then anti-join the store),
@@ -55,9 +59,73 @@ object DedupStore {
       .write.mode("overwrite").parquet(s"$dir/simhashes")
   }
 
-  def load(spark: SparkSession, dir: String): Store =
-    Store(spark.read.parquet(s"$dir/hashes"),
-      spark.read.parquet(s"$dir/simhashes"))
+  /** Load the store. If a `tombstones` set exists (see [[purge]]), both
+    * state tables are anti-joined against it at read time — the
+    * merge-on-read discipline: a purge request never rewrites corpus
+    * state, readers subtract the (request-sized, AQE-broadcast)
+    * tombstone set, and [[compact]] folds it in when the operator
+    * chooses to pay O(store) once.
+    */
+  def load(spark: SparkSession, dir: String): Store = {
+    val hashes = spark.read.parquet(s"$dir/hashes")
+    val sims = spark.read.parquet(s"$dir/simhashes")
+    val tomb = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tomb.resolve("_SUCCESS")))
+      Store(hashes, sims)
+    else {
+      val t = spark.read.parquet(s"$dir/tombstones")
+      Store(
+        hashes.join(t, hashes("canonical_id") === t("purged_id"), "left_anti"),
+        sims.join(t, sims("doc_id") === t("purged_id"), "left_anti"))
+    }
+  }
+
+  /** GDPR-delete through the persisted state: tombstone `ids` so their
+    * content hashes and signatures stop suppressing future ingests —
+    * after a purge, a new document with a purged doc's exact text (or a
+    * near-duplicate of it) comes back `verdict = 'new'`. O(ids) — the
+    * purge set is appended as new parquet files under `tombstones/`;
+    * the corpus-sized hash/signature files are NEVER rewritten (the
+    * [[append]] discipline). Idempotent: re-purging an id adds a
+    * redundant tombstone row that the read-time anti-join absorbs.
+    */
+  def purge(ids: DataFrame, dir: String, idCol: String = "doc_id"): Unit =
+    ids.select(col(idCol).cast("long").as("purged_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Fold the tombstone set into the base tables — the maintenance op
+    * that amortizes many O(k) purges into one O(store) rewrite. Crash
+    * safety is ORDER, not locking: staging copies of both filtered
+    * tables are fully written first, then each live table is swapped,
+    * and the tombstone set is dropped LAST — at every intermediate
+    * crash point a reader sees either the tombstoned rows still
+    * present + the tombstone set (anti-join removes them) or already
+    * absent + the tombstone set (anti-join is a no-op). Never a state
+    * where purged rows are visible without their tombstones.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val tomb = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tomb.resolve("_SUCCESS"))) return
+    val st = load(spark, dir) // already tombstone-filtered
+    st.hashes.write.mode("overwrite").parquet(s"$dir/hashes_staging")
+    st.simhashes.write.mode("overwrite").parquet(s"$dir/simhashes_staging")
+    def swap(name: String): Unit = {
+      val live = java.nio.file.Paths.get(dir, name)
+      val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
+      deleteRecursively(live)
+      java.nio.file.Files.move(staging, live)
+    }
+    swap("hashes")
+    swap("simhashes")
+    deleteRecursively(tomb)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
 
   /** Fold an ACCEPTED batch (the `verdict == 'new'` rows of [[ingest]],
     * i.e. already canonical within itself and unseen by the store) into

@@ -87,4 +87,54 @@ class DedupStoreSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == Map(20L -> "dup_vs_store", 21L -> "dup_vs_store"))
   }
+
+  test("purge tombstones both state tables; purged content re-ingests new") {
+    val dir = tmpDir()
+    DedupStore.write(docs(
+      1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"), dir)
+    DedupStore.purge(Seq(1L).toDF("doc_id"), dir)
+    val st = DedupStore.load(spark, dir)
+    // the tombstoned row is invisible in BOTH tables; 2 survives
+    assert(st.hashes.select("canonical_id").as[Long].collect().toSet == Set(2L))
+    assert(st.simhashes.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val v = DedupStore.ingest(st, docs(
+      10L -> "alpha beta gamma",   // purged content: NEW again
+      11L -> "alpha  beta gamma",  // near-variant of purged: NEW again
+      12L -> "delta epsilon zeta", // unpurged: still suppressed
+      13L -> "delta  epsilon zeta")) // near of unpurged: still near
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v == Map(10L -> "new", 11L -> "new",
+      12L -> "dup_vs_store", 13L -> "near_dup_vs_store"))
+    // the base files were NOT rewritten — only tombstones were added
+    val rawHashes = spark.read.parquet(s"$dir/hashes")
+    assert(rawHashes.count() == 2)
+  }
+
+  test("compact folds tombstones in and drops them; verdicts unchanged") {
+    val dir = tmpDir()
+    DedupStore.write(docs(
+      1L -> "alpha beta gamma", 2L -> "delta epsilon zeta",
+      3L -> "eta theta iota"), dir)
+    DedupStore.purge(Seq(1L, 3L).toDF("doc_id"), dir)
+    val before = DedupStore.ingest(DedupStore.load(spark, dir), docs(
+      10L -> "alpha beta gamma", 11L -> "delta epsilon zeta"))
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    DedupStore.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "tombstones")))
+    // base tables now PHYSICALLY hold only the survivor
+    assert(spark.read.parquet(s"$dir/hashes").count() == 1)
+    assert(spark.read.parquet(s"$dir/simhashes").count() == 1)
+    val after = DedupStore.ingest(DedupStore.load(spark, dir), docs(
+      10L -> "alpha beta gamma", 11L -> "delta epsilon zeta"))
+      .select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after &&
+      after == Map(10L -> "new", 11L -> "dup_vs_store"))
+    // compact with no tombstones is a no-op
+    DedupStore.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/hashes").count() == 1)
+  }
 }
