@@ -89,5 +89,7 @@ object GraftExtensions {
         s"vdelta_intersect expects 2 arguments, got ${other.length}")
     },
     "gopher_stats" ->
-      oneArg("gopher_stats")(graft.operators.GopherStatsExpr(_)))
+      oneArg("gopher_stats")(graft.operators.GopherStatsExpr(_)),
+    "gopher_line_stats" ->
+      oneArg("gopher_line_stats")(graft.operators.GopherLineStatsExpr(_)))
 }

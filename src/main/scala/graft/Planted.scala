@@ -175,6 +175,46 @@ object Planted {
     gopherDocRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Planted MULTILINE docs for the Gopher duplicate-line/paragraph
+    * rules (q190 — Table A1's other half; the organic corpus is
+    * single-line so these rules are only testable here). Ids
+    * [[gopherBase]]+200..204, vocabulary `gl<doc>…` disjoint from
+    * everything else:
+    *
+    *   - +200 line-fraction doc: one line repeated 4x among 6 distinct
+    *     lines (dup_lines 4/10 = 40% > 30%);
+    *   - +201 paragraph doc: 'A \n\n B \n\n A' — paragraphs [A, B, A],
+    *     dup_paras 2/3; its lines duplicate too;
+    *   - +202 char-fraction doc: one LONG line (20 tokens) twice among
+    *     8 distinct short lines — dup_line frac 2/10 = 20% (NOT above
+    *     30%) while dup_line_chars is far above 20%: the char rule
+    *     fires where the count rule does not;
+    *   - +203 multiline paragraphs: 'l1\nl2 \n\n l3 \n\n l1\nl2' —
+    *     paragraph identity includes the EMBEDDED newline (paras
+    *     [l1\nl2, l3, l1\nl2] duplicated, lines 4/5 duplicated);
+    *   - +204 control: 5 distinct lines — every dup numerator 0.
+    */
+  def gopherMultilineRows: Seq[(Long, String, String, String, Long)] = {
+    def doc(off: Long, text: String) =
+      (gopherBase + 200L + off, text, "planted", "planted", text.length.toLong)
+    val lineDoc = doc(0, ((0 until 6).map(j => s"gl0x$j line $j")
+      ++ Seq.fill(4)("gl0dup repeated line")).mkString("\n"))
+    val paraDoc = doc(1,
+      "gl1a first para\n\ngl1b second para\n\ngl1a first para")
+    val longLine = (0 until 20).map(j => s"gl2long$j").mkString(" ")
+    val charDoc = doc(2, ((0 until 8).map(j => s"gl2x$j")
+      ++ Seq(longLine, longLine)).mkString("\n"))
+    val mlParaDoc = doc(3,
+      "gl3l1\ngl3l2\n\ngl3only\n\ngl3l1\ngl3l2")
+    val control = doc(4, (0 until 5).map(j => s"gl4x$j distinct $j").mkString("\n"))
+    Seq(lineDoc, paraDoc, charDoc, mlParaDoc, control)
+  }
+
+  def gopherMultilineDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    gopherMultilineRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Planted rows for the persisted-dedup-store gates (q186/q187).
     *
     * STORED docs (ids [[dsBase]]+0..9, 12 `ds<i>x<j>` tokens) are distilled

@@ -2959,6 +2959,23 @@ object SparkEntry {
           (col("verdict") === "near_dup_vs_store") === (col("mh") <= 3)))
           .as("verdicts_match_recomputed_hamming"))
     }),
+    "q190_gopher_line_rules" -> ((s, dir) =>
+      // the duplicate-line/paragraph half of Rae et al. Table A1
+      // (q184/q185 covered the n-gram half; these rules were documented-
+      // omitted until round 13 because TESTDATA is single-line). The
+      // REAL kernel runs over corpus + the planted MULTILINE docs
+      // (map-only, so the planted restriction is trivially sound) and
+      // emits all eight exact numerators per doc; the oracle rebuilds
+      // the same texts literally (chr(10) joins) and replays the counts
+      // via string_split. Conventions pinned in GopherLineKernels:
+      // literal '\n'/'\n\n' splits, empty segments excluded, no trim,
+      // separator-free char totals. See Planted.gopherMultilineRows.
+      graft.operators.GopherRepetition.lineStats(
+          Parallelize.ensure(Tables.documents(s, dir))
+            .unionByName(Planted.gopherMultilineDocs(s)))
+        .filter(col("doc_id") >= Planted.gopherBase + 200)
+        .drop("lang")
+        .orderBy(col("doc_id"))),
     "q189_dedup_store_purge" -> ((s, dir) => {
       // GDPR-delete THROUGH the persisted dedup store (composes q118's
       // right-to-erasure with q186/q187's store replay): a store staged
@@ -6441,6 +6458,55 @@ object SparkEntry {
                 TRUE AS space_variants_near_suppressed,
                 TRUE AS fresh_vocab_survives,
                 TRUE AS verdicts_match_recomputed_hamming""",
+    "q190_gopher_line_rules" ->
+      // the same five multiline texts rebuilt literally (chr(10) joins —
+      // the q185 contract: change BOTH constructions or neither), the
+      // same pinned conventions: literal splits, empty segments out,
+      // no trim, len() = characters of the raw segment
+      """WITH docs(doc_id, text) AS (VALUES
+           (920000200, concat_ws(chr(10), 'gl0x0 line 0', 'gl0x1 line 1',
+              'gl0x2 line 2', 'gl0x3 line 3', 'gl0x4 line 4',
+              'gl0x5 line 5', 'gl0dup repeated line', 'gl0dup repeated line',
+              'gl0dup repeated line', 'gl0dup repeated line')),
+           (920000201, concat_ws(chr(10) || chr(10), 'gl1a first para',
+              'gl1b second para', 'gl1a first para')),
+           (920000202, concat_ws(chr(10), 'gl2x0', 'gl2x1', 'gl2x2',
+              'gl2x3', 'gl2x4', 'gl2x5', 'gl2x6', 'gl2x7',
+              'gl2long0 gl2long1 gl2long2 gl2long3 gl2long4 gl2long5 gl2long6 gl2long7 gl2long8 gl2long9 gl2long10 gl2long11 gl2long12 gl2long13 gl2long14 gl2long15 gl2long16 gl2long17 gl2long18 gl2long19',
+              'gl2long0 gl2long1 gl2long2 gl2long3 gl2long4 gl2long5 gl2long6 gl2long7 gl2long8 gl2long9 gl2long10 gl2long11 gl2long12 gl2long13 gl2long14 gl2long15 gl2long16 gl2long17 gl2long18 gl2long19')),
+           (920000203, concat_ws(chr(10) || chr(10),
+              'gl3l1' || chr(10) || 'gl3l2', 'gl3only',
+              'gl3l1' || chr(10) || 'gl3l2')),
+           (920000204, concat_ws(chr(10), 'gl4x0 distinct 0',
+              'gl4x1 distinct 1', 'gl4x2 distinct 2', 'gl4x3 distinct 3',
+              'gl4x4 distinct 4'))),
+         l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg
+               FROM docs),
+         lc AS (SELECT doc_id, seg, COUNT(*) AS c, len(seg) AS ln
+                FROM l WHERE len(seg) > 0 GROUP BY 1, 2),
+         la AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup_lines,
+                  CAST(SUM(c * ln) AS BIGINT) AS line_chars,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END)
+                       AS BIGINT) AS dup_line_chars
+                FROM lc GROUP BY 1),
+         p AS (SELECT doc_id,
+                 unnest(string_split(text, chr(10) || chr(10))) AS seg
+               FROM docs),
+         pc AS (SELECT doc_id, seg, COUNT(*) AS c, len(seg) AS ln
+                FROM p WHERE len(seg) > 0 GROUP BY 1, 2),
+         pa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                    AS dup_paras,
+                  CAST(SUM(c * ln) AS BIGINT) AS para_chars,
+                  CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END)
+                       AS BIGINT) AS dup_para_chars
+                FROM pc GROUP BY 1)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, dup_lines,
+                line_chars, dup_line_chars,
+                n_paras, dup_paras, para_chars, dup_para_chars
+         FROM la JOIN pa USING (doc_id) ORDER BY doc_id""",
     "q189_dedup_store_purge" ->
       // property oracle (q187 precedent): the purge construction's five
       // verdict groups must all hold

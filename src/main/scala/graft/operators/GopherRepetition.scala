@@ -33,11 +33,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *     interval-union semantics of the original. Flag above
   *     15/14/13/12/11/10 %.
   *
-  * The paper's duplicate-line/paragraph rules are line-keyed; this corpus
-  * contract is single-line documents (no '\n' anywhere in TESTDATA), so
-  * they are omitted rather than shipped as an untestable always-zero gate
-  * — the n-gram family is the non-vacuous half here (small synthetic
-  * vocabulary => heavy organic repetition at every scale).
+  * The paper's duplicate-line/paragraph rules (Table A1's other half)
+  * are [[lineStats]]/[[lineAudit]] (round 13): the TESTDATA corpus is
+  * single-line, so their gate runs over the planted multiline corpus
+  * ([[graft.Planted.gopherMultilineRows]], the q185 pattern) — on
+  * organic docs the kernel legitimately reports one line, zero dups.
   *
   * Character conventions, pinned so both engines measure the same
   * quantity: the denominator and the dup-n numerators count TOKEN
@@ -77,6 +77,65 @@ object GopherRepetition {
     withArr.select(
       (Seq(col(idCol), col(langCol), element_at(col("g"), 1).as("total_chars"))
         ++ ruleCols): _*)
+  }
+
+  /** The line/paragraph half of Rae et al. Table A1 (round 13 — the
+    * rules the single-line TESTDATA contract had made untestable until
+    * the planted multiline corpus, [[graft.Planted.gopherMultilineRows]]):
+    *
+    *   - duplicate line / paragraph fraction: instances whose content
+    *     occurs >= 2 times in the doc, over total instances — flag
+    *     above 30 %;
+    *   - duplicate line / paragraph CHARACTER fraction: characters of
+    *     those duplicated instances over total segment characters —
+    *     flag above 20 %.
+    *
+    * Pinned conventions (both engines): lines split on literal '\n',
+    * paragraphs on literal '\n\n'; empty segments are excluded, all
+    * others kept verbatim (no trim); characters are the segment's code
+    * points, separators excluded (the [[GopherKernels]] denominator
+    * discipline). All comparisons exact integers. One kernel call per
+    * document, per-doc segment map — same scan shape as [[stats]].
+    *
+    * Layout of [[lineStats]]: (doc_id, lang, n_lines, dup_lines,
+    * line_chars, dup_line_chars, n_paras, dup_paras, para_chars,
+    * dup_para_chars).
+    */
+  def lineStats(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val names = Seq("n_lines", "dup_lines", "line_chars", "dup_line_chars",
+      "n_paras", "dup_paras", "para_chars", "dup_para_chars")
+    val g = GopherExprs.gopherLineStats(col(textCol))
+    docs.select(
+      (Seq(col(idCol), col(langCol)) ++ names.zipWithIndex.map {
+        case (n, i) => element_at(g, i + 1).as(n)
+      }): _*)
+  }
+
+  /** (rule, numerator col, denominator col, flag threshold %). */
+  val LineRules: Seq[(String, String, String, Int)] = Seq(
+    ("dup_line_frac", "dup_lines", "n_lines", 30),
+    ("dup_para_frac", "dup_paras", "n_paras", 30),
+    ("dup_line_char_frac", "dup_line_chars", "line_chars", 20),
+    ("dup_para_char_frac", "dup_para_chars", "para_chars", 20))
+
+  /** Per-language audit over the line/paragraph rules — the [[audit]]
+    * shape with per-rule denominators.
+    */
+  def lineAudit(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val s = lineStats(docs, textCol, idCol, langCol)
+    def flagged(num: String, den: String, pct: Int): Column =
+      col(num) * 100 > col(den) * pct
+    val perRule = LineRules.map { case (n, num, den, p) =>
+      sum(when(flagged(num, den, p), 1L).otherwise(0L)).as(s"n_$n")
+    }
+    val anyFlag = LineRules.map { case (_, num, den, p) =>
+      flagged(num, den, p) }.reduce(_ || _)
+    s.groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (perRule :+ sum(when(anyFlag, 1L).otherwise(0L)).as("n_flagged")): _*)
+      .orderBy(col(langCol))
   }
 
   /** Per-language audit: document count, per-rule flagged counts, and the
@@ -237,9 +296,74 @@ case class GopherStatsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Single-pass kernel for the line/paragraph rules: all eight exact-long
+  * numerators/denominators from one pass over the raw text. Layout:
+  * [n_lines, dup_lines, line_chars, dup_line_chars, n_paras, dup_paras,
+  * para_chars, dup_para_chars]. Splits are LITERAL ('\n' / '\n\n'),
+  * empty segments excluded, no trim — the same segment set
+  * `string_split(text, chr(10))` yields on the oracle side.
+  */
+object GopherLineKernels {
+
+  def stats(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = if (text == null) "" else text.toString
+    val out = new Array[Long](8)
+    segStats(s.split("\n", -1), out, 0)
+    segStats(s.split("\n\n", -1), out, 4)
+    new GenericArrayData(out)
+  }
+
+  private def segStats(segs: Array[String], out: Array[Long],
+                       off: Int): Unit = {
+    val counts = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < segs.length) {
+      if (segs(i).length > 0) counts.merge(segs(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    var n = 0L; var dupN = 0L; var chars = 0L; var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      val len = e.getKey.codePointCount(0, e.getKey.length).toLong
+      n += c; chars += c * len
+      if (c >= 2L) { dupN += c; dupChars += c * len }
+    }
+    out(off) = n; out(off + 1) = dupN
+    out(off + 2) = chars; out(off + 3) = dupChars
+  }
+}
+
+/** `gopher_line_stats(text) → array<bigint>` (see [[GopherLineKernels]]). */
+case class GopherLineStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gopher_line_stats"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs a string document, got ${other.simpleString}")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    GopherLineKernels.stats(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.operators.GopherLineKernels.stats($a)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : GopherLineStatsExpr = copy(child = newChild)
+}
+
 object GopherExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def gopherStats(toks: Column): Column =
     column(GopherStatsExpr(expression(toks)))
+
+  def gopherLineStats(text: Column): Column =
+    column(GopherLineStatsExpr(expression(text)))
 }

@@ -85,4 +85,70 @@ class GopherRepetitionSpec extends SparkSpec {
     val row = GopherRepetition.audit(docs).collect()(0)
     assert(row.getAs[Long]("n_dup5") == 0L) // equality is below the bar
   }
+
+  private def lineStatsOf(text: String): Seq[Long] =
+    Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+      .select(GopherExprs.gopherLineStats(col("text")).as("g"))
+      .head.getSeq[Long](0)
+
+  test("line kernel: counts, duplicate instances, char totals") {
+    // lines: ab x2, xyz x1 -> 3 lines, 2 dup instances, chars 2+2+3=7,
+    // dup chars 4. Paragraphs (no \n\n): ONE paragraph = the whole text
+    // with its embedded newlines, 6 + 2 separators... para chars count
+    // the raw segment: "ab\nxyz\nab" = 9 code points.
+    val s = lineStatsOf("ab\nxyz\nab")
+    assert(s == Seq(3L, 2L, 7L, 4L, 1L, 0L, 9L, 0L))
+  }
+
+  test("line kernel: empty segments excluded, paragraphs split on \\n\\n") {
+    // "p1\n\np2\n\np1": lines [p1, p2, p1] (empties from \n\n dropped),
+    // paragraphs [p1, p2, p1]
+    val s = lineStatsOf("p1\n\np2\n\np1")
+    assert(s == Seq(3L, 2L, 6L, 4L, 3L, 2L, 6L, 4L))
+    // single-line doc (the organic TESTDATA shape): 1 line, 0 dups
+    val t = lineStatsOf("just one line")
+    assert(t == Seq(1L, 0L, 13L, 0L, 1L, 0L, 13L, 0L))
+    // empty doc: all zeros
+    assert(lineStatsOf("") == Seq.fill(8)(0L))
+  }
+
+  test("multiline-paragraph identity includes the embedded newline") {
+    // paras [l1\nl2, l3, l1\nl2]: dup instances 2 of 3; para chars count
+    // the embedded \n (raw segment code points: 5 each for 'ab\ncd')
+    val s = lineStatsOf("ab\ncd\n\nee\n\nab\ncd")
+    assert(s(4) == 3L && s(5) == 2L) // n_paras, dup_paras
+    assert(s(6) == 5L + 2L + 5L && s(7) == 10L)
+    assert(s(0) == 5L && s(1) == 4L) // lines ab,cd,ee,ab,cd
+  }
+
+  test("lineAudit: char rule fires where the count rule does not") {
+    // planted +202 design: long line twice in 10 lines -> dup_line_frac
+    // exactly 20% (NOT > 30%), dup_line_chars far above 20%
+    val long = (0 until 20).map(j => s"L$j").mkString(" ")
+    val text = ((0 until 8).map(j => s"s$j") ++ Seq(long, long)).mkString("\n")
+    val docs = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+    val row = GopherRepetition.lineAudit(docs).collect()(0)
+    assert(row.getAs[Long]("n_dup_line_frac") == 0L)
+    assert(row.getAs[Long]("n_dup_line_char_frac") == 1L)
+    assert(row.getAs[Long]("n_flagged") == 1L)
+  }
+
+  test("line rules match the planted q190 construction end-to-end") {
+    val docs = graft.Planted.gopherMultilineDocs(spark)
+    val r = GopherRepetition.lineStats(docs)
+      .orderBy("doc_id").collect()
+    val base = graft.Planted.gopherBase + 200
+    val byId = r.map(row => row.getLong(0) -> row).toMap
+    // +200: 10 lines, 4 dup instances
+    assert(byId(base).getAs[Long]("n_lines") == 10L)
+    assert(byId(base).getAs[Long]("dup_lines") == 4L)
+    // +201: 3 paras, 2 dup
+    assert(byId(base + 1).getAs[Long]("n_paras") == 3L)
+    assert(byId(base + 1).getAs[Long]("dup_paras") == 2L)
+    // +204 control: zero dup numerators everywhere
+    val c = byId(base + 4)
+    assert(c.getAs[Long]("dup_lines") == 0L && c.getAs[Long]("dup_paras") == 0L
+      && c.getAs[Long]("dup_line_chars") == 0L
+      && c.getAs[Long]("dup_para_chars") == 0L)
+  }
 }
