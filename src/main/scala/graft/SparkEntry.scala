@@ -2959,6 +2959,40 @@ object SparkEntry {
           (col("verdict") === "near_dup_vs_store") === (col("mh") <= 3)))
           .as("verdicts_match_recomputed_hamming"))
     }),
+    "q191_ann_index_append" -> ((s, dir) => {
+      // INCREMENTAL ANN: the staged index is trained on 80% of the
+      // corpus and the held-out 20% is APPENDED through the frozen
+      // codebooks (AnnIndex.append — new parquet files under codes/,
+      // no retraining, no rewrite). The gate is q183's recall floor
+      // run against the GROWN index with ground truth over the FULL
+      // corpus — so appended vectors must be reachable through the
+      // IVF probe AND their frozen-codebook codes must rank well
+      // enough to keep >= 6/10 exact-top-10 recall — plus an
+      // index-completeness bit (codes rows == corpus vectors).
+      val emb = Tables.embeddings(s, dir)
+      val idx = graft.similarity.AnnIndex.load(s, stagedAnnAppendIndex(s, dir))
+      val queries = graft.similarity.ProductQuantization
+        .normalized(emb.filter(col("vec_id") < 5), "embedding", "nvec")
+        .orderBy(col("vec_id")).select(col("vec_id"), col("nvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val approx = graft.similarity.AnnIndex
+        .searchRefined(idx, emb, queries, k = 10, nProbe = 8, shortlist = 150)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      val counts = broadcast(idx.codes.agg(count(lit(1)).as("n_codes"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_vecs"))))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .crossJoin(counts)
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) * 10 >= col("n_exact") * 6)
+            .as("meets_floor"),
+          (col("n_codes") === col("n_vecs")).as("index_complete"))
+        .orderBy(col("query_id"))
+    }),
     "q190_gopher_line_rules" -> ((s, dir) =>
       // the duplicate-line/paragraph half of Rae et al. Table A1
       // (q184/q185 covered the n-gram half; these rules were documented-
@@ -3090,6 +3124,30 @@ object SparkEntry {
       import s.implicits._
       graft.dedup.DedupStore.purge(
         Seq(Planted.dsBase, Planted.dsBase + 1).toDF("doc_id"), out.toString)
+    }
+    out.toString
+  }
+
+  /** q191's fixture: an ANN index TRAINED on 80% of the corpus (vec_id %
+    * 5 != 4 — modulo-spread, not a contiguous block, so the held-out 20%
+    * covers the whole embedding space) with the remaining 20% APPENDED
+    * through the frozen codebooks (AnnIndex.append — no retraining).
+    * The sentinel file is created LAST (the staging-guard discipline):
+    * any partial staging re-runs from the overwrite.
+    */
+  private def stagedAnnAppendIndex(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ann_append_$key")
+    val done = out.resolve("__append_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.AnnIndex.write(emb.filter(col("vec_id") % 5 =!= 4),
+        out.toString, m = 8, k = 64, nLists = 16, maxIter = 3)
+      val idx = graft.similarity.AnnIndex.load(s, out.toString)
+      graft.similarity.AnnIndex.append(idx, emb.filter(col("vec_id") % 5 === 4),
+        out.toString)
+      java.nio.file.Files.createFile(done)
     }
     out.toString
   }
@@ -6458,6 +6516,13 @@ object SparkEntry {
                 TRUE AS space_variants_near_suppressed,
                 TRUE AS fresh_vocab_survives,
                 TRUE AS verdicts_match_recomputed_hamming""",
+    "q191_ann_index_append" ->
+      // recall-floor + completeness oracle (q183's shape): every query's
+      // grown-index top-10 keeps >= 6/10 exact recall, and the appended
+      // rows are all present
+      """SELECT vec_id AS query_id, TRUE AS meets_floor,
+                TRUE AS index_complete
+         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
     "q190_gopher_line_rules" ->
       // the same five multiline texts rebuilt literally (chr(10) joins —
       // the q185 contract: change BOTH constructions or neither), the

@@ -72,6 +72,29 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$dir/coarse")
   }
 
+  /** Incremental ingest — the [[graft.dedup.DedupStore.append]]
+    * discipline applied to retrieval: encode NEW vectors with the
+    * FROZEN codebooks and coarse quantizer (no retraining — the
+    * codebook/coarse artifacts are immutable after [[write]]) and
+    * append their (vec_id, codes, list_id) rows as new parquet files
+    * under `codes/`. O(batch) work and I/O; the corpus-sized code table
+    * is never rewritten, so a 100 TB index absorbs a crawl increment at
+    * the increment's own cost. The price is quantization drift: vectors
+    * from a distribution the codebooks never saw encode with higher
+    * distortion — the q191 gate holds the recall floor after appending
+    * the corpus's held-out 20%, and a production pipeline would retrain
+    * (full [[write]]) when a drift monitor trips, exactly like periodic
+    * [[graft.dedup.DedupStore.compact]].
+    */
+  def append(index: Loaded, newEmbeddings: DataFrame, dir: String,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ProductQuantization.encode(newEmbeddings, vecCol, index.cb, idCol)
+      .join(ProductQuantization.normalized(newEmbeddings, vecCol, "ann_nvec")
+        .select(col(idCol),
+          Knn.assignList(col("ann_nvec"), index.coarse).as("list_id")),
+        Seq(idCol))
+      .write.mode("append").parquet(s"$dir/codes")
+
   /** Reload the artifacts. The codebook/coarse collects are m·k and
     * nLists rows — KB-sized driver state, the sanctioned sketch collect.
     */

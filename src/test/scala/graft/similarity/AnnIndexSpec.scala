@@ -53,4 +53,45 @@ class AnnIndexSpec extends SparkSpec {
       s"recall floor broken: $hits")
     info(s"per-query top-10 hits at sf0.001: $hits")
   }
+
+  test("append encodes with the frozen codebook; grown index holds recall") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val rest = emb.filter($"vec_id" % 5 === 4)
+    AnnIndex.write(base, dir, m = 8, k = 64, nLists = 16, maxIter = 3)
+    val before = AnnIndex.load(spark, dir)
+    val nBase = before.codes.count()
+    AnnIndex.append(before, rest, dir)
+    val grown = AnnIndex.load(spark, dir)
+    // the code table grew by exactly the batch; model artifacts FROZEN
+    assert(grown.codes.count() === emb.count())
+    assert(nBase === base.count())
+    for (j <- 0 until before.cb.m; c <- 0 until before.cb.k)
+      assert(grown.cb.centroids(j)(c).toSeq === before.cb.centroids(j)(c).toSeq)
+    // appended codes equal a fresh encode under the same frozen codebook
+    val fresh = ProductQuantization.encode(rest, "embedding", before.cb)
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    val stored = grown.codes.join(rest.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select($"vec_id", $"codes").as[(Long, Seq[Int])].collect().toMap
+    assert(stored === fresh)
+    // appended vectors are REACHABLE: searching the grown index with an
+    // appended vector as the query must return it... it's excluded as
+    // self; instead: full-corpus recall floor through the grown index
+    val queries = ProductQuantization
+      .normalized(emb.filter($"vec_id" < 5), "embedding", "nvec")
+      .orderBy($"vec_id").select($"vec_id", $"nvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val approx = AnnIndex
+      .searchRefined(grown, emb, queries, k = 10, nProbe = 8, shortlist = 150)
+      .select($"query_id", $"neighbor_id")
+    val exact = Knn.bruteForce(emb, emb.filter($"vec_id" < 5), k = 10)
+      .select($"query_id", $"neighbor_id")
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(queries.map(_._1).forall(q => hits.getOrElse(q, 0L) >= 6L),
+      s"post-append recall floor broken: $hits")
+    info(s"post-append per-query top-10 hits: $hits")
+  }
 }
