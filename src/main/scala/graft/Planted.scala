@@ -266,4 +266,62 @@ object Planted {
     import s.implicits._
     dedupBatchRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
+
+  /** Planted corpus whose FULL 1023-merge BPE sequence is closed-form
+    * (q192 — the >= 1k-merge tokenizer-training gate; a 1k-round SQL
+    * unroll is infeasible, so the expected merge table must be
+    * GENERATABLE, not replayed).
+    *
+    * Construction: a round-robin 1-factorization of the 62-symbol
+    * alphanumeric alphabet (circle method — the standard all-play-all
+    * tournament schedule). Wave w (w = 0..32) holds 31 two-char tokens,
+    * one per matching pair: {61, w} and {(w+i) mod 61, (w-i) mod 61}
+    * for i = 1..30, each char pair ordered low-index-first and each
+    * token repeated freq_w = 100 - 2w times. Why the merge sequence is
+    * forced:
+    *
+    *   - every unordered char pair occurs in at most one wave (the
+    *     1-factorization property), so each pair's count is exactly its
+    *     wave's freq and merging never alters another pair's count;
+    *   - a merged 2-char token is a single symbol — NO new pairs ever
+    *     arise;
+    *   - within a wave all 31 pairs are symbol-disjoint (a perfect
+    *     matching) and share one count, so the batched selector accepts
+    *     the whole wave in ranked (lft, rgt) order in ONE driver trip,
+    *     stopping at the first next-wave pair (waves reuse the same 62
+    *     chars, so it always interacts) whose strictly smaller count
+    *     bounds the truncation;
+    *   - hence the merge table is: waves in descending freq, each wave
+    *     lexicographic by (lft, rgt) — 33 driver trips, 1023 merges,
+    *     every row generatable by the same modular arithmetic in SQL.
+    *
+    * This exercises the complete-fetch, disjoint-acceptance, tie-held
+    * truncation and wave-boundary paths of [[graft.operators.BpeTrainer
+    * .learnMerges]]; the ORGANIC-interaction equivalence (new-pair
+    * inheritance, prefix shrink near ties) is gated by BpeTrainerSpec's
+    * batched-vs-sequential bit-equality run. q192 trains on this table
+    * alone — a corpus union would entangle the organic pair counts with
+    * the schedule and the sequence would no longer be closed-form.
+    */
+  val bpe1kBase = 940000000L
+
+  private val bpeAlphabet =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+  def bpe1kRows: Seq[(Long, String, String, String, Long)] =
+    for {
+      w <- 0 until 33
+      i <- 0 until 31
+    } yield {
+      val (a, b) =
+        if (i == 0) (61, w) else ((w + i) % 61, (w - i + 61) % 61)
+      val tok = s"${bpeAlphabet(math.min(a, b))}${bpeAlphabet(math.max(a, b))}"
+      val text = Seq.fill(100 - 2 * w)(tok).mkString(" ")
+      (bpe1kBase + w * 31 + i, text, "planted", "planted", text.length.toLong)
+    }
+
+  def bpe1kDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bpe1kRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
 }

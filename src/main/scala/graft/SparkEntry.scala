@@ -2959,6 +2959,21 @@ object SparkEntry {
           (col("verdict") === "near_dup_vs_store") === (col("mh") <= 3)))
           .as("verdicts_match_recomputed_hamming"))
     }),
+    "q192_bpe_merges1k" -> ((s, dir) =>
+      // tokenizer training is NOT toy-bounded: 1023 merges through the
+      // REAL batched trainer (q181 proved 64). The corpus is the
+      // Planted.bpe1kRows round-robin 1-factorization, whose full merge
+      // sequence is closed-form (33 waves of 31 symbol-disjoint
+      // equal-count pairs, strictly decreasing count across waves), so
+      // the oracle GENERATES all 1023 expected rows from the same
+      // modular arithmetic — no 1k-round unroll. The batched selector
+      // takes one driver trip per wave (33 total); organic-interaction
+      // bit-equality vs the sequential trainer is BpeTrainerSpec's
+      // batched-vs-batchLimit=1 run. Planted-only by necessity: a
+      // corpus union would entangle organic pair counts with the
+      // schedule and the sequence would stop being closed-form.
+      graft.operators.BpeTrainer.learnMerges(
+        Planted.bpe1kDocs(s), nMerges = 1023, batchLimit = 1024)),
     "q191_ann_index_append" -> ((s, dir) => {
       // INCREMENTAL ANN: the staged index is trained on 80% of the
       // corpus and the held-out 20% is APPENDED through the frozen
@@ -6516,6 +6531,32 @@ object SparkEntry {
                 TRUE AS space_variants_near_suppressed,
                 TRUE AS fresh_vocab_survives,
                 TRUE AS verdicts_match_recomputed_hamming""",
+    "q192_bpe_merges1k" ->
+      // the 1023 expected merges generated from the construction's own
+      // modular arithmetic: wave w = circle-method matching ({61, w} and
+      // {(w+i) mod 61, (w-i) mod 61}), count 100-2w, global order =
+      // wave (count desc) then (left, right) binary-lexicographic
+      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
+              w AS (SELECT unnest(range(0, 33)) AS w),
+              p AS (SELECT w.w, i.i,
+                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
+                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS lo,
+                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
+                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS hi
+                    FROM w, i),
+              n AS (SELECT w,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(lo AS INT) + 1, 1) AS lft,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(hi AS INT) + 1, 1) AS rgt,
+                      CAST(100 - 2 * w AS BIGINT) AS pair_count
+                    FROM p)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
+                  AS round,
+                lft AS "left", rgt AS "right", pair_count
+         FROM n ORDER BY round""",
     "q191_ann_index_append" ->
       // recall-floor + completeness oracle (q183's shape): every query's
       // grown-index top-10 keeps >= 6/10 exact recall, and the appended

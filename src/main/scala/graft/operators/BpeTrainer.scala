@@ -79,8 +79,14 @@ object BpeTrainer {
     *    would be an existing pair sharing a symbol — a contradiction) and
     *    the whole list is safe.
     */
+  /** `onBatch(tripIndex, acceptedCount)` fires once per driver
+    * round-trip (after acceptance, before the merge is applied) — the
+    * round-13 acceptance-curve instrumentation (FunnelAudit --op=bpe);
+    * the default is a no-op and the result is callback-independent.
+    */
   def learnMerges(documents: DataFrame, textCol: String = "text",
-                  nMerges: Int = 8, batchLimit: Int = 64): DataFrame = {
+                  nMerges: Int = 8, batchLimit: Int = 64,
+                  onBatch: (Int, Int) => Unit = (_, _) => ()): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     require(batchLimit >= 1, "batchLimit must be >= 1")
     val spark = documents.sparkSession
@@ -89,7 +95,9 @@ object BpeTrainer {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var done = false
     var r = 1
+    var trip = 0
     while (r <= nMerges && !done) {
+      trip += 1
       val top = words
         .select(col("freq"),
           expr("split(trim(BOTH '<>' FROM enc), '><')").as("s"))
@@ -121,6 +129,7 @@ object BpeTrainer {
         if (!stopped && !complete) cBound = top.last._3 // unseen pairs <= this
         val safe = (accepted.head +: accepted.tail.takeWhile(_._3 > cBound))
           .take(nMerges - r + 1)
+        onBatch(trip, safe.length)
         safe.foreach { case (l, rt, c) => merges += ((r, l, rt, c)); r += 1 }
         val newEnc = safe.foldLeft(col("enc")) { case (e, (l, rt, _)) =>
           replace(e, lit(s"<$l><$rt>"), lit(s"<$l$rt>"))

@@ -61,6 +61,27 @@ object FunnelAudit {
           s""""smj":${n("SortMergeJoin")},"shj":${n("ShuffledHashJoin")},""" +
           f""""stats_sec":$tF%.1f,"ce_sec":$tCe%.2f,"ce_sec2":$tCe2%.2f}""")
       }
+      if (ops("bpe")) {
+        // the round-13 tokenizer-training cost curve: 1000 merges on the
+        // ORGANIC corpus (or to pair-table exhaustion on small vocabs),
+        // with the batched selector's acceptance per driver trip — the
+        // curve that shows how batch acceptance behaves as counts
+        // flatten into ties (dominance prefix shrinking toward 1)
+        val trips = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val t0 = System.nanoTime()
+        val merges = graft.operators.BpeTrainer.learnMerges(
+          Tables.documents(spark, dir), nMerges = 1000, batchLimit = 1024,
+          onBatch = (_, n) => trips += n).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val a = trips.toSeq
+        val deciles = if (a.isEmpty) Seq.empty
+          else (0 to 9).map(d => a((a.length - 1) * d / 9))
+        println(s"""{"dir":"$dir","op":"bpe","n_merges":$merges,""" +
+          s""""n_trips":${a.length},"accepted_per_trip":[${deciles.mkString(",")}],""" +
+          s""""min_accepted":${if (a.isEmpty) 0 else a.min},""" +
+          s""""max_accepted":${if (a.isEmpty) 0 else a.max},""" +
+          f""""sec":$sec%.1f}""")
+      }
       if (ops("editdist")) {
         val t0 = System.nanoTime()
         val ed = graft.dedup.EditDistanceJoin

@@ -74,4 +74,35 @@ class BpeTrainerSpec extends SparkSpec {
     assert(run(64) === sequential)
     assert(run(5) === sequential) // mid-size batches hit the truncation path
   }
+
+  test("organic corpus: batched == sequential deep into the flat-count tail") {
+    // the q192 planted gate proves 1023 closed-form merges; THIS is the
+    // organic-interaction half — real sf0.001 text run far past the point
+    // where counts flatten into ties (the regime where the dominance
+    // prefix shrinks toward 1), batchLimit=1024 vs the batchLimit=1
+    // sequential algorithm, bit-equal including round numbering.
+    // sf0.001's ~30-word vocabulary exhausts its pair table at 89
+    // merges — run both trainers to exhaustion and compare the FULL
+    // sequence, tail ties and all
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    def run(limit: Int) = BpeTrainer
+      .learnMerges(docs, nMerges = 200, batchLimit = limit)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = run(1)
+    assert(sequential.size >= 80, s"expected exhaustion near 89 merges, got ${sequential.size}")
+    assert(run(1024) === sequential)
+  }
+
+  test("planted 1k schedule: one driver trip per wave, 31 accepted each") {
+    val trips = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val merges = BpeTrainer.learnMerges(graft.Planted.bpe1kDocs(spark),
+      nMerges = 1023, batchLimit = 1024, onBatch = (t, n) => trips += ((t, n)))
+      .collect()
+    assert(merges.length === 1023)
+    assert(trips.toSeq === (1 to 33).map(t => (t, 31)))
+    // counts descend in waves of 31, from 100 down to 36
+    val counts = merges.map(_.getLong(3))
+    assert(counts.grouped(31).zipWithIndex.forall {
+      case (g, w) => g.forall(_ == 100L - 2 * w) })
+  }
 }
