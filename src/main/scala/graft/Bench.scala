@@ -425,15 +425,19 @@ object Bench {
     // success so far) — a lucky fast run must not license a slow
     // overshoot (round-10 advice).
     // in-leg contention sentinel: loadavg is free to read at every query
-    // boundary; when the 1-min average exceeds 8 (the r13 melt read 17) the
-    // q03 probe adjudicates — with a 12-query cooldown so a hot-but-probe-
-    // healthy host doesn't pay ~3.5 s of canary per query
+    // boundary; when the 1-min average exceeds 12 the q03 probe
+    // adjudicates — with a 20-query cooldown so a hot-but-probe-healthy
+    // host doesn't pay ~3.5 s of canary per query. Threshold calibration
+    // (round-14 first run): the suite's OWN 32-thread bursts hold 1-min
+    // loadavg at 5-8 (15 sentinel probes fired at >8, every one passed
+    // 1.3-1.7 s), while the r13 melt read 17-19 — 12 separates self-load
+    // from a genuine melt.
     var runCounter = 0
     var lastProbeAt = -1000
     def sentinel(tag: String): Unit = {
       runCounter += 1
-      if (!contended && runCounter - lastProbeAt >= 12 &&
-          (try loadavg.split(" ").head.toDouble > 8.0 catch { case _: Exception => false })) {
+      if (!contended && runCounter - lastProbeAt >= 20 &&
+          (try loadavg.split(" ").head.toDouble > 12.0 catch { case _: Exception => false })) {
         lastProbeAt = runCounter
         probeGate(tag)
       }

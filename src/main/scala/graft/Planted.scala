@@ -267,6 +267,68 @@ object Planted {
     dedupBatchRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Planted LINEARLY SEPARABLE labeled set whose batch-perceptron
+    * training run ([[graft.operators.QualityTrainer]]) is CLOSED-FORM
+    * (the q192 closed-form-schedule trick applied to classifier
+    * training):
+    *
+    *  - 20 positive docs (lang `qpos`): 8 exclusive unigrams
+    *    `qp{g}x0..7`, the shared token `qsh`, then `qp{g}r` repeated
+    *    (1 + g%3) times (count-2/3 features);
+    *  - 20 negative docs (lang `qneg`): the mirrored `qn…` construction.
+    *
+    * Schedule: round 1 (w=0, every margin 0) misclassifies exactly the
+    * positives → w1 = positive gram counts; round 2 gives every negative
+    * margin = w1[qsh] = 20 > 0 (its exclusive grams have weight 0, its
+    * bigrams containing qsh differ from the positives' by their flanking
+    * token) → misclassifies exactly the negatives → w2 = posCount −
+    * negCount per feature; round 3 finds every doc correct (`qsh` nets
+    * 20−20 = 0, each doc's exclusive grams give margin ±Σcnt² ≠ 0) and
+    * the loop stops. Final weights per feature hash:
+    * `posCount(f) − negCount(f)` — one SQL aggregation. The 754 distinct
+    * grams of the construction are verified pairwise collision-free
+    * under the rolling-31 mod-1000003 hash (PlantedSpec), which makes
+    * the schedule argument exact rather than probabilistic.
+    *
+    * [[qualityEvalRows]] is the HELD-OUT set: doc e mixes the first
+    * a(e) positive-class and b(e) negative-class unigrams of group e
+    * ((a,b) alternate pos-heavy/neg-heavy), so trained-weight inference
+    * exercises both keep decisions plus absent-feature (cross-class
+    * boundary bigram) handling.
+    */
+  val qtBase = 940000000L
+
+  def qualityTrainRows: Seq[(Long, String, String, String, Long)] = {
+    def doc(off: Long, p: String, lang: String, g: Int) = {
+      val toks = (0 until 8).map(j => s"$p${g}x$j") ++ Seq("qsh") ++
+        Seq.fill(1 + g % 3)(s"$p${g}r")
+      val text = toks.mkString(" ")
+      (qtBase + off + g, text, lang, "planted", text.length.toLong)
+    }
+    (0 until 20).map(g => doc(0L, "qp", "qpos", g)) ++
+      (0 until 20).map(g => doc(100L, "qn", "qneg", g))
+  }
+
+  def qualityEvalRows: Seq[(Long, String, String, String, Long)] =
+    (0 until 10).map { e =>
+      val a = if (e % 2 == 0) 4 + e % 3 else 1 + e % 3
+      val b = if (e % 2 == 0) 1 + e % 3 else 4 + e % 3
+      val toks = (0 until a).map(j => s"qp${e}x$j") ++
+        (0 until b).map(j => s"qn${e}x$j")
+      val text = toks.mkString(" ")
+      (qtBase + 200L + e, text, "qeval", "planted", text.length.toLong)
+    }
+
+  def qualityTrainDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    qualityTrainRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  def qualityEvalDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    qualityEvalRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Planted corpus whose FULL 1023-merge BPE sequence is closed-form
     * (q192 — the >= 1k-merge tokenizer-training gate; a 1k-round SQL
     * unroll is infeasible, so the expected merge table must be

@@ -3008,8 +3008,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
       val exact = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      // approx_n rides beside approx_min: min(cosine) over an UNDER-FULL
+      // result set (probed lists under-populated after append) would bias
+      // the floor upward and pass trivially — quality_floor only means
+      // "as good as exact" when the grown index actually returned all k
       val approxMin = approx.groupBy(col("query_id"))
-        .agg(min(col("cosine")).as("approx_min"))
+        .agg(min(col("cosine")).as("approx_min"),
+          count(lit(1)).as("n_approx"))
       val strongMissed = exact.filter(col("cosine") >= 0.9)
         .join(approx.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_anti")
@@ -3023,6 +3028,7 @@ object SparkEntry {
         .select(col("query_id"),
           (coalesce(col("approx_min"), lit(-1.0)) >= col("exact_min") - 0.05)
             .as("quality_floor"),
+          coalesce(col("n_approx"), lit(0L)).===(10L).as("full_k"),
           coalesce(col("n_strong_missed"), lit(0L)).===(0L)
             .as("strong_recovered"),
           (col("n_codes") === col("n_vecs")).as("index_complete"))
@@ -3089,8 +3095,155 @@ object SparkEntry {
       // dedup.SoftDedup.
       graft.dedup.SoftDedup.massProfile(
         Parallelize.ensure(Tables.documents(s, dir))
-          .unionByName(Planted.docs(s))))
+          .unionByName(Planted.docs(s)))),
+    "q193_ann_index_purge" -> ((s, dir) => {
+      // GDPR-delete THROUGH the ANN index (composes q189's erasure
+      // verdicts with q191's quality floor): the staged index is built on
+      // the FULL corpus, then each query's exact top-2 organic neighbors
+      // (vec_id >= 5, so queries stay in the corpus) are PURGED —
+      // AnnIndex.purge, an O(ids) tombstone append that load() subtracts
+      // at read time; codes/ is never rewritten. Per-query bits:
+      //  - purge_tested: >= 1 purged id sits in the query's exact
+      //    FULL-corpus top-10 (the purge set would otherwise be returned
+      //    — non-vacuity, by construction of the staging);
+      //  - no_purged_returned: the loaded index returns ZERO purged ids
+      //    (the erased vectors are unreachable, merge-on-read);
+      //  - quality_floor + full_k: the post-purge top-10 holds q191's
+      //    distance-ratio floor against exact search over the REMAINING
+      //    corpus with all k rows present — ranks close up correctly;
+      //  - index_complete: visible codes == corpus minus purged.
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = stagedAnnPurgeIndex(s, dir)
+      val idx = graft.similarity.AnnIndex.load(s, idxDir)
+      val purged = s.read.parquet(s"$idxDir/tombstones")
+      val queries = graft.similarity.ProductQuantization
+        .normalized(emb.filter(col("vec_id") < 5), "embedding", "nvec")
+        .orderBy(col("vec_id")).select(col("vec_id"), col("nvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      val approx = graft.similarity.AnnIndex
+        .searchRefined(idx, emb, queries, k = 10, nProbe = 10, shortlist = 250)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      val remaining = emb.join(purged, emb("vec_id") === purged("purged_id"),
+        "left_anti")
+      val exactRem = Knn.bruteForce(remaining, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("cosine"))
+      val exactFull = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val tested = exactFull
+        .join(purged, exactFull("neighbor_id") === purged("purged_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_would_return"))
+      val leaked = approx
+        .join(purged, approx("neighbor_id") === purged("purged_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_leaked"))
+      val approxMin = approx.groupBy(col("query_id"))
+        .agg(min(col("cosine")).as("approx_min"), count(lit(1)).as("n_approx"))
+      val counts = broadcast(idx.codes.agg(count(lit(1)).as("n_codes"))
+        .crossJoin(emb.agg(count(lit(1)).as("n_vecs")))
+        .crossJoin(purged.agg(countDistinct(col("purged_id")).as("n_purged"))))
+      exactRem.groupBy(col("query_id")).agg(min(col("cosine")).as("exact_min"))
+        .join(tested, Seq("query_id"), "left")
+        .join(leaked, Seq("query_id"), "left")
+        .join(approxMin, Seq("query_id"), "left")
+        .crossJoin(counts)
+        .select(col("query_id"),
+          coalesce(col("n_would_return"), lit(0L)).>=(1L).as("purge_tested"),
+          coalesce(col("n_leaked"), lit(0L)).===(0L).as("no_purged_returned"),
+          (coalesce(col("approx_min"), lit(-1.0)) >= col("exact_min") - 0.05)
+            .as("quality_floor"),
+          coalesce(col("n_approx"), lit(0L)).===(10L).as("full_k"),
+          (col("n_codes") === col("n_vecs") - col("n_purged")).as("index_complete"))
+        .orderBy(col("query_id"))
+    }),
+    "q195_gopher_line_organic" -> ((s, dir) => {
+      // ORGANIC multiline corpus for the line/paragraph rules — q190
+      // gates the five planted shapes; this gate proves the same kernel
+      // on corpus-DERIVED text whose size grows with the corpus at every
+      // scale. Construction (replayed literally by the oracle): documents
+      // group by doc_id % 50; each group's texts, ordered by doc_id, are
+      // joined with '\n' (every 3rd boundary '\n\n', so paragraphs are
+      // non-trivial runs) and the group's FIRST text is appended once
+      // more after a final '\n' — exactly one duplicated line per group,
+      // so the dup numerators are non-vacuous organically. The kernel
+      // then runs per group-doc (single-pass, map-only); one 50-row agg
+      // feeds the report. n_lines per group = corpus/50, so the gate's
+      // text volume scales 1:1 with the corpus.
+      val docs = Parallelize.ensure(Tables.documents(s, dir))
+        .filter(length(col("text")) > 0)
+      val grouped = docs
+        .select((col("doc_id") % 50).as("g"), col("doc_id").as("i"),
+          col("text").as("t"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("i"), col("t")))).as("arr"))
+        .select(col("g").cast("long").as("doc_id"),
+          concat(
+            array_join(transform(col("arr"), (x, i) =>
+              concat(when(i === 0, lit(""))
+                .when(i % 3 === 0, lit("\n\n"))
+                .otherwise(lit("\n")), x.getField("t"))), ""),
+            lit("\n"), element_at(col("arr"), 1).getField("t")).as("text"),
+          lit("organic").as("lang"))
+      graft.operators.GopherRepetition.lineStats(grouped)
+        .drop("lang")
+        .orderBy(col("doc_id"))
+    }),
+    "q194_quality_train" -> ((s, dir) => {
+      // classifier training IN-ENGINE: q155 ships fixed hashed weights;
+      // a real pipeline trains them. The batch perceptron
+      // (operators.QualityTrainer — sum-form update, order-independent,
+      // exact integers) runs to convergence on the planted linearly
+      // separable set, staged once per JVM (training is
+      // corpus-independent: planted-only, the q192 precedent — a corpus
+      // union would entangle the closed-form schedule). The oracle
+      // derives the converged weights CLOSED-FORM as
+      // posCount(f) − negCount(f) per feature hash — valid because the
+      // construction pins the 3-round schedule (proof + collision-free
+      // hash audit in Planted.qualityTrainRows / PlantedSpec).
+      s.read.parquet(stagedQualityWeights(s)).orderBy(col("feat"))
+    }),
+    "q196_quality_trained_score" -> ((s, dir) => {
+      // inference under the TRAINED weight table — the decision surface
+      // q161/q162 consume, now backed by learned weights instead of the
+      // hash projection: the HELD-OUT eval docs (never seen in training;
+      // pos/neg vocab mixtures with cross-class boundary bigrams that
+      // are absent from the table and must score 0) run through
+      // QualityTrainer.scoreWith — same gram extraction as q155, one
+      // vocab-keyed join, one per-doc sum. The oracle rebuilds the
+      // trained table closed-form and replays the join per eval doc.
+      graft.operators.QualityTrainer.scoreWith(
+          Planted.qualityEvalDocs(s),
+          s.read.parquet(stagedQualityWeights(s)))
+        .orderBy(col("doc_id"))
+    }),
+    "q197_bpe_distilled_1k" -> ((s, dir) =>
+      // the 32k-regime trainer shape (BpeTrainer.learnMergesDistilled):
+      // one distributed corpus pass distills the vocab-sized word table,
+      // then the merge loop runs driver-side with per-word incremental
+      // recompute — ZERO cluster trips per merge (q192's batched path
+      // takes one per wave; its acceptance is provably maximal for
+      // single-list batching, so the regime fix is distillation, not a
+      // bigger batch). Gate: the full 1023-merge closed-form schedule of
+      // the q192 construction, hash-exact through THIS path — same
+      // oracle, so the two trainers are pinned to the same sequence.
+      graft.operators.BpeTrainer.learnMergesDistilled(
+        Planted.bpe1kDocs(s), nMerges = 1023))
   )
+
+  /** q194/q196's fixture: the trained quality-classifier weight table,
+    * staged ONCE per JVM/tmp lifetime (training input is the planted
+    * labeled set only — no sf-dir dependence, so no FixtureKey). The
+    * `_SUCCESS` marker is parquet's own, written last by the committer.
+    */
+  private def stagedQualityWeights(s: SparkSession): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_qtrain_weights")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val labeled = Planted.qualityTrainDocs(s)
+        .withColumn("label", when(col("lang") === "qpos", 1L).otherwise(-1L))
+      graft.operators.QualityTrainer.train(labeled)
+        .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
 
   /** q77's planted-pair fixture, shared with SimHashBlockingSpec so the
     * spec's non-vacuity checks guard the exact corpus the query gates:
@@ -3182,6 +3335,35 @@ object SparkEntry {
       val idx = graft.similarity.AnnIndex.load(s, out.toString)
       graft.similarity.AnnIndex.append(idx, emb.filter(col("vec_id") % 5 === 4),
         out.toString)
+      java.nio.file.Files.createFile(done)
+    }
+    out.toString
+  }
+
+  /** q193's fixture: an ANN index built on the FULL corpus, then the
+    * exact top-2 organic neighbors (vec_id >= 5 — queries stay in the
+    * corpus) of each of the five gate queries PURGED via the tombstone
+    * path. The purge set is recorded BY the tombstone table itself — the
+    * gate reads it back for its assertions, so fixture and gate can
+    * never disagree about what was purged. Sentinel created LAST.
+    */
+  private def stagedAnnPurgeIndex(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ann_purge_$key")
+    val done = out.resolve("__purge_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val emb = Tables.embeddings(s, dir)
+      graft.similarity.AnnIndex.write(emb, out.toString,
+        m = 8, k = 64, nLists = 16, maxIter = 3)
+      val victims = Knn.bruteForce(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .filter(col("neighbor_id") >= 5)
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+            .orderBy(col("rank"))))
+        .filter(col("r") <= 2)
+        .select(col("neighbor_id").as("vec_id"))
+      graft.similarity.AnnIndex.purge(victims, out.toString)
       java.nio.file.Files.createFile(done)
     }
     out.toString
@@ -6579,9 +6761,11 @@ object SparkEntry {
          FROM n ORDER BY round""",
     "q191_ann_index_append" ->
       // quality-floor + strong-neighbor + completeness oracle (q183's
-      // shape): approx top-10 within 0.05 cosine of the exact 10th,
-      // every cosine>=0.9 neighbor recovered, appended rows all present
-      """SELECT vec_id AS query_id, TRUE AS quality_floor,
+      // shape): approx top-10 within 0.05 cosine of the exact 10th AND
+      // exactly k=10 rows returned (an under-full result would bias the
+      // min upward), every cosine>=0.9 neighbor recovered, appended rows
+      // all present
+      """SELECT vec_id AS query_id, TRUE AS quality_floor, TRUE AS full_k,
                 TRUE AS strong_recovered, TRUE AS index_complete
          FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
     "q190_gopher_line_rules" ->
@@ -6683,7 +6867,183 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT h.hh) AS BIGINT) AS n_contents,
                 CAST(SUM(tok) AS BIGINT) AS sum_tokens
          FROM h JOIN c ON h.hh = c.hh
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q193_ann_index_purge" ->
+      // property oracle (q189/q191 precedent): the purge set would have
+      // been returned (non-vacuity), is never returned post-purge, and
+      // the remaining ranking holds the distance-ratio floor at full k
+      // over a complete (corpus - purged) index
+      """SELECT vec_id AS query_id, TRUE AS purge_tested,
+                TRUE AS no_purged_returned, TRUE AS quality_floor,
+                TRUE AS full_k, TRUE AS index_complete
+         FROM embeddings WHERE vec_id < 5 ORDER BY vec_id""",
+    "q195_gopher_line_organic" ->
+      // the 50 group texts rebuilt literally (string_agg ordered by
+      // doc_id, every 3rd boundary a blank line, first text re-appended
+      // — the q185/q190 contract: change BOTH constructions or neither),
+      // then the same pinned conventions as q190's replay: literal
+      // splits, empty segments out, no trim, len() = raw characters
+      """WITH d AS (SELECT doc_id % 50 AS g, text,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id % 50
+                                         ORDER BY doc_id) - 1 AS pos
+                    FROM documents WHERE len(text) > 0),
+              t AS (SELECT g, string_agg(
+                      CASE WHEN pos = 0 THEN ''
+                           WHEN pos % 3 = 0 THEN chr(10) || chr(10)
+                           ELSE chr(10) END || text, ''
+                      ORDER BY pos) AS body,
+                      arg_min(text, pos) AS head
+                    FROM d GROUP BY g),
+              f AS (SELECT g AS doc_id, body || chr(10) || head AS text
+                    FROM t),
+              l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS seg
+                    FROM f),
+              lc AS (SELECT doc_id, seg, COUNT(*) AS c, len(seg) AS ln
+                     FROM l WHERE len(seg) > 0 GROUP BY 1, 2),
+              la AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+                       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup_lines,
+                       CAST(SUM(c * ln) AS BIGINT) AS line_chars,
+                       CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END)
+                            AS BIGINT) AS dup_line_chars
+                     FROM lc GROUP BY 1),
+              p AS (SELECT doc_id,
+                      unnest(string_split(text, chr(10) || chr(10))) AS seg
+                    FROM f),
+              pc AS (SELECT doc_id, seg, COUNT(*) AS c, len(seg) AS ln
+                     FROM p WHERE len(seg) > 0 GROUP BY 1, 2),
+              pa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+                       CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                         AS dup_paras,
+                       CAST(SUM(c * ln) AS BIGINT) AS para_chars,
+                       CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END)
+                            AS BIGINT) AS dup_para_chars
+                     FROM pc GROUP BY 1)
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, dup_lines,
+                line_chars, dup_line_chars,
+                n_paras, dup_paras, para_chars, dup_para_chars
+         FROM la JOIN pa USING (doc_id) ORDER BY doc_id""",
+    "q194_quality_train" ->
+      // the converged perceptron weights CLOSED-FORM: the construction's
+      // 3-round schedule (Planted.qualityTrainRows scaladoc) ends at
+      // w[f] = posCount(f) - negCount(f) = SUM(label) over gram
+      // occurrences grouped by the q155 feature hash; zero rows dropped
+      """WITH docs AS (
+           SELECT 1 AS label,
+                  array_to_string(
+                    [concat('qp', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qp', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT -1 AS label,
+                  array_to_string(
+                    [concat('qn', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qn', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)),
+         t AS (SELECT label,
+                 [x for x in string_split_regex(trim(text), ' +')
+                  if length(x) > 0] AS tk
+               FROM docs),
+         g AS (SELECT label, list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+               FROM t),
+         o AS (SELECT label, unnest(grams) AS gm FROM g),
+         h AS (SELECT label,
+                 CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                   (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+               FROM o)
+         SELECT feat, CAST(SUM(label) AS BIGINT) AS weight
+         FROM h GROUP BY 1 HAVING SUM(label) <> 0 ORDER BY feat""",
+    "q196_quality_trained_score" ->
+      // the trained table rebuilt closed-form (q194's CTE chain), then
+      // each held-out eval doc's grams joined against it — absent
+      // features (cross-class boundary bigrams) contribute 0, docs with
+      // no matched feature score 0
+      """WITH docs AS (
+           SELECT 1 AS label,
+                  array_to_string(
+                    [concat('qp', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qp', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT -1 AS label,
+                  array_to_string(
+                    [concat('qn', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qn', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)),
+         t AS (SELECT label,
+                 [x for x in string_split_regex(trim(text), ' +')
+                  if length(x) > 0] AS tk
+               FROM docs),
+         g AS (SELECT label, list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+               FROM t),
+         o AS (SELECT label, unnest(grams) AS gm FROM g),
+         hw AS (SELECT label,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM o),
+         w AS (SELECT feat, CAST(SUM(label) AS BIGINT) AS weight
+               FROM hw GROUP BY 1 HAVING SUM(label) <> 0),
+         ev AS (SELECT 940000200 + e AS doc_id,
+                  array_to_string(
+                    [concat('qp', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
+                    [concat('qn', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 1 + e % 3 ELSE 4 + e % 3 END)],
+                    ' ') AS text
+                FROM (SELECT unnest(range(0, 10)) AS e)),
+         et AS (SELECT doc_id,
+                  [x for x in string_split_regex(trim(text), ' +')
+                   if length(x) > 0] AS tk
+                FROM ev),
+         eg AS (SELECT doc_id, list_concat(tk,
+                  [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+                FROM et),
+         eo AS (SELECT doc_id, unnest(grams) AS gm FROM eg),
+         eh AS (SELECT doc_id,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM eo),
+         m AS (SELECT eh.doc_id, SUM(w.weight) AS mm
+               FROM eh JOIN w USING (feat) GROUP BY 1)
+         SELECT CAST(ev.doc_id AS BIGINT) AS doc_id,
+                CAST(coalesce(m.mm, 0) AS BIGINT) AS margin_units,
+                coalesce(m.mm, 0) > 0 AS kept
+         FROM ev LEFT JOIN m ON ev.doc_id = m.doc_id
+         ORDER BY doc_id""",
+    "q197_bpe_distilled_1k" ->
+      // q192's generated closed-form schedule verbatim — both trainers
+      // must produce the identical 1023-merge sequence
+      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
+              w AS (SELECT unnest(range(0, 33)) AS w),
+              p AS (SELECT w.w, i.i,
+                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
+                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS lo,
+                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
+                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS hi
+                    FROM w, i),
+              n AS (SELECT w,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(lo AS INT) + 1, 1) AS lft,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(hi AS INT) + 1, 1) AS rgt,
+                      CAST(100 - 2 * w AS BIGINT) AS pair_count
+                    FROM p)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
+                  AS round,
+                lft AS "left", rgt AS "right", pair_count
+         FROM n ORDER BY round"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

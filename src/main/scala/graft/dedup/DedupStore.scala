@@ -67,6 +67,7 @@ object DedupStore {
     * chooses to pay O(store) once.
     */
   def load(spark: SparkSession, dir: String): Store = {
+    healSwap(dir, "hashes"); healSwap(dir, "simhashes")
     val hashes = spark.read.parquet(s"$dir/hashes")
     val sims = spark.read.parquet(s"$dir/simhashes")
     val tomb = java.nio.file.Paths.get(dir, "tombstones")
@@ -88,6 +89,15 @@ object DedupStore {
     * the corpus-sized hash/signature files are NEVER rewritten (the
     * [[append]] discipline). Idempotent: re-purging an id adds a
     * redundant tombstone row that the read-time anti-join absorbs.
+    *
+    * CONTRACT: `ids` must be CANONICAL ids — the store keys all state by
+    * the canonical representative ([[write]]/[[append]] persist only
+    * canonical rows), so purging a non-canonical duplicate's doc_id is a
+    * silent no-op (its hash row lives under another canonical_id), and
+    * purging a canonical id erases suppression for that CONTENT — which
+    * is the point of erasure, but callers mapping a GDPR request must
+    * first resolve the requested doc to its canonical id (an O(1) hash
+    * lookup against `hashes` given the doc's text).
     */
   def purge(ids: DataFrame, dir: String, idCol: String = "doc_id"): Unit =
     ids.select(col(idCol).cast("long").as("purged_id")).distinct()
@@ -95,29 +105,49 @@ object DedupStore {
 
   /** Fold the tombstone set into the base tables — the maintenance op
     * that amortizes many O(k) purges into one O(store) rewrite. Crash
-    * safety is ORDER, not locking: staging copies of both filtered
-    * tables are fully written first, then each live table is swapped,
-    * and the tombstone set is dropped LAST — at every intermediate
-    * crash point a reader sees either the tombstoned rows still
-    * present + the tombstone set (anti-join removes them) or already
-    * absent + the tombstone set (anti-join is a no-op). Never a state
-    * where purged rows are visible without their tombstones.
+    * safety is ORDER plus a recoverable swap: staging copies of both
+    * filtered tables are fully written first, then each live table is
+    * renamed aside (`<name>_old`), its staging renamed in, the leftover
+    * deleted, and the tombstone set is dropped LAST — at every
+    * intermediate crash point a reader sees either the tombstoned rows
+    * still present + the tombstone set (anti-join removes them) or
+    * already absent + the tombstone set (anti-join is a no-op), and
+    * [[load]]/[[compact]] self-heal the one window where a live dir is
+    * mid-rename (staging complete, live absent) by finishing the move.
+    * Never a state where purged rows are visible without their
+    * tombstones, and never a state load() cannot read.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
     val tomb = java.nio.file.Paths.get(dir, "tombstones")
     if (!java.nio.file.Files.exists(tomb.resolve("_SUCCESS"))) return
-    val st = load(spark, dir) // already tombstone-filtered
+    val st = load(spark, dir) // already tombstone-filtered (and swap-healed)
     st.hashes.write.mode("overwrite").parquet(s"$dir/hashes_staging")
     st.simhashes.write.mode("overwrite").parquet(s"$dir/simhashes_staging")
-    def swap(name: String): Unit = {
-      val live = java.nio.file.Paths.get(dir, name)
-      val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
-      deleteRecursively(live)
-      java.nio.file.Files.move(staging, live)
-    }
-    swap("hashes")
-    swap("simhashes")
+    swapIn(dir, "hashes")
+    swapIn(dir, "simhashes")
     deleteRecursively(tomb)
+  }
+
+  private def swapIn(dir: String, name: String): Unit = {
+    val live = java.nio.file.Paths.get(dir, name)
+    val old = java.nio.file.Paths.get(dir, s"${name}_old")
+    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
+    deleteRecursively(old) // stale leftover from a crash after a past swap
+    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(staging, live)
+    deleteRecursively(old)
+  }
+
+  /** Finish a swap a crash interrupted: live dir absent but a complete
+    * staging copy present -> move it in. Also clears any `_old` leftover.
+    */
+  private def healSwap(dir: String, name: String): Unit = {
+    val live = java.nio.file.Paths.get(dir, name)
+    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
+    if (!java.nio.file.Files.exists(live) &&
+        java.nio.file.Files.exists(staging.resolve("_SUCCESS")))
+      java.nio.file.Files.move(staging, live)
+    deleteRecursively(java.nio.file.Paths.get(dir, s"${name}_old"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {

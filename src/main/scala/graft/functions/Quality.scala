@@ -57,6 +57,40 @@ object QualityKernels {
 
   private def weightOf(h: Long): Long = (h % NW) - 1000L
 
+  /** All hashed gram ids, ONE PER OCCURRENCE (unigrams then, interleaved,
+    * the bigram ending at each token) — the training-side view of exactly
+    * the feature space [[qualityMargin]] scores:
+    * `qualityMargin(t) == qualityFeatures(t).map(weightOf).sum` by
+    * construction (same tokenizer loop, same rolling hash). The trainer
+    * ([[graft.operators.QualityTrainer]]) aggregates these ids into
+    * (feature, count) rows; inference under TRAINED weights joins the
+    * same ids against the weight table.
+    */
+  def qualityFeatures(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && str.charAt(i) != ' ') i += 1
+      if (i > start) {
+        buf += hashRange(str, start, i, -1L)
+        if (prevStart >= 0) {
+          var h = hashRange(str, prevStart, prevEnd, -1L)
+          h = step(h, ' ')
+          buf += hashRange(str, start, i, h)
+        }
+        prevStart = start
+        prevEnd = i
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.toArray)
+  }
+
   /** Integer margin of the hashed unigram+bigram linear scorer. */
   def qualityMargin(s: UTF8String): Long = {
     val str = s.toString
@@ -97,10 +131,25 @@ case class QualityMarginExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `quality_features(text) → array<bigint>`: codegen'd gram-id extractor. */
+case class QualityFeaturesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quality_features"
+  override protected def nullSafeEval(input: Any): Any =
+    QualityKernels.qualityFeatures(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.QualityKernels.qualityFeatures($c)")
+  override protected def withNewChildInternal(newChild: Expression): QualityFeaturesExpr =
+    copy(child = newChild)
+}
+
 object QualityExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
   def qualityMargin(c: Column): Column = column(QualityMarginExpr(expression(c)))
+
+  def qualityFeatures(c: Column): Column = column(QualityFeaturesExpr(expression(c)))
 
   /** Register `quality_margin` for spark.sql(...) use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -38,12 +38,15 @@ object BpeTrainer {
     * contract, mirrored by the oracle) — they would make the wrapped
     * encoding ambiguous.
     */
-  private def wordTable(documents: DataFrame, textCol: String): DataFrame =
+  private def rawWordTable(documents: DataFrame, textCol: String): DataFrame =
     documents
       .select(explode(split(trim(col(textCol)), " +")).as("token"))
       .filter(length(col("token")) > 0
         && !col("token").contains("<") && !col("token").contains(">"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+
+  private def wordTable(documents: DataFrame, textCol: String): DataFrame =
+    rawWordTable(documents, textCol)
       .select(regexp_replace(col("token"), "(.)", "<$1>").as("enc"), col("freq"))
 
   /** The ordered merge table: (round, left, right, pair_count), one row
@@ -142,6 +145,148 @@ object BpeTrainer {
       }
     }
     release()
+    import spark.implicits._
+    merges.result().toDF("round", "left", "right", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** DISTILLED training — the production shape for the 32k-merge regime.
+    *
+    * [[learnMerges]]' batched selector costs one driver trip per
+    * accepted WAVE, and its acceptance is provably maximal for
+    * single-list batching (everything ranked below the first
+    * interacting pair is bounded by that pair's count, which is exactly
+    * what new pairs created by the accepted prefix can reach — no
+    * further prefix can be accepted without triple/chain context). The
+    * measured organic acceptance is ~3 merges/trip, so a 32k-merge run
+    * extrapolates to ~10k cluster jobs — driver-LATENCY-bound, not
+    * data-bound. But the loop's input was never the corpus: it is the
+    * (distinct word, frequency) table, which for any natural-language
+    * corpus is vocabulary-sized (tens of millions of rows at 100 TB —
+    * GBs, and MBs under the standard min-frequency floor), i.e. the
+    * same sketch-sized state the engine already collects for KMeans
+    * centroids and PQ codebooks. So the production split is: ONE
+    * distributed corpus pass distills the word table (the only part
+    * that scales with data), then the merge loop runs driver-side with
+    * the classic incremental algorithm — per-merge work proportional to
+    * the words CONTAINING the merged pair, zero cluster trips per
+    * merge. This is the architecture shipped tokenizer trainers use
+    * (word-count distillation + in-memory merge loop), re-expressed
+    * with Spark doing the distillation.
+    *
+    * Bit-exactness: same greedy left-to-right non-overlapping merge,
+    * same (count desc, then UTF-8-binary (left, right)) selection — the
+    * affected words are RE-SCANNED per merge (delta = full before/after
+    * pair multiset of the word), which sidesteps every chain/run
+    * corner case (`abab`, `aaaa`) that analytic count deltas get wrong.
+    * BpeTrainerSpec holds bit-equality against [[learnMerges]] to
+    * exhaustion; q197 replays the q192 closed-form 1023-merge schedule
+    * through this path.
+    *
+    * `maxDistinctWords` is the fail-fast driver-memory guard (the
+    * RollingWindow 2^20 precedent): above it, callers must use
+    * [[learnMerges]] or raise the min-frequency floor upstream.
+    */
+  def learnMergesDistilled(documents: DataFrame, textCol: String = "text",
+                           nMerges: Int = 8,
+                           maxDistinctWords: Int = 1 << 22): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = documents.sparkSession
+    val rows = rawWordTable(documents, textCol).collect()
+    require(rows.length <= maxDistinctWords,
+      s"${rows.length} distinct words exceed maxDistinctWords=" +
+        s"$maxDistinctWords; use learnMerges (batched cluster loop) or " +
+        "apply a frequency floor")
+    // words as symbol arrays; initial symbols = single code points (the
+    // regexp "(.)" contract of the distributed path)
+    val words = rows.map { r =>
+      val t = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < t.length) {
+        val cp = t.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (syms, r.getLong(1))
+    }
+    // UTF-8 binary order — Spark's string ordering and DuckDB's binary
+    // collation; differs from String.compareTo in the surrogate range
+    def binLt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def pairsOf(w: scala.collection.mutable.ArrayBuffer[String]): Seq[(String, String)] =
+      (0 until w.length - 1).map(i => (w(i), w(i + 1)))
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    words.zipWithIndex.foreach { case ((w, f), id) =>
+      pairsOf(w).foreach { p =>
+        counts(p) = counts.getOrElse(p, 0L) + f
+        where.getOrElseUpdate(p,
+          scala.collection.mutable.Set.empty[Int]) += id
+      }
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      // selection: count desc, then (left, right) binary-lexicographic —
+      // a linear scan; a heap would amortize better but the scan is
+      // vocab-pair-bounded and exact, and selection is not the bottleneck
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.foreach { case (p, c) =>
+        if (c > 0 && (best == null || c > bestC ||
+            (c == bestC && (binLt(p._1, best._1) ||
+              (p._1 == best._1 && binLt(p._2, best._2)))))) {
+          best = p; bestC = c
+        }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        merges += ((r, a, b, bestC))
+        val ab = a + b
+        val affected = where.getOrElse(best, scala.collection.mutable.Set.empty[Int])
+        affected.toSeq.foreach { id =>
+          val (w, f) = words(id)
+          // retract the word's old pair multiset (zero-count entries are
+          // left in place — the selector skips c <= 0; removing mid-loop
+          // would break the repeated-pair decrement)
+          pairsOf(w).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) - f
+          }
+          pairsOf(w).distinct.foreach(p => where.get(p).foreach(_ -= id))
+          // greedy left-to-right non-overlapping merge
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+              out += ab; i += 2
+            } else { out += w(i); i += 1 }
+          }
+          words(id) = (out, f)
+          // add the new multiset back
+          pairsOf(out).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+          pairsOf(out).distinct.foreach { p =>
+            where.getOrElseUpdate(p,
+              scala.collection.mutable.Set.empty[Int]) += id
+          }
+        }
+        r += 1
+      }
+    }
     import spark.implicits._
     merges.result().toDF("round", "left", "right", "pair_count")
       .orderBy(col("round"))

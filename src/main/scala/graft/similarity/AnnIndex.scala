@@ -95,11 +95,90 @@ object AnnIndex {
         Seq(idCol))
       .write.mode("append").parquet(s"$dir/codes")
 
+  /** GDPR-delete through the persisted index — the
+    * [[graft.dedup.DedupStore.purge]] tombstone discipline applied to
+    * retrieval: append the purged vector ids as new parquet files under
+    * `tombstones/` (O(ids) work and I/O; the corpus-sized `codes/` table
+    * is NEVER rewritten) and let [[load]] subtract them at read time
+    * (merge-on-read). A purged vector stops appearing in
+    * [[searchRefined]] results immediately after the next [[load]], and
+    * the ranks below it close up — the erased document's embedding no
+    * longer influences retrieval at all. [[compact]] folds the tombstone
+    * set into `codes/` when the operator chooses to pay O(index) once.
+    * Idempotent: re-purging an id adds a redundant tombstone row the
+    * read-time anti-join absorbs. Ids are matched against the codes
+    * table's `idCol` values — the caller purges VECTOR ids (there is no
+    * canonical-id indirection here, unlike the dedup store).
+    */
+  def purge(ids: DataFrame, dir: String, idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("purged_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** Fold the tombstone set into `codes/` — many O(k) purges amortized
+    * into one O(index) rewrite. Crash safety is write ORDER plus a
+    * recoverable swap: the filtered staging copy is fully written first,
+    * then the live dir is renamed aside (`codes_old`), staging renamed
+    * in, the leftover deleted, and the tombstone set dropped LAST — at
+    * every intermediate crash point a reader either sees tombstoned rows
+    * + the tombstone set (anti-join removes them) or the folded table +
+    * the tombstone set (anti-join is a no-op), and [[load]] self-heals
+    * the one window where `codes/` is mid-rename (staging present, live
+    * absent) by finishing the move.
+    */
+  def compact(spark: SparkSession, dir: String, idCol: String = "vec_id"): Unit = {
+    val tomb = java.nio.file.Paths.get(dir, "tombstones")
+    if (!java.nio.file.Files.exists(tomb.resolve("_SUCCESS"))) return
+    load(spark, dir, idCol).codes // tombstone-filtered
+      .write.mode("overwrite").parquet(s"$dir/codes_staging")
+    swapIn(dir, "codes")
+    deleteRecursively(tomb)
+  }
+
+  private def swapIn(dir: String, name: String): Unit = {
+    val live = java.nio.file.Paths.get(dir, name)
+    val old = java.nio.file.Paths.get(dir, s"${name}_old")
+    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
+    deleteRecursively(old) // stale leftover from a crash after a past swap
+    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
+    java.nio.file.Files.move(staging, live)
+    deleteRecursively(old)
+  }
+
+  /** Finish a swap a crash interrupted: live dir absent but a complete
+    * staging copy present -> move it in. Also clears any `_old` leftover.
+    */
+  private def healSwap(dir: String, name: String): Unit = {
+    val live = java.nio.file.Paths.get(dir, name)
+    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
+    if (!java.nio.file.Files.exists(live) &&
+        java.nio.file.Files.exists(staging.resolve("_SUCCESS")))
+      java.nio.file.Files.move(staging, live)
+    deleteRecursively(java.nio.file.Paths.get(dir, s"${name}_old"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+  }
+
   /** Reload the artifacts. The codebook/coarse collects are m·k and
     * nLists rows — KB-sized driver state, the sanctioned sketch collect.
+    * If a `tombstones` set exists (see [[purge]]), the code table is
+    * anti-joined against it at read time — purged vectors are invisible
+    * to every downstream search without any rewrite of `codes/`.
     */
-  def load(spark: SparkSession, dir: String): Loaded = {
-    val codes = spark.read.parquet(s"$dir/codes")
+  def load(spark: SparkSession, dir: String, idCol: String = "vec_id"): Loaded = {
+    healSwap(dir, "codes")
+    val base = spark.read.parquet(s"$dir/codes")
+    val tomb = java.nio.file.Paths.get(dir, "tombstones")
+    val codes =
+      if (!java.nio.file.Files.exists(tomb.resolve("_SUCCESS"))) base
+      else {
+        val t = spark.read.parquet(s"$dir/tombstones")
+        base.join(t, base(idCol) === t("purged_id"), "left_anti")
+      }
     val cbRows = spark.read.parquet(s"$dir/codebook").collect()
     require(cbRows.nonEmpty, s"empty codebook under $dir")
     val subDim = cbRows.head.getAs[Int]("sub_dim")

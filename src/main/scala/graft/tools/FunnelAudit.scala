@@ -42,17 +42,41 @@ object FunnelAudit {
         val t0 = System.nanoTime()
         val f = graft.operators.BigramLM.funnelStats(docs).head()
         val tF = (System.nanoTime() - t0) / 1e9
-        // dedicated timed run of the full operator; the executed plan
-        // afterwards is the AQE FINAL plan, so the join-strategy counts
-        // are what actually ran at this scale, not the static estimate
+        // dedicated timed run of the full operator. The join-strategy
+        // counts must come from the plan that ACTUALLY RAN: a
+        // DataFrameWriter.save builds its own QueryExecution, so reading
+        // ce.queryExecution.executedPlan here would print the
+        // pre-execution AQE plan (isFinalPlan=false) and miss runtime
+        // SMJ->BHJ conversions — capture the executed QE via a
+        // QueryExecutionListener on the (warm) second write instead.
         val ce = graft.operators.BigramLM.crossEntropy(docs)
         val t1 = System.nanoTime()
         ce.write.format("noop").mode("overwrite").save()
         val tCe = (System.nanoTime() - t1) / 1e9
+        val captured = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            captured.compareAndSet("", qe.executedPlan.toString); ()
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(ql)
         val t2 = System.nanoTime()
         ce.write.format("noop").mode("overwrite").save()
         val tCe2 = (System.nanoTime() - t2) / 1e9
-        val plan = ce.queryExecution.executedPlan.toString
+        // the listener fires on the async listener bus — poll briefly
+        var waited = 0
+        while (captured.get().isEmpty && waited < 5000) {
+          Thread.sleep(100); waited += 100
+        }
+        spark.listenerManager.unregister(ql)
+        val plan =
+          if (captured.get().nonEmpty) captured.get()
+          else ce.queryExecution.executedPlan.toString // fallback: static estimate
         def n(s: String) = s.r.findAllMatchIn(plan).size
         println(s"""{"dir":"$dir","op":"bigram","n_docs":${f.getLong(0)},""" +
           s""""n_events":${f.getLong(1)},"n_tf_rows":${f.getLong(2)},""" +

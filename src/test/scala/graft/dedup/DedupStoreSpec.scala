@@ -137,4 +137,27 @@ class DedupStoreSpec extends SparkSpec {
     DedupStore.compact(spark, dir)
     assert(spark.read.parquet(s"$dir/hashes").count() == 1)
   }
+
+  test("load self-heals a crash between compact's rename-aside and rename-in") {
+    val dir = tmpDir()
+    DedupStore.write(docs(
+      1L -> "alpha beta gamma", 2L -> "delta epsilon zeta"), dir)
+    DedupStore.purge(Seq(1L).toDF("doc_id"), dir)
+    // simulate the crash window compact can die in: staging fully
+    // written, live renamed aside, new live NOT yet moved in
+    val st = DedupStore.load(spark, dir)
+    st.hashes.write.mode("overwrite").parquet(s"$dir/hashes_staging")
+    val live = java.nio.file.Paths.get(dir, "hashes")
+    java.nio.file.Files.move(live, java.nio.file.Paths.get(dir, "hashes_old"))
+    assert(!java.nio.file.Files.exists(live))
+    // load() finishes the move instead of throwing on the missing dir
+    val healed = DedupStore.load(spark, dir)
+    assert(java.nio.file.Files.exists(live))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "hashes_old")))
+    assert(healed.hashes.select("canonical_id").as[Long].collect().toSet == Set(2L))
+    // and compact completes normally from the healed state
+    DedupStore.compact(spark, dir)
+    assert(spark.read.parquet(s"$dir/hashes").count() == 1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+  }
 }

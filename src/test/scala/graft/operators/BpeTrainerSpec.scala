@@ -105,4 +105,39 @@ class BpeTrainerSpec extends SparkSpec {
     assert(counts.grouped(31).zipWithIndex.forall {
       case (g, w) => g.forall(_ == 100L - 2 * w) })
   }
+
+  test("distilled trainer is bit-identical to the cluster loop (chains, runs, ties)") {
+    // the per-word-recompute driver loop must survive exactly the corner
+    // cases analytic count deltas get wrong: same-symbol runs (zzz),
+    // alternating chains (xyxyxy), exact ties, single-symbol words
+    val texts = Seq(
+      "the cat sat on the mat the cat ran to the hat",
+      "a banana and an apple in a cabana", "zz zz zzz z",
+      "low lower lowest slow slower glow", "the theme there then these",
+      "xyxyxy xyxy xy x y", "mississippi missive dismiss",
+      "aa ab ba bb aab abb baa bba")
+    val df = texts.toDF("text")
+    def seqRun = BpeTrainer.learnMerges(df, nMerges = 32, batchLimit = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    def distRun = BpeTrainer.learnMergesDistilled(df, nMerges = 32)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(distRun === seqRun)
+  }
+
+  test("distilled trainer matches the cluster loop to exhaustion on organic text") {
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val sequential = BpeTrainer.learnMerges(docs, nMerges = 200, batchLimit = 1024)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val distilled = BpeTrainer.learnMergesDistilled(docs, nMerges = 200)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(distilled === sequential)
+  }
+
+  test("distilled trainer fails fast above the driver-memory word guard") {
+    val docs = Seq("alpha beta gamma delta").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrainer.learnMergesDistilled(docs, nMerges = 4, maxDistinctWords = 2)
+    }
+    assert(e.getMessage.contains("maxDistinctWords"))
+  }
 }

@@ -94,4 +94,60 @@ class AnnIndexSpec extends SparkSpec {
       s"post-append recall floor broken: $hits")
     info(s"post-append per-query top-10 hits: $hits")
   }
+
+  test("purge tombstones hide vectors at load; compact folds them in") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    AnnIndex.write(emb, dir, m = 4, k = 8, nLists = 4, maxIter = 2)
+    val n = emb.count()
+    // purge two organic vectors through the O(ids) tombstone append
+    AnnIndex.purge(Seq(7L, 11L).toDF("vec_id"), dir)
+    val purgedView = AnnIndex.load(spark, dir)
+    assert(purgedView.codes.count() === n - 2)
+    assert(purgedView.codes.filter($"vec_id".isin(7L, 11L)).count() === 0)
+    // codes/ itself was NOT rewritten — the raw table still has all rows
+    assert(spark.read.parquet(s"$dir/codes").count() === n)
+    // re-purging an id is an absorbed no-op (idempotence)
+    AnnIndex.purge(Seq(7L).toDF("vec_id"), dir)
+    assert(AnnIndex.load(spark, dir).codes.count() === n - 2)
+    // purged vectors never surface in search (they were id<20, likely
+    // neighbors at this corpus size — assert the anti-join property)
+    val queries = ProductQuantization
+      .normalized(emb.filter($"vec_id" < 3), "embedding", "nvec")
+      .orderBy($"vec_id").select($"vec_id", $"nvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val res = AnnIndex.searchRefined(AnnIndex.load(spark, dir), emb, queries,
+      k = 10, nProbe = 4, shortlist = 100)
+    assert(res.filter($"neighbor_id".isin(7L, 11L)).count() === 0)
+    // compact: tombstones folded, same visible state, tombstone set gone
+    AnnIndex.compact(spark, dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "tombstones")))
+    val folded = AnnIndex.load(spark, dir)
+    assert(folded.codes.count() === n - 2)
+    assert(spark.read.parquet(s"$dir/codes").count() === n - 2)
+    // compact with no tombstones is a no-op
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.load(spark, dir).codes.count() === n - 2)
+  }
+
+  test("load self-heals a crash between compact's rename-aside and rename-in") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    AnnIndex.write(emb, dir, m = 4, k = 8, nLists = 4, maxIter = 2)
+    val n = emb.count()
+    AnnIndex.purge(Seq(3L).toDF("vec_id"), dir)
+    // simulate the crash window: staging fully written, live renamed
+    // aside, new live NOT yet moved in
+    AnnIndex.load(spark, dir).codes
+      .write.mode("overwrite").parquet(s"$dir/codes_staging")
+    val live = java.nio.file.Paths.get(dir, "codes")
+    java.nio.file.Files.move(live, java.nio.file.Paths.get(dir, "codes_old"))
+    assert(!java.nio.file.Files.exists(live))
+    // load finishes the move (and the tombstone anti-join stays a no-op
+    // on the already-filtered staging content)
+    val healed = AnnIndex.load(spark, dir)
+    assert(java.nio.file.Files.exists(live))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes_old")))
+    assert(healed.codes.count() === n - 1)
+  }
 }
