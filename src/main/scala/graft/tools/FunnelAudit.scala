@@ -106,6 +106,17 @@ object FunnelAudit {
           s""""max_accepted":${if (a.isEmpty) 0 else a.max},""" +
           f""""sec":$sec%.1f}""")
       }
+      if (ops("bpelocal")) {
+        // the distill-then-local trainer at the same merge count as the
+        // --op=bpe curve: one cluster pass + an in-memory merge loop;
+        // trips is definitionally 1 collect for the whole run
+        val t0 = System.nanoTime()
+        val merges = graft.operators.BpeTrainer.learnMergesDistilled(
+          Tables.documents(spark, dir), nMerges = 1000).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"dir":"$dir","op":"bpelocal","n_merges":$merges,""" +
+          f""""n_trips":1,"sec":$sec%.1f}""")
+      }
       if (ops("editdist")) {
         val t0 = System.nanoTime()
         val ed = graft.dedup.EditDistanceJoin

@@ -56,6 +56,10 @@ class QualityTrainerSpec extends SparkSpec {
   }
 
   test("training converges to the closed-form posCount - negCount weights") {
+    // leak discipline via snapshot-diff: the full suite's shared session
+    // may hold other suites' cached blocks — assert only that train()
+    // itself pins nothing new
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val trained = QualityTrainer.train(labeled)
       .as[(Long, Long)].collect().toMap
     // closed form, derived independently from the reference extraction
@@ -69,8 +73,7 @@ class QualityTrainerSpec extends SparkSpec {
     assert(trained === expected)
     // the shared token nets to zero and is dropped
     assert(!trained.contains(refHash("qsh")))
-    // leak discipline: nothing pinned after the operator returns
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
   }
 
   test("trained weights separate the training set and score held-out mixtures") {
@@ -90,12 +93,13 @@ class QualityTrainerSpec extends SparkSpec {
 
   test("inseparable input stops at maxRounds without diverging") {
     // identical text, opposite labels: no linear separator exists
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq(
       (1L, "same text twice", 1L),
       (2L, "same text twice", -1L)).toDF("doc_id", "text", "label")
     val w = QualityTrainer.train(docs, maxRounds = 4)
     // the duplicate-content updates cancel each round; weights stay empty
     assert(w.count() === 0)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
   }
 }
