@@ -3225,7 +3225,34 @@ object SparkEntry {
       // the q192 construction, hash-exact through THIS path — same
       // oracle, so the two trainers are pinned to the same sequence.
       graft.operators.BpeTrainer.learnMergesDistilled(
-        Planted.bpe1kDocs(s), nMerges = 1023))
+        Planted.bpe1kDocs(s), nMerges = 1023)),
+    "q198_quality_trained_budget" -> ((s, dir) => {
+      // the TRAINED weights flowing into the q161 consumer: the same
+      // budget-greedy curriculum cut, but ranked by TRAINED margins
+      // (scoreWith join) instead of the fixed hash projection — the
+      // full train→score→select composition over the planted strata
+      // (qpos/qneg/qeval), 64-token budget so every lang cuts mid-list.
+      // The oracle rebuilds the weight table closed-form, re-joins each
+      // doc's grams, and replays the (margin DESC, doc_id) running-sum
+      // prefix exactly (q161's window shape).
+      val docs = Planted.qualityTrainDocs(s)
+        .unionByName(Planted.qualityEvalDocs(s))
+      val scored = graft.operators.QualityTrainer.scoreWith(
+        docs, s.read.parquet(stagedQualityWeights(s)))
+      graft.operators.Mixing.budgetGreedySelect(
+          docs.join(scored.select(col("doc_id"), col("margin_units")),
+            Seq("doc_id")),
+          "lang",
+          scoreCol = col("margin_units"),
+          tokensCol = TextFunctions.tokenCount(col("text")),
+          budgetTokens = 64L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("tokens"),
+          min(col("_score")).as("cutoff_margin"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("lang"))
+    })
   )
 
   /** q194/q196's fixture: the trained quality-classifier weight table,
@@ -7043,7 +7070,72 @@ object SparkEntry {
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
                   AS round,
                 lft AS "left", rgt AS "right", pair_count
-         FROM n ORDER BY round"""
+         FROM n ORDER BY round""",
+    "q198_quality_trained_budget" ->
+      // trained weights rebuilt closed-form (q194's chain), every planted
+      // doc's margin re-joined, then q161's (margin DESC, doc_id)
+      // running-sum 64-token prefix replayed per lang
+      """WITH docs AS (
+           SELECT CAST(940000000 + g AS BIGINT) AS doc_id, 'qpos' AS lang,
+                  array_to_string(
+                    [concat('qp', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qp', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT CAST(940000100 + g AS BIGINT) AS doc_id, 'qneg' AS lang,
+                  array_to_string(
+                    [concat('qn', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qn', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT CAST(940000200 + e AS BIGINT) AS doc_id, 'qeval' AS lang,
+                  array_to_string(
+                    [concat('qp', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
+                    [concat('qn', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 1 + e % 3 ELSE 4 + e % 3 END)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 10)) AS e)),
+         t AS (SELECT doc_id, lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), ' +'))
+                      END AS BIGINT) AS nt,
+                 [x for x in string_split_regex(trim(text), ' +')
+                  if length(x) > 0] AS tk
+               FROM docs),
+         g AS (SELECT doc_id, lang, nt, list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+               FROM t),
+         o AS (SELECT doc_id, lang, unnest(grams) AS gm FROM g),
+         hh AS (SELECT doc_id, lang,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM o),
+         w AS (SELECT feat, CAST(SUM(CASE WHEN lang = 'qpos' THEN 1
+                                          WHEN lang = 'qneg' THEN -1
+                                          ELSE 0 END) AS BIGINT) AS weight
+               FROM hh GROUP BY 1
+               HAVING SUM(CASE WHEN lang = 'qpos' THEN 1
+                               WHEN lang = 'qneg' THEN -1 ELSE 0 END) <> 0),
+         m AS (SELECT hh.doc_id, SUM(w.weight) AS mm
+               FROM hh JOIN w USING (feat) GROUP BY 1),
+         sc AS (SELECT t.doc_id, t.lang, t.nt,
+                  CAST(coalesce(m.mm, 0) AS BIGINT) AS margin
+                FROM t LEFT JOIN m ON t.doc_id = m.doc_id),
+         sel AS (SELECT lang, doc_id, nt, margin,
+                   SUM(nt) OVER (PARTITION BY lang
+                                 ORDER BY margin DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM sc)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS tokens,
+                CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
+                CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in
