@@ -108,7 +108,11 @@ object AnnIndex {
     * Idempotent: re-purging an id adds a redundant tombstone row the
     * read-time anti-join absorbs. Ids are matched against the codes
     * table's `idCol` values — the caller purges VECTOR ids (there is no
-    * canonical-id indirection here, unlike the dedup store).
+    * canonical-id indirection here, unlike the dedup store). Because the
+    * tombstone keys the ID (not file provenance), re-[[append]]ing a
+    * purged id stays hidden until [[compact]] folds the tombstone away —
+    * re-ingest under the SAME id after an erasure requires a compact
+    * first (or a fresh id, which is what a re-crawled document gets).
     */
   def purge(ids: DataFrame, dir: String, idCol: String = "vec_id"): Unit =
     ids.select(col(idCol).cast("long").as("purged_id")).distinct()

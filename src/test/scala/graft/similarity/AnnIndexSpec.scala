@@ -130,6 +130,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.load(spark, dir).codes.count() === n - 2)
   }
 
+  test("full lifecycle: append, purge an appended vector, compact, append again") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    val base = emb.filter($"vec_id" % 5 =!= 4)
+    val rest = emb.filter($"vec_id" % 5 === 4)
+    AnnIndex.write(base, dir, m = 4, k = 8, nLists = 4, maxIter = 2)
+    AnnIndex.append(AnnIndex.load(spark, dir), rest.filter($"vec_id" < 100), dir)
+    // purge one ORIGINAL and one APPENDED vector — tombstones are
+    // layout-blind (they key vec_id, not file provenance)
+    val appendedId = rest.filter($"vec_id" < 100)
+      .orderBy($"vec_id").select($"vec_id").as[Long].head()
+    AnnIndex.purge(Seq(0L, appendedId).toDF("vec_id"), dir)
+    val n1 = AnnIndex.load(spark, dir).codes.count()
+    AnnIndex.compact(spark, dir)
+    assert(AnnIndex.load(spark, dir).codes.count() === n1)
+    // append AFTER compact: the frozen codebooks survive the fold and
+    // new files land beside the compacted table
+    AnnIndex.append(AnnIndex.load(spark, dir), rest.filter($"vec_id" >= 100), dir)
+    val finalIdx = AnnIndex.load(spark, dir)
+    assert(finalIdx.codes.count() ===
+      n1 + rest.filter($"vec_id" >= 100).count())
+    assert(finalIdx.codes.filter($"vec_id".isin(0L, appendedId)).count() === 0)
+    // a purged-then-reingested vector is live again (erasure is of the
+    // record, not a permanent id ban — matches DedupStore re-ingest)
+    AnnIndex.append(finalIdx, emb.filter($"vec_id" === 0L), dir)
+    assert(AnnIndex.load(spark, dir).codes.filter($"vec_id" === 0L).count() === 1)
+  }
+
   test("load self-heals a crash between compact's rename-aside and rename-in") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val dir = freshDir()
