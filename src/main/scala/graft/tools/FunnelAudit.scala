@@ -107,12 +107,15 @@ object FunnelAudit {
           f""""sec":$sec%.1f}""")
       }
       if (ops("bpelocal")) {
-        // the distill-then-local trainer at the same merge count as the
-        // --op=bpe curve: one cluster pass + an in-memory merge loop;
-        // trips is definitionally 1 collect for the whole run
+        // the distill-then-local trainer: one cluster pass + an
+        // in-memory merge loop; trips is definitionally 1 collect for
+        // the whole run. SPARK_GRAFT_BPE_MERGES overrides the merge
+        // count (default 1000; set 32768 for the 32k-regime headline —
+        // the loop stops early at pair-table exhaustion)
+        val nM = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "1000").toInt
         val t0 = System.nanoTime()
         val merges = graft.operators.BpeTrainer.learnMergesDistilled(
-          Tables.documents(spark, dir), nMerges = 1000).count()
+          Tables.documents(spark, dir), nMerges = nM).count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(s"""{"dir":"$dir","op":"bpelocal","n_merges":$merges,""" +
           f""""n_trips":1,"sec":$sec%.1f}""")
