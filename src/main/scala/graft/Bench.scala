@@ -663,9 +663,12 @@ object Bench {
     spark.stop()
     // Healthy FULL-suite runs commit their own artifact: four consecutive
     // rounds ended with the refreshed BENCH.json sitting uncommitted in the
-    // worktree (round-13 verdict item 3). Filtered iteration runs and
-    // contended runs never commit.
-    if (args.isEmpty && !contended) {
+    // worktree (round-13 verdict item 3). Filtered iteration runs,
+    // contended runs, and runs at a non-standard primary scale (the
+    // committed artifact contract is primary=sf0.1 — a no-filter run
+    // pointed at sf1 must not commit an sf1-primary BENCH.json) never
+    // commit.
+    if (args.isEmpty && !contended && sfDir.contains("sf0.1")) {
       def git(cmd: String*): Unit = try {
         val p = new ProcessBuilder(("git" +: cmd): _*)
           .redirectErrorStream(true).start()
