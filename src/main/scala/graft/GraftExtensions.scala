@@ -49,6 +49,7 @@ object GraftExtensions {
     "fingerprint" -> oneArg("fingerprint")(FingerprintExpr(_)),
     "simhash64" -> oneArg("simhash64")(SimHashExpr(_)),
     "quality_margin" -> oneArg("quality_margin")(QualityMarginExpr(_)),
+    "quality_features" -> oneArg("quality_features")(QualityFeaturesExpr(_)),
     "vec_dot" -> {
       case Seq(a, b) => DotVecExpr(a, b)
       case other => throw new IllegalArgumentException(
