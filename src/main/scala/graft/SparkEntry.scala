@@ -6765,27 +6765,7 @@ object SparkEntry {
       // modular arithmetic: wave w = circle-method matching ({61, w} and
       // {(w+i) mod 61, (w-i) mod 61}), count 100-2w, global order =
       // wave (count desc) then (left, right) binary-lexicographic
-      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
-              w AS (SELECT unnest(range(0, 33)) AS w),
-              p AS (SELECT w.w, i.i,
-                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
-                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
-                      END AS lo,
-                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
-                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
-                      END AS hi
-                    FROM w, i),
-              n AS (SELECT w,
-                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
-                        CAST(lo AS INT) + 1, 1) AS lft,
-                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
-                        CAST(hi AS INT) + 1, 1) AS rgt,
-                      CAST(100 - 2 * w AS BIGINT) AS pair_count
-                    FROM p)
-         SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
-                  AS round,
-                lft AS "left", rgt AS "right", pair_count
-         FROM n ORDER BY round""",
+      bpe1kScheduleOracleSql,
     "q191_ann_index_append" ->
       // quality-floor + strong-neighbor + completeness oracle (q183's
       // shape): approx top-10 within 0.05 cosine of the exact 10th AND
@@ -7050,27 +7030,7 @@ object SparkEntry {
     "q197_bpe_distilled_1k" ->
       // q192's generated closed-form schedule verbatim — both trainers
       // must produce the identical 1023-merge sequence
-      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
-              w AS (SELECT unnest(range(0, 33)) AS w),
-              p AS (SELECT w.w, i.i,
-                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
-                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
-                      END AS lo,
-                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
-                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
-                      END AS hi
-                    FROM w, i),
-              n AS (SELECT w,
-                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
-                        CAST(lo AS INT) + 1, 1) AS lft,
-                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
-                        CAST(hi AS INT) + 1, 1) AS rgt,
-                      CAST(100 - 2 * w AS BIGINT) AS pair_count
-                    FROM p)
-         SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
-                  AS round,
-                lft AS "left", rgt AS "right", pair_count
-         FROM n ORDER BY round""",
+      bpe1kScheduleOracleSql,
     "q198_quality_trained_budget" ->
       // trained weights rebuilt closed-form (q194's chain), every planted
       // doc's margin re-joined, then q161's (margin DESC, doc_id)
@@ -7146,6 +7106,36 @@ object SparkEntry {
     * joined back to `len(a[p])`). Flags are exact-integer
     * `num x 100 > total x pct`.
     */
+  /** The q192/q197 shared oracle: the planted 1-factorization corpus's
+    * full 1023-merge schedule GENERATED from its own modular arithmetic
+    * (wave w = circle-method matching, count 100−2w, global order =
+    * wave then binary-lexicographic pair). Both the batched cluster
+    * trainer and the distilled local trainer are pinned to this exact
+    * sequence.
+    */
+  private val bpe1kScheduleOracleSql: String =
+    """WITH i AS (SELECT unnest(range(0, 31)) AS i),
+            w AS (SELECT unnest(range(0, 33)) AS w),
+            p AS (SELECT w.w, i.i,
+                    CASE WHEN i.i = 0 THEN LEAST(61, w.w)
+                         ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                    END AS lo,
+                    CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
+                         ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                    END AS hi
+                  FROM w, i),
+            n AS (SELECT w,
+                    substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                      CAST(lo AS INT) + 1, 1) AS lft,
+                    substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                      CAST(hi AS INT) + 1, 1) AS rgt,
+                    CAST(100 - 2 * w AS BIGINT) AS pair_count
+                  FROM p)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS INT)
+                AS round,
+              lft AS "left", rgt AS "right", pair_count
+       FROM n ORDER BY round"""
+
   private def gopherOracleSql: String = {
     val rules = graft.operators.GopherRepetition.Rules
     val flags = rules.map { case (name, _, pct) =>
