@@ -3166,7 +3166,13 @@ object SparkEntry {
       // so the dup numerators are non-vacuous organically. The kernel
       // then runs per group-doc (single-pass, map-only); one 50-row agg
       // feeds the report. n_lines per group = corpus/50, so the gate's
-      // text volume scales 1:1 with the corpus.
+      // text volume scales 1:1 with the corpus. NOTE the collect_list
+      // group build is FIXTURE SYNTHESIS, not the operator's scale
+      // shape: real multiline corpora arrive as multiline documents
+      // (each row one crawl page), and lineStats over them is the q190
+      // map-only scan — this construction exists only because TESTDATA
+      // documents are single-line, and 50 corpus-sized rows is the
+      // fixture's deliberate cap, not a pattern to ship.
       val docs = Parallelize.ensure(Tables.documents(s, dir))
         .filter(length(col("text")) > 0)
       val grouped = docs
