@@ -296,7 +296,7 @@ object Planted {
     * exercises both keep decisions plus absent-feature (cross-class
     * boundary bigram) handling.
     */
-  val qtBase = 940000000L
+  val qtBase = 950000000L
 
   def qualityTrainRows: Seq[(Long, String, String, String, Long)] = {
     def doc(off: Long, p: String, lang: String, g: Int) = {

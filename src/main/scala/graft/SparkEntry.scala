@@ -3258,6 +3258,30 @@ object SparkEntry {
           min(col("_score")).as("cutoff_margin"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("lang"))
+    }),
+    "q199_bpe_encode_32k" -> ((s, dir) => {
+      // the SERVING half of the 32k-merge regime: subword counts under
+      // the full 1023-merge distilled table AND under its 500-merge
+      // prefix, via BpeTrainer.encodeWithTable — the mapPartitions
+      // rank-priority encoder (subwordCounts' chained literal replaces
+      // would nest 1023 expressions into ONE projection; the plan itself
+      // would be O(table)). Closed form on the planted corpus: every doc
+      // is one 2-char pair repeated freq_w times, so n_subwords = freq
+      // when the doc's pair sits inside the applied prefix and 2*freq
+      // when it doesn't — the oracle regenerates each doc's rank from
+      // the schedule arithmetic, so the gate checks BOTH the merged and
+      // the not-yet-merged paths of the encoder at every scale.
+      val docs = Planted.bpe1kDocs(s)
+      val merges = graft.operators.BpeTrainer
+        .learnMergesDistilled(docs, nMerges = 1023)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val full = graft.operators.BpeTrainer.encodeWithTable(docs, merges)
+        .withColumnRenamed("n_subwords", "n_sub_full")
+      val prefix = graft.operators.BpeTrainer
+        .encodeWithTable(docs, merges.take(500))
+        .select(col("doc_id"), col("n_subwords").as("n_sub_500"))
+      full.join(prefix, Seq("doc_id")).orderBy(col("doc_id"))
     })
   )
 
@@ -7006,7 +7030,7 @@ object SparkEntry {
                 FROM o),
          w AS (SELECT feat, CAST(SUM(label) AS BIGINT) AS weight
                FROM hw GROUP BY 1 HAVING SUM(label) <> 0),
-         ev AS (SELECT 940000200 + e AS doc_id,
+         ev AS (SELECT 950000200 + e AS doc_id,
                   array_to_string(
                     [concat('qp', e, 'x', j) for j in range(0,
                        CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
@@ -7042,7 +7066,7 @@ object SparkEntry {
       // doc's margin re-joined, then q161's (margin DESC, doc_id)
       // running-sum 64-token prefix replayed per lang
       """WITH docs AS (
-           SELECT CAST(940000000 + g AS BIGINT) AS doc_id, 'qpos' AS lang,
+           SELECT CAST(950000000 + g AS BIGINT) AS doc_id, 'qpos' AS lang,
                   array_to_string(
                     [concat('qp', g, 'x', j) for j in range(0, 8)] ||
                     ['qsh'] ||
@@ -7050,7 +7074,7 @@ object SparkEntry {
                     ' ') AS text
            FROM (SELECT unnest(range(0, 20)) AS g)
            UNION ALL
-           SELECT CAST(940000100 + g AS BIGINT) AS doc_id, 'qneg' AS lang,
+           SELECT CAST(950000100 + g AS BIGINT) AS doc_id, 'qneg' AS lang,
                   array_to_string(
                     [concat('qn', g, 'x', j) for j in range(0, 8)] ||
                     ['qsh'] ||
@@ -7058,7 +7082,7 @@ object SparkEntry {
                     ' ') AS text
            FROM (SELECT unnest(range(0, 20)) AS g)
            UNION ALL
-           SELECT CAST(940000200 + e AS BIGINT) AS doc_id, 'qeval' AS lang,
+           SELECT CAST(950000200 + e AS BIGINT) AS doc_id, 'qeval' AS lang,
                   array_to_string(
                     [concat('qp', e, 'x', j) for j in range(0,
                        CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
@@ -7101,7 +7125,36 @@ object SparkEntry {
                 CAST(SUM(nt) AS BIGINT) AS tokens,
                 CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
                 CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
-         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang"""
+         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang""",
+    "q199_bpe_encode_32k" ->
+      // each planted doc's merge rank regenerated from the schedule
+      // arithmetic (the q192/q197 generator extended with doc_id):
+      // n_subwords halves exactly when the doc's pair enters the prefix
+      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
+              w AS (SELECT unnest(range(0, 33)) AS w),
+              p AS (SELECT w.w, i.i,
+                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
+                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS lo,
+                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
+                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS hi
+                    FROM w, i),
+              n AS (SELECT w, i,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(lo AS INT) + 1, 1) AS lft,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(hi AS INT) + 1, 1) AS rgt
+                    FROM p),
+              r AS (SELECT w, i,
+                      ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS rnk
+                    FROM n)
+         SELECT CAST(940000000 + w * 31 + i AS BIGINT) AS doc_id,
+                CAST(100 - 2 * w AS BIGINT) AS n_words,
+                CAST(100 - 2 * w AS BIGINT) AS n_sub_full,
+                CAST((100 - 2 * w) * (CASE WHEN rnk <= 500 THEN 1 ELSE 2 END)
+                     AS BIGINT) AS n_sub_500
+         FROM r ORDER BY doc_id"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

@@ -292,6 +292,89 @@ object BpeTrainer {
       .orderBy(col("round"))
   }
 
+  /** ENCODING under a LARGE merge table — the serving half of the
+    * 32k-merge regime. [[subwordCounts]] folds the merge chain into
+    * chained literal `replace` column expressions: exactly right for the
+    * 8–64-merge gates, but a 1k–32k-row table would nest thousands of
+    * expressions into one projection (codegen blow-up — the plan itself
+    * becomes O(table)). This form keeps the SAME vocab-join shape and
+    * moves the merge application into one mapPartitions pass over the
+    * DISTINCT token table with the table broadcast as a rank map: per
+    * token, repeatedly merge the lowest-RANK adjacent pair present
+    * (greedy left-to-right within a rank) until none applies.
+    *
+    * Rank-priority is EQUIVALENT to applying the merges one by one in
+    * table order (what [[subwordCounts]] and the trainers do) for any
+    * training-produced table: a merge's output symbol can only appear in
+    * pairs learned AFTER it, so applying a later merge never creates an
+    * occurrence of an earlier one — once a rank is inapplicable it stays
+    * inapplicable, and lowest-rank-first is just table order skipping
+    * absent ranks. BpeTrainerSpec pins the equivalence bit-for-bit
+    * against [[subwordCounts]]; q199 gates it against the generated
+    * 1023-merge schedule closed-form.
+    *
+    * Output contract matches [[subwordCounts]]: (idCol, n_words,
+    * n_subwords). Scale shape: token explode + distinct (partial-agg) →
+    * mapPartitions over vocab rows with a broadcast table (a 32k-row
+    * map, KBs) → join back → per-doc agg. Corpus tokens are never
+    * re-encoded per occurrence.
+    */
+  def encodeWithTable(documents: DataFrame, merges: Seq[(String, String)],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents
+      .select(col(idCol), explode(split(trim(col(textCol)), " +")).as("token"))
+      .filter(length(col("token")) > 0
+        && !col("token").contains("<") && !col("token").contains(">"))
+    val rankOf = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    val sized = toks.select(col("token")).distinct().as[String]
+      .mapPartitions { it =>
+        val ranks = rankOf.value
+        it.map { t =>
+          // initial symbols = single code points (the "(.)" contract)
+          val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            syms += new String(Character.toChars(cp))
+            i += Character.charCount(cp)
+          }
+          var done = syms.length < 2
+          while (!done) {
+            var bestRank = Int.MaxValue
+            var j = 0
+            while (j < syms.length - 1) {
+              ranks.get((syms(j), syms(j + 1))).foreach { r =>
+                if (r < bestRank) bestRank = r
+              }
+              j += 1
+            }
+            if (bestRank == Int.MaxValue) done = true
+            else {
+              val (a, b) = merges(bestRank)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var k = 0
+              while (k < syms.length) {
+                if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
+                  out += (a + b); k += 2
+                } else { out += syms(k); k += 1 }
+              }
+              syms.clear(); syms ++= out
+              done = syms.length < 2
+            }
+          }
+          (t, syms.length)
+        }
+      }.toDF("token", "n_sub")
+    toks.join(sized, "token")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("bigint").as("n_subwords"))
+  }
+
   /** ENCODING side: per-document subword counts under an ordered merge
     * table — (idCol, n_words, n_subwords). The merge chain is applied to
     * the DISTINCT token table only (each token's subword count is a pure

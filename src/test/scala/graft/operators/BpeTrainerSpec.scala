@@ -133,6 +133,31 @@ class BpeTrainerSpec extends SparkSpec {
     assert(distilled === sequential)
   }
 
+  test("encodeWithTable is bit-identical to subwordCounts' chained replaces") {
+    // the rank-priority mapPartitions encoder vs the literal-replace fold,
+    // on the chain/run/tie adversarial corpus AND organic text, under a
+    // merge table deep enough that merged symbols re-enter later merges
+    val texts = Seq(
+      "the cat sat on the mat the cat ran to the hat",
+      "a banana and an apple in a cabana", "zz zz zzz z",
+      "low lower lowest slow slower glow", "the theme there then these",
+      "xyxyxy xyxy xy x y", "mississippi missive dismiss",
+      "aa ab ba bb aab abb baa bba")
+    val adversarial = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+      .toDF("doc_id", "text")
+    val organic = graft.Tables.documents(spark, sf("sf0.001"))
+    for (docs <- Seq(adversarial, organic)) {
+      val merges = BpeTrainer.learnMergesDistilled(docs, nMerges = 24)
+        .orderBy($"round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows(BpeTrainer.encodeWithTable(docs, merges)) ===
+        rows(BpeTrainer.subwordCounts(docs, merges)))
+    }
+  }
+
   test("distilled trainer fails fast above the driver-memory word guard") {
     val docs = Seq("alpha beta gamma delta").toDF("text")
     val e = intercept[IllegalArgumentException] {
