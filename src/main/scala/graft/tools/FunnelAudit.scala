@@ -120,6 +120,32 @@ object FunnelAudit {
         println(s"""{"dir":"$dir","op":"bpelocal","n_merges":$merges,""" +
           f""""n_trips":1,"sec":$sec%.1f}""")
       }
+      if (ops("bpeencode")) {
+        // the serving half end-to-end: train to exhaustion through the
+        // distilled path, then count every document's subwords under the
+        // FULL table via encodeWithTable (subwordCounts' chained
+        // replaces cannot express a 1k+-merge table at all — the plan
+        // itself would be O(table))
+        val docs = Tables.documents(spark, dir)
+        val t0 = System.nanoTime()
+        val merges = graft.operators.BpeTrainer
+          .learnMergesDistilled(docs, nMerges = 32768)
+          .orderBy(org.apache.spark.sql.functions.col("round")).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        val tTrain = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val agg = graft.operators.BpeTrainer.encodeWithTable(docs, merges)
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+            org.apache.spark.sql.functions.sum("n_words").as("w"),
+            org.apache.spark.sql.functions.sum("n_subwords").as("s"))
+          .head()
+        val tEnc = (System.nanoTime() - t1) / 1e9
+        println(s"""{"dir":"$dir","op":"bpeencode","n_merges":${merges.length},""" +
+          s""""n_docs":${agg.getLong(0)},"n_words":${agg.getLong(1)},""" +
+          s""""n_subwords":${agg.getLong(2)},""" +
+          f""""train_sec":$tTrain%.1f,"encode_sec":$tEnc%.1f}""")
+      }
       if (ops("editdist")) {
         val t0 = System.nanoTime()
         val ed = graft.dedup.EditDistanceJoin
