@@ -192,11 +192,15 @@ object BpeTrainer {
                            maxDistinctWords: Int = 1 << 22): DataFrame = {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = documents.sparkSession
-    val rows = rawWordTable(documents, textCol).collect()
-    require(rows.length <= maxDistinctWords,
-      s"${rows.length} distinct words exceed maxDistinctWords=" +
-        s"$maxDistinctWords; use learnMerges (batched cluster loop) or " +
-        "apply a frequency floor")
+    val wt = rawWordTable(documents, textCol)
+    // guard BEFORE the collect — a post-collect require would fire only
+    // after the driver OOM it exists to prevent (round-14 advice). The
+    // limit(n+1).count() probe is executor-side and stops at n+1 rows.
+    val probed = wt.limit(maxDistinctWords + 1).count()
+    require(probed <= maxDistinctWords,
+      s"more than maxDistinctWords=$maxDistinctWords distinct words; " +
+        "use learnMerges (batched cluster loop) or apply a frequency floor")
+    val rows = wt.collect()
     // words as symbol arrays; initial symbols = single code points (the
     // regexp "(.)" contract of the distributed path)
     val words = rows.map { r =>

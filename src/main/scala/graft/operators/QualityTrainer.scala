@@ -62,6 +62,14 @@ object QualityTrainer {
     * weight table (feat BIGINT, weight BIGINT), zero-weight rows
     * dropped. Deterministic: the batch update is a sum, so no ordering
     * anywhere affects the result.
+    *
+    * Convergence is over documents WITH at least one gram: featurize
+    * emits no rows for empty/whitespace-only text, so a gram-less doc
+    * never appears in the margin scan — it scores margin 0 (dropped by
+    * the keep rule) under EVERY weight table, and no update could ever
+    * move it. A positive-labeled gram-less doc is therefore permanently
+    * misclassified without blocking convergence; that is a property of
+    * the feature space (there is nothing to weight), not of the loop.
     */
   def train(labeled: DataFrame, maxRounds: Int = 16, textCol: String = "text",
             labelCol: String = "label", idCol: String = "doc_id"): DataFrame = {

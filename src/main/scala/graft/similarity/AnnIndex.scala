@@ -138,34 +138,14 @@ object AnnIndex {
     deleteRecursively(tomb)
   }
 
-  private def swapIn(dir: String, name: String): Unit = {
-    val live = java.nio.file.Paths.get(dir, name)
-    val old = java.nio.file.Paths.get(dir, s"${name}_old")
-    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
-    deleteRecursively(old) // stale leftover from a crash after a past swap
-    if (java.nio.file.Files.exists(live)) java.nio.file.Files.move(live, old)
-    java.nio.file.Files.move(staging, live)
-    deleteRecursively(old)
-  }
-
-  /** Finish a swap a crash interrupted: live dir absent but a complete
-    * staging copy present -> move it in. Also clears any `_old` leftover.
-    */
-  private def healSwap(dir: String, name: String): Unit = {
-    val live = java.nio.file.Paths.get(dir, name)
-    val staging = java.nio.file.Paths.get(dir, s"${name}_staging")
-    if (!java.nio.file.Files.exists(live) &&
-        java.nio.file.Files.exists(staging.resolve("_SUCCESS")))
-      java.nio.file.Files.move(staging, live)
-    deleteRecursively(java.nio.file.Paths.get(dir, s"${name}_old"))
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(p)) return
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-  }
+  // atomic-swap trio shared with DedupStore/BpeStore — single-writer
+  // contract and reader-race tolerance documented on graft.io.SwapDir
+  private def swapIn(dir: String, name: String): Unit =
+    graft.io.SwapDir.swapIn(dir, name)
+  private def healSwap(dir: String, name: String): Unit =
+    graft.io.SwapDir.healSwap(dir, name)
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.io.SwapDir.deleteRecursively(p)
 
   /** Reload the artifacts. The codebook/coarse collects are m·k and
     * nLists rows — KB-sized driver state, the sanctioned sketch collect.
