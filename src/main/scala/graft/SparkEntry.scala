@@ -3282,6 +3282,34 @@ object SparkEntry {
         .encodeWithTable(docs, merges.take(500))
         .select(col("doc_id"), col("n_subwords").as("n_sub_500"))
       full.join(prefix, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q200_ann_drift_audit" -> ((s, dir) => {
+      // the MEASURED retrain trigger the q191 append path promised: an
+      // index trained on 80% of the corpus (the q191 split), audited
+      // against (a) the organic held-out 20% — same distribution, so
+      // neither the assignment-share TVD nor the distortion ratio moves
+      // (measured tvd 0.02-0.12, ratio 0.95-1.05 across four contexts,
+      // THREESCALE §15) — and (b) the SAME batch collapsed onto one
+      // fixed direction (every coordinate 1.0; normalization makes them
+      // identical unit vectors), which assigns every vector to a single
+      // coarse list, so tvd = 1 − train_share(that list) ≥ 1 − max
+      // share ≈ 0.9 — provably past any sane threshold by construction.
+      // The audit is one narrow map per axis + an nLists-row join + a
+      // 1-row agg; retrain is the queryable bit a pipeline gates a full
+      // re-write() on, composing with append (audit BEFORE appending).
+      val emb = Tables.embeddings(s, dir)
+      val idxDir = stagedAnnDriftIndex(s, dir)
+      val heldOut = emb.filter(col("vec_id") % 5 === 4)
+      val shifted = heldOut.withColumn("embedding",
+        expr("transform(embedding, x -> CAST(1.0 AS DOUBLE))"))
+      graft.similarity.AnnIndex.driftAudit(s, idxDir, heldOut)
+        .select(lit("control").as("batch_tag"), col("n_batch"),
+          col("share_drifted"), col("retrain"))
+        .unionByName(
+          graft.similarity.AnnIndex.driftAudit(s, idxDir, shifted)
+            .select(lit("shifted").as("batch_tag"), col("n_batch"),
+              col("share_drifted"), col("retrain")))
+        .orderBy(col("batch_tag"))
     })
   )
 
@@ -3422,6 +3450,24 @@ object SparkEntry {
         .select(col("neighbor_id").as("vec_id"))
       graft.similarity.AnnIndex.purge(victims, out.toString)
       java.nio.file.Files.createFile(done)
+    }
+    out.toString
+  }
+
+  /** q200's fixture: an ANN index trained on the q191 80% split
+    * (vec_id % 5 != 4) with round-15 write() — which persists the
+    * training-time reference stats the drift monitor compares against.
+    * Guard on stats/_SUCCESS: stats are written LAST, so their marker
+    * implies a complete index.
+    */
+  private def stagedAnnDriftIndex(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_ann_drift_$key")
+    if (!java.nio.file.Files.exists(out.resolve("stats").resolve("_SUCCESS"))) {
+      graft.similarity.AnnIndex.write(
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 4),
+        out.toString, m = 8, k = 64, nLists = 16, maxIter = 3)
     }
     out.toString
   }
@@ -7154,7 +7200,19 @@ object SparkEntry {
                 CAST(100 - 2 * w AS BIGINT) AS n_sub_full,
                 CAST((100 - 2 * w) * (CASE WHEN rnk <= 500 THEN 1 ELSE 2 END)
                      AS BIGINT) AS n_sub_500
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+    "q200_ann_drift_audit" ->
+      // property oracle (q187/q191 precedent — coarse centroids are
+      // engine-internal): the organic held-out batch must NOT trip the
+      // monitor, the fixed-direction batch MUST (its tvd is 1 minus one
+      // list's training share by construction); n_batch is replayable
+      """SELECT 'control' AS batch_tag, COUNT(*) AS n_batch,
+                FALSE AS share_drifted, FALSE AS retrain
+         FROM embeddings WHERE vec_id % 5 = 4
+         UNION ALL
+         SELECT 'shifted', COUNT(*), TRUE, TRUE
+         FROM embeddings WHERE vec_id % 5 = 4
+         ORDER BY batch_tag"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

@@ -75,6 +75,26 @@ object VecKernels {
     }
     best
   }
+
+  /** The argmin loop's DISTANCE: min over k centroids of Σ (vᵢ − cᵢ)² —
+    * the per-subspace quantization distortion an assignment incurs
+    * (AnnIndex.driftAudit's kernel). Same loop, same first-strictly-
+    * smaller semantics; only the returned quantity differs.
+    */
+  def minDist(a: ArrayData, flat: Array[Double], k: Int): Double = {
+    val d = flat.length / k
+    var bestDist = Double.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0.0
+      var i = 0
+      val off = j * d
+      while (i < d) { val x = a.getDouble(i) - flat(off + i); s += x * x; i += 1 }
+      if (s < bestDist) bestDist = s
+      j += 1
+    }
+    bestDist
+  }
 }
 
 /** `vec_dot(a, b) → double` (both sides array<double>). */
@@ -135,6 +155,23 @@ case class ArgminConstExpr(child: Expression, flat: Array[Double], k: Int)
     copy(child = newChild)
 }
 
+/** Min squared distance over a constant centroid set — the quantization
+  * distortion of assigning the vector to its nearest centroid.
+  */
+case class MinDistConstExpr(child: Expression, flat: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_mindist"
+  override protected def nullSafeEval(a: Any): Any =
+    VecKernels.minDist(a.asInstanceOf[ArrayData], flat, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("flatCentroids", flat, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.minDist($a, $ref, $k)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinDistConstExpr =
+    copy(child = newChild)
+}
+
 /** Column-API front door. */
 object VectorExprs {
   import org.apache.spark.sql.graft.bridge.{column, expression}
@@ -146,6 +183,8 @@ object VectorExprs {
     column(SqDistConstExpr(expression(a), c))
   def argminConst(a: Column, centroids: Array[Array[Double]]): Column =
     column(ArgminConstExpr(expression(a), centroids.flatten, centroids.length))
+  def minDistConst(a: Column, centroids: Array[Array[Double]]): Column =
+    column(MinDistConstExpr(expression(a), centroids.flatten, centroids.length))
 
   /** Register `vec_dot` / `vec_norm` for spark.sql(...) use (the
     * constant-centroid forms have no SQL-literal spelling and stay

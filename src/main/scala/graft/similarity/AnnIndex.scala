@@ -70,6 +70,104 @@ object AnnIndex {
     coarse.zipWithIndex.map { case (cent, i) => (i, cent.toSeq) }.toSeq
       .toDF("list_id", "centroid")
       .write.mode("overwrite").parquet(s"$dir/coarse")
+    // training-time reference statistics — the drift monitor's baseline
+    // (see driftAudit). Written LAST so a stats/_SUCCESS guard implies a
+    // complete index. One nLists-row table; the global mean distortion
+    // rides as a constant column.
+    val trained = spark.read.parquet(s"$dir/codes")
+    val meanDist = broadcast(
+      distortion(embeddings, Loaded(trained, cb, coarse), vecCol)
+        .agg(avg(col("__distortion")).as("train_mean_distortion")))
+    trained.groupBy(col("list_id")).agg(count(lit(1)).as("n_train"))
+      .withColumn("train_share",
+        col("n_train") / sum(col("n_train")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(meanDist)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Per-row PQ reconstruction distortion of the NORMALIZED vector:
+    * Σ over subspaces of min-over-codes ‖sub_j − centroid_j_c‖² — the
+    * ADC self-distortion the frozen codebooks incur on this vector.
+    * One codegen'd kernel per subspace, shuffle-free.
+    */
+  private def distortion(embeddings: DataFrame, index: Loaded,
+                         vecCol: String): DataFrame = {
+    val cb = index.cb
+    val normed = ProductQuantization.normalized(embeddings, vecCol, "ann_nvec")
+    normed.withColumn("__distortion",
+      (0 until cb.m).map { j =>
+        graft.functions.VectorExprs.minDistConst(
+          slice(col("ann_nvec"), j * cb.subDim + 1, cb.subDim),
+          cb.centroids(j))
+      }.reduce(_ + _))
+  }
+
+  /** Quantization-drift monitor — the measured retrain trigger the
+    * frozen-codebook [[append]] path needs: an appended batch from a
+    * distribution the codebooks never saw silently degrades recall, and
+    * nothing in the lifecycle would notice until a human does. Compares
+    * the batch against the TRAINING-time reference persisted by
+    * [[write]] under `stats/` on two axes:
+    *
+    *  - coarse-assignment shares: total-variation distance between the
+    *    batch's per-list assignment distribution (frozen quantizer) and
+    *    the training distribution — a shifted batch crowds into lists
+    *    the training data spread across;
+    *  - quantization distortion: mean ADC self-distortion of the batch
+    *    over the training mean — codes get uniformly worse when the
+    *    subspace marginals move.
+    *
+    * Output is ONE row: (n_batch, tvd, distortion_ratio, share_drifted,
+    * distortion_drifted, retrain) with retrain = either axis over its
+    * threshold — the queryable bit a pipeline gates a full re-[[write]]
+    * on, composing with [[append]] (audit the batch BEFORE appending).
+    * Distributed shape: one narrow map per axis, one nLists-row join, a
+    * 1-row final agg; thresholds are arguments, defaults adjudicated in
+    * THREESCALE.md §15 (organic held-out batches measure tvd ≈ 0.02-0.1
+    * and ratio ≈ 1.0 at three scales; a fixed-direction batch measures
+    * tvd ≥ 0.9).
+    *
+    * Requires a `stats/` table — indexes written before round 15 must be
+    * re-[[write]]ten to be auditable (stats derive from the training
+    * corpus, which only write() sees).
+    */
+  def driftAudit(spark: SparkSession, dir: String, batch: DataFrame,
+                 tauTvd: Double = 0.25, tauRho: Double = 2.0,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "stats", "_SUCCESS")),
+      s"no stats/ under $dir — the index predates the drift monitor; " +
+        "re-run AnnIndex.write to persist training-time reference stats")
+    val idx = load(spark, dir, idCol)
+    val stats = spark.read.parquet(s"$dir/stats")
+    val assigned = ProductQuantization.normalized(batch, vecCol, "ann_nvec")
+      .select(Knn.assignList(col("ann_nvec"), idx.coarse).as("list_id"))
+    val batchShares = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_batch_list"))
+      .withColumn("batch_share",
+        col("n_batch_list") / sum(col("n_batch_list")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+    // nLists-row outer join: lists the batch never hits (or training
+    // never hit) contribute their full share to the distance
+    val tvdRow = stats.select(col("list_id"), col("train_share"))
+      .join(batchShares.select(col("list_id"), col("batch_share")),
+        Seq("list_id"), "full_outer")
+      .agg((sum(abs(coalesce(col("batch_share"), lit(0.0)) -
+        coalesce(col("train_share"), lit(0.0)))) / 2).as("tvd"))
+    val distRow = distortion(batch, idx, vecCol)
+      .agg(avg(col("__distortion")).as("batch_mean_distortion"),
+        count(lit(1)).as("n_batch"))
+    val trainMean = stats.select(col("train_mean_distortion")).limit(1)
+    broadcast(distRow).crossJoin(broadcast(tvdRow))
+      .crossJoin(broadcast(trainMean))
+      .select(col("n_batch"), col("tvd"),
+        (col("batch_mean_distortion") / col("train_mean_distortion"))
+          .as("distortion_ratio"))
+      .withColumn("share_drifted", col("tvd") > tauTvd)
+      .withColumn("distortion_drifted", col("distortion_ratio") > tauRho)
+      .withColumn("retrain", col("share_drifted") || col("distortion_drifted"))
   }
 
   /** Incremental ingest — the [[graft.dedup.DedupStore.append]]

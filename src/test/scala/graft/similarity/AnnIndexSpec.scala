@@ -178,4 +178,39 @@ class AnnIndexSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "codes_old")))
     assert(healed.codes.count() === n - 1)
   }
+
+  test("driftAudit: organic held-out batch passes, fixed-direction batch trips") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val dir = freshDir()
+    AnnIndex.write(emb.filter($"vec_id" % 5 =!= 4), dir,
+      m = 8, k = 64, nLists = 16, maxIter = 3)
+    // stats persisted by write(): one row per non-empty list, shares sum
+    // to 1, a positive global training distortion
+    val stats = spark.read.parquet(s"$dir/stats")
+    assert(math.abs(stats.agg(sum($"train_share")).as[Double].head() - 1.0) < 1e-9)
+    assert(stats.select(min($"train_mean_distortion")).as[Double].head() > 0)
+    val heldOut = emb.filter($"vec_id" % 5 === 4)
+    val control = AnnIndex.driftAudit(spark, dir, heldOut).collect()(0)
+    assert(!control.getAs[Boolean]("retrain"),
+      s"organic held-out batch tripped the monitor: $control")
+    assert(control.getAs[Double]("tvd") >= 0 && control.getAs[Double]("tvd") <= 1)
+    // every coordinate 1.0 -> after normalization one identical unit
+    // vector -> a single coarse list holds the whole batch -> tvd is
+    // 1 - that list's training share, provably past the threshold
+    val shifted = heldOut.withColumn("embedding",
+      expr("transform(embedding, x -> CAST(1.0 AS DOUBLE))"))
+    val drifted = AnnIndex.driftAudit(spark, dir, shifted).collect()(0)
+    assert(drifted.getAs[Boolean]("share_drifted") &&
+      drifted.getAs[Boolean]("retrain"),
+      s"fixed-direction batch did not trip the monitor: $drifted")
+    assert(drifted.getAs[Double]("tvd") > 0.5)
+    // an index written before round 15 (no stats/) must fail fast
+    val bare = freshDir()
+    AnnIndex.write(emb, bare, m = 4, k = 8, nLists = 4, maxIter = 1)
+    graft.io.SwapDir.deleteRecursively(java.nio.file.Paths.get(bare, "stats"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.driftAudit(spark, bare, heldOut)
+    }
+    assert(e.getMessage.contains("stats"))
+  }
 }
