@@ -324,6 +324,27 @@ object Planted {
     qualityTrainRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** The q194 corpus made minimally NON-separable for the averaged
+    * perceptron gate (q201): every feature in qualityTrainRows is
+    * doc-exclusive except the shared `qsh` token, so ANY duplicate-free
+    * relabeling stays linearly separable — the only way to plant
+    * inseparability is a DUPLICATED text with the opposite label. One
+    * copy of the g=0 positive doc joins under lang `qflip` (label −1 at
+    * the gate): the pair can never both classify correctly, the loop
+    * 2-cycles from round 3 (exactly one of the pair misclassified per
+    * round, alternating — derivation in QualityTrainer.trainAveraged's
+    * scaladoc), and the averaged weights follow closed-form.
+    */
+  def qualityNoisyTrainRows: Seq[(Long, String, String, String, Long)] = {
+    val t0 = qualityTrainRows.head
+    qualityTrainRows :+ ((qtBase + 500L, t0._2, "qflip", "planted", t0._5))
+  }
+
+  def qualityNoisyTrainDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    qualityNoisyTrainRows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   def qualityEvalDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     qualityEvalRows.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -3310,6 +3310,54 @@ object SparkEntry {
             .select(lit("shifted").as("batch_tag"), col("n_batch"),
               col("share_drifted"), col("retrain")))
         .orderBy(col("batch_tag"))
+    }),
+    "q201_quality_train_averaged" -> ((s, dir) => {
+      // the AVERAGED perceptron on a NON-separable set — train()'s
+      // unpinned "last iterate after maxRounds" becomes the stable
+      // integer sum Σ_t w_t (sign-equivalent to the average). The
+      // planted set is q194's plus ONE duplicated-and-flipped positive
+      // doc (doc-exclusive grams make any duplicate-free labeling
+      // separable, so the duplicate pair is the minimal noise); the
+      // loop 2-cycles from round 3 and the oracle derives weight_sum =
+      // 8·posCnt − 7·negCnt + 3·dupCnt closed-form (rounds = 8
+      // pinned — the averaging horizon is part of the semantics).
+      // Derivation in QualityTrainer.trainAveraged's scaladoc.
+      s.read.parquet(stagedAveragedWeights(s)).orderBy(col("feat"))
+    }),
+    "q202_quality_averaged_score" -> ((s, dir) =>
+      // q196 re-gated on the averaged table: the held-out eval docs
+      // score through the SAME scoreWith join (weight_sum renamed in —
+      // sign-equivalence means `kept` keeps its margin>0 contract);
+      // cross-class boundary bigrams stay absent and contribute 0.
+      graft.operators.QualityTrainer.scoreWith(
+          Planted.qualityEvalDocs(s),
+          s.read.parquet(stagedAveragedWeights(s))
+            .withColumnRenamed("weight_sum", "weight"))
+        .orderBy(col("doc_id"))),
+    "q203_quality_averaged_budget" -> ((s, dir) => {
+      // q198 re-gated on the averaged weights: same selection pool
+      // (train + eval strata — the flipped duplicate trains the table
+      // but does NOT enter the curriculum), same budget-greedy
+      // (margin DESC, doc_id) 64-token prefix per lang, margins from
+      // the averaged table.
+      val docs = Planted.qualityTrainDocs(s)
+        .unionByName(Planted.qualityEvalDocs(s))
+      val scored = graft.operators.QualityTrainer.scoreWith(
+        docs, s.read.parquet(stagedAveragedWeights(s))
+          .withColumnRenamed("weight_sum", "weight"))
+      graft.operators.Mixing.budgetGreedySelect(
+          docs.join(scored.select(col("doc_id"), col("margin_units")),
+            Seq("doc_id")),
+          "lang",
+          scoreCol = col("margin_units"),
+          tokensCol = TextFunctions.tokenCount(col("text")),
+          budgetTokens = 64L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("tokens"),
+          min(col("_score")).as("cutoff_margin"),
+          max(col("doc_id")).as("max_doc_id"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3325,6 +3373,23 @@ object SparkEntry {
       val labeled = Planted.qualityTrainDocs(s)
         .withColumn("label", when(col("lang") === "qpos", 1L).otherwise(-1L))
       graft.operators.QualityTrainer.train(labeled)
+        .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  /** q201/q202/q203's fixture: the AVERAGED weight table trained on the
+    * noisy (duplicate-flipped) planted set at the pinned 8-round
+    * horizon — staged once per JVM/tmp lifetime like
+    * [[stagedQualityWeights]] (no sf-dir dependence).
+    */
+  private def stagedAveragedWeights(s: SparkSession): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_qavg_weights")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      val labeled = Planted.qualityNoisyTrainDocs(s)
+        .withColumn("label", when(col("lang") === "qpos", 1L).otherwise(-1L))
+      graft.operators.QualityTrainer.trainAveraged(labeled, rounds = 8)
         .write.mode("overwrite").parquet(out.toString)
     }
     out.toString
@@ -7212,7 +7277,105 @@ object SparkEntry {
          UNION ALL
          SELECT 'shifted', COUNT(*), TRUE, TRUE
          FROM embeddings WHERE vec_id % 5 = 4
-         ORDER BY batch_tag"""
+         ORDER BY batch_tag""",
+    "q201_quality_train_averaged" ->
+      // the 8-round averaged weights closed-form: per gram OCCURRENCE,
+      // +8 if its doc is positive, −7 if negative, +3 more if it sits
+      // in the duplicated text (the 2-cycle's alternating-sum residue
+      // (6+4+2)−(5+3+1) = 3 — derivation in trainAveraged's scaladoc)
+      s"""WITH $avgWeightsCteSql
+         SELECT feat, weight_sum FROM w ORDER BY feat""",
+    "q202_quality_averaged_score" ->
+      // q196's eval-doc scoring chain under the averaged table: same
+      // gram extraction, SUM(weight_sum) per doc, absent features 0
+      s"""WITH $avgWeightsCteSql,
+         ev AS (SELECT 950000200 + e AS doc_id,
+                  array_to_string(
+                    [concat('qp', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
+                    [concat('qn', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 1 + e % 3 ELSE 4 + e % 3 END)],
+                    ' ') AS text
+                FROM (SELECT unnest(range(0, 10)) AS e)),
+         et AS (SELECT doc_id,
+                  [x for x in string_split_regex(trim(text), ' +')
+                   if length(x) > 0] AS tk
+                FROM ev),
+         eg AS (SELECT doc_id, list_concat(tk,
+                  [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+                FROM et),
+         eo AS (SELECT doc_id, unnest(grams) AS gm FROM eg),
+         eh AS (SELECT doc_id,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM eo),
+         m AS (SELECT eh.doc_id, SUM(w.weight_sum) AS mm
+               FROM eh JOIN w USING (feat) GROUP BY 1)
+         SELECT CAST(ev.doc_id AS BIGINT) AS doc_id,
+                CAST(coalesce(m.mm, 0) AS BIGINT) AS margin_units,
+                coalesce(m.mm, 0) > 0 AS kept
+         FROM ev LEFT JOIN m ON ev.doc_id = m.doc_id
+         ORDER BY doc_id""",
+    "q203_quality_averaged_budget" ->
+      // q198's pool and (margin DESC, doc_id) 64-token prefix, margins
+      // from the averaged table (the flipped duplicate trains the
+      // weights but is NOT in the selection pool)
+      s"""WITH $avgWeightsCteSql,
+         docs AS (
+           SELECT CAST(950000000 + g AS BIGINT) AS doc_id, 'qpos' AS lang,
+                  array_to_string(
+                    [concat('qp', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qp', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT CAST(950000100 + g AS BIGINT) AS doc_id, 'qneg' AS lang,
+                  array_to_string(
+                    [concat('qn', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qn', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT CAST(950000200 + e AS BIGINT) AS doc_id, 'qeval' AS lang,
+                  array_to_string(
+                    [concat('qp', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 4 + e % 3 ELSE 1 + e % 3 END)] ||
+                    [concat('qn', e, 'x', j) for j in range(0,
+                       CASE WHEN e % 2 = 0 THEN 1 + e % 3 ELSE 4 + e % 3 END)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 10)) AS e)),
+         t AS (SELECT doc_id, lang,
+                 CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), ' +'))
+                      END AS BIGINT) AS nt,
+                 [x for x in string_split_regex(trim(text), ' +')
+                  if length(x) > 0] AS tk
+               FROM docs),
+         g AS (SELECT doc_id, lang, nt, list_concat(tk,
+                 [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+               FROM t),
+         o AS (SELECT doc_id, lang, unnest(grams) AS gm FROM g),
+         hh AS (SELECT doc_id, lang,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM o),
+         m AS (SELECT hh.doc_id, SUM(w.weight_sum) AS mm
+               FROM hh JOIN w USING (feat) GROUP BY 1),
+         sc AS (SELECT t.doc_id, t.lang, t.nt,
+                  CAST(coalesce(m.mm, 0) AS BIGINT) AS margin
+                FROM t LEFT JOIN m ON t.doc_id = m.doc_id),
+         sel AS (SELECT lang, doc_id, nt, margin,
+                   SUM(nt) OVER (PARTITION BY lang
+                                 ORDER BY margin DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM sc)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(nt) AS BIGINT) AS tokens,
+                CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
+                CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in
@@ -7230,6 +7393,54 @@ object SparkEntry {
     * trainer and the distilled local trainer are pinned to this exact
     * sequence.
     */
+  /** q201/q202/q203's shared CTE: the 8-round AVERAGED weights over the
+    * noisy (duplicate-flipped) planted set, closed-form. Per gram
+    * occurrence: +8 when its doc is positive, −7 when negative, +3 more
+    * when it sits in the duplicated text — rounds·pos −
+    * (rounds−1)·neg + ((rounds−2)/2)·dup at rounds = 8 (the 2-cycle
+    * residue; derivation in QualityTrainer.trainAveraged's scaladoc).
+    */
+  private val avgWeightsCteSql: String =
+    """wdocs AS (
+           SELECT 1 AS label, FALSE AS isdup,
+                  array_to_string(
+                    [concat('qp', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qp', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ') AS text
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT -1, FALSE,
+                  array_to_string(
+                    [concat('qn', g, 'x', j) for j in range(0, 8)] ||
+                    ['qsh'] ||
+                    [concat('qn', g, 'r') for k in range(0, 1 + g % 3)],
+                    ' ')
+           FROM (SELECT unnest(range(0, 20)) AS g)
+           UNION ALL
+           SELECT -1, TRUE,
+                  array_to_string(
+                    [concat('qp0x', j) for j in range(0, 8)] ||
+                    ['qsh'] || ['qp0r'], ' ')),
+         wt AS (SELECT label, isdup,
+                  [x for x in string_split_regex(trim(text), ' +')
+                   if length(x) > 0] AS tk
+                FROM wdocs),
+         wg AS (SELECT label, isdup, list_concat(tk,
+                  [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS grams
+                FROM wt),
+         wo AS (SELECT label, isdup, unnest(grams) AS gm FROM wg),
+         wh AS (SELECT label, isdup,
+                  CAST(list_reduce([ascii(gm[i]) for i in range(1, len(gm) + 1)],
+                    (a, b) -> (a * 31 + b) % 1000003) AS BIGINT) AS feat
+                FROM wo),
+         wsum AS (SELECT feat,
+                    CAST(SUM(CASE WHEN label = 1 THEN 8 ELSE -7 END) +
+                         3 * SUM(CASE WHEN isdup THEN 1 ELSE 0 END)
+                         AS BIGINT) AS weight_sum
+                  FROM wh GROUP BY 1),
+         w AS (SELECT feat, weight_sum FROM wsum WHERE weight_sum <> 0)"""
+
   private val bpe1kScheduleOracleSql: String =
     """WITH i AS (SELECT unnest(range(0, 31)) AS i),
             w AS (SELECT unnest(range(0, 33)) AS w),

@@ -116,6 +116,103 @@ object QualityTrainer {
     out
   }
 
+  /** AVERAGED batch perceptron (Freund & Schapire 1999's averaging
+    * applied to the batch update) — the semantics [[train]] lacks on a
+    * NON-separable set: there the plain loop runs `maxRounds` and ships
+    * whatever iterate it last computed (the batch analog of the
+    * perceptron's cycling), while the average over iterates is a stable
+    * majority vote across the cycle. Classification by margin sign is
+    * invariant to positive scaling, so the UNDIVIDED sum
+    *
+    *   weight_sum[f] = Σ_{t=1..rounds} w_t[f]
+    *
+    * is returned instead of the mean — it stays in exact integers (the
+    * q155 quantization convention) with no float step to drift
+    * cross-engine. Computed without retaining per-round tables via the
+    * delta form: w_t = Σ_{r<=t} δ_r gives
+    * Σ_t w_t = Σ_r (rounds − r + 1)·δ_r, so each round's (vocab-sized)
+    * update aggregate is scaled by its remaining-round count and one
+    * final feat-keyed sum folds them — order-independent and
+    * shuffle-parallel exactly like [[train]], valid under early
+    * convergence too (δ_r = 0 for every unexecuted round).
+    *
+    * `rounds` is part of the SEMANTICS here (the averaging horizon),
+    * not just a safety bound — two calls with different `rounds` on a
+    * non-separable set return different (sign-equivalent only on the
+    * stable points) tables. Output: (feat BIGINT, weight_sum BIGINT),
+    * zero rows dropped; rename to `weight` to feed [[scoreWith]].
+    *
+    * Closed-form oracle hook (q201): on the q194 planted set plus ONE
+    * duplicated-and-flipped positive doc (identical text, label −1 —
+    * doc-exclusive grams make any duplicate-free labeling separable,
+    * so the duplicate pair is the minimal non-separable noise), the
+    * schedule is derivable: rounds 1–2 replay q194's, and from round 3
+    * the loop 2-cycles (exactly one of the pair misclassified,
+    * alternating), giving weight_sum = rounds·posCount −
+    * (rounds−1)·negCount + ((rounds−2)/2)·dupCount for even `rounds`,
+    * with dupCount = the duplicated text's own counts.
+    */
+  def trainAveraged(labeled: DataFrame, rounds: Int = 8,
+                    textCol: String = "text", labelCol: String = "label",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val feats = featurize(labeled, textCol, idCol)
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast("long").as("__y")), Seq(idCol))
+    val (featsCp, releaseFeats) = IterState.checkpoint(feats)
+    var weights = featsCp.select(col("feat")).distinct()
+      .withColumn("weight", lit(0L))
+    var (wCp, releaseW) = IterState.checkpoint(weights)
+    val deltas = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, () => Unit, Int)]
+    var t = 1
+    var converged = false
+    while (!converged && t <= rounds) {
+      val margins = featsCp.join(wCp, Seq("feat"))
+        .groupBy(col(idCol), col("__y"))
+        .agg(sum(col("cnt") * col("weight")).as("__m"))
+      val mis = margins
+        .filter((col("__m") > 0) =!= (col("__y") > 0))
+        .select(col(idCol))
+      val (misCp, releaseMis) = IterState.checkpoint(mis)
+      if (misCp.isEmpty) {
+        converged = true
+        releaseMis()
+      } else {
+        val delta = featsCp.join(misCp, Seq(idCol))
+          .groupBy(col("feat"))
+          .agg(sum(col("cnt") * col("__y")).as("__d"))
+        val (deltaCp, releaseDelta) = IterState.checkpoint(delta)
+        releaseMis()
+        deltas += ((deltaCp, releaseDelta, rounds - t + 1))
+        val next = wCp.join(deltaCp, Seq("feat"), "left")
+          .select(col("feat"),
+            (col("weight") + coalesce(col("__d"), lit(0L))).as("weight"))
+        val (nextCp, releaseNext) = IterState.checkpoint(next)
+        releaseW()
+        wCp = nextCp; releaseW = releaseNext
+      }
+      t += 1
+    }
+    val out =
+      if (deltas.isEmpty)
+        // no update ever fired: every iterate is 0, zero rows drop to none
+        IterState.copyOut(featsCp.select(col("feat"))
+          .withColumn("weight_sum", lit(0L)).limit(0))
+      else
+        IterState.copyOut(
+          deltas.map { case (d, _, mult) =>
+            d.select(col("feat"), (col("__d") * lit(mult.toLong)).as("__w"))
+          }.reduce(_ unionByName _)
+            .groupBy(col("feat"))
+            .agg(sum(col("__w")).as("weight_sum"))
+            .filter(col("weight_sum") =!= 0L))
+    deltas.foreach(_._2())
+    releaseW()
+    releaseFeats()
+    out
+  }
+
   /** Margin of every document under a TRAINED weight table — the
     * inference half: same gram ids, vocab-keyed join, one per-doc sum;
     * docs whose grams are all absent from the table (or that have no

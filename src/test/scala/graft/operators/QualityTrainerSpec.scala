@@ -102,4 +102,69 @@ class QualityTrainerSpec extends SparkSpec {
     assert(w.count() === 0)
     assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
   }
+
+  private def noisyLabeled = Planted.qualityNoisyTrainDocs(spark)
+    .withColumn("label", when($"lang" === "qpos", 1L).otherwise(-1L))
+
+  test("averaged training matches the closed form on the noisy planted set") {
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val avg = QualityTrainer.trainAveraged(noisyLabeled, rounds = 8)
+      .as[(Long, Long)].collect().toMap
+    // closed form (trainAveraged scaladoc): per occurrence +8 pos, -7
+    // neg, +3 extra in the duplicated text — derived independently via
+    // the reference extraction
+    val dupText = Planted.qualityTrainRows.head._2
+    val contrib = Planted.qualityNoisyTrainRows
+      .flatMap { case (_, text, lang, _, _) =>
+        val base = if (lang == "qpos") 8L else -7L
+        val dup = if (lang == "qflip") 3L else 0L
+        grams(text).map(g => refHash(g) -> (base + dup))
+      }
+    val expected = contrib.groupBy(_._1).view
+      .mapValues(_.map(_._2).sum).toMap.filter(_._2 != 0L)
+    assert(avg === expected)
+    // spot values: shared token 8*20-7*21+3 = 16; a duplicated-doc
+    // unigram 8-7+3 = 4; an untouched positive unigram 8
+    assert(avg(refHash("qsh")) === 16L)
+    assert(avg(refHash("qp0x0")) === 4L)
+    assert(avg(refHash("qp1x0")) === 8L)
+    assert(expected.keySet.contains(refHash(dupText.split(" ").head)))
+    assert(spark.sparkContext.getPersistentRDDs.keySet === pinnedBefore)
+  }
+
+  test("averaged weights give stable verdicts where the last iterate cycles") {
+    // the plain loop's verdict on the duplicated pair depends on the
+    // PARITY of maxRounds (the 2-cycle); the averaged table's does not
+    def pairVerdict(w: org.apache.spark.sql.DataFrame): Boolean =
+      QualityTrainer.scoreWith(noisyLabeled, w)
+        .filter($"doc_id" === Planted.qtBase)
+        .select($"kept").as[Boolean].head()
+    val odd = QualityTrainer.train(noisyLabeled, maxRounds = 7)
+    val even = QualityTrainer.train(noisyLabeled, maxRounds = 8)
+    assert(pairVerdict(odd) !== pairVerdict(even),
+      "expected the last-iterate verdict to flip with round parity")
+    val avg8 = QualityTrainer.trainAveraged(noisyLabeled, rounds = 8)
+      .withColumnRenamed("weight_sum", "weight")
+    val avg12 = QualityTrainer.trainAveraged(noisyLabeled, rounds = 12)
+      .withColumnRenamed("weight_sum", "weight")
+    assert(pairVerdict(avg8) && pairVerdict(avg12),
+      "averaged verdict must be stable across horizons (majority vote)")
+    // and the averaged table still classifies every non-duplicated doc
+    val scored = QualityTrainer.scoreWith(noisyLabeled, avg8)
+      .join(noisyLabeled.select($"doc_id", $"label"), Seq("doc_id"))
+      .filter($"doc_id" =!= Planted.qtBase && $"doc_id" =!= Planted.qtBase + 500L)
+    assert(scored.filter(($"margin_units" > 0) =!= ($"label" > 0)).isEmpty)
+  }
+
+  test("averaged training on a separable set converges and separates") {
+    // early convergence: every unexecuted round contributes a frozen
+    // iterate to the sum — the delta-multiplier bookkeeping must stay
+    // consistent (sign-equivalence with the converged train() weights)
+    val avg = QualityTrainer.trainAveraged(labeled, rounds = 8)
+      .withColumnRenamed("weight_sum", "weight")
+    val scored = QualityTrainer.scoreWith(labeled, avg)
+      .join(labeled.select($"doc_id", $"label"), Seq("doc_id"))
+    assert(scored.filter(($"margin_units" > 0) =!= ($"label" > 0)).isEmpty,
+      "averaged weights must classify the separable training set perfectly")
+  }
 }
