@@ -3358,6 +3358,31 @@ object SparkEntry {
           min(col("_score")).as("cutoff_margin"),
           max(col("doc_id")).as("max_doc_id"))
         .orderBy(col("lang"))
+    }),
+    "q204_bpe_encode_ids" -> ((s, dir) => {
+      // the tokenizer FINISHED: id sequences (what a training pipeline
+      // consumes — q199 stopped at subword counts) through the
+      // PERSISTED store (train once at q197 cost, BpeStore.write with
+      // the SwapDir staging discipline, load and serve forever). Vocab
+      // contract: base symbols (training alphabet, UTF-8-binary order)
+      // get ids 0..61 here, merge outputs 62 + (round−1). Both serving
+      // regimes gate: the full 1023-merge table (every word collapses
+      // to its merge's single id — exercising merge-output ids) and the
+      // 500-merge prefix (unmerged words emit their two BASE ids in
+      // order — exercising the base block). Closed form via the q192
+      // schedule arithmetic: doc (w,i)'s pair has rank rnk(w,lft,rgt),
+      // so ids are [61+rnk] × (100−2w), or [lo,hi] × (100−2w) when
+      // rnk > 500.
+      val docs = Planted.bpe1kDocs(s)
+      val store = graft.operators.BpeStore.load(s, stagedBpeStore(s))
+      def exploded(tag: String, merges: Seq[(String, String)]) =
+        graft.operators.BpeTrainer
+          .encodeToIds(docs, merges, store.vocab)
+          .select(lit(tag).as("variant"), col("doc_id"),
+            posexplode(col("ids")).as(Seq("pos", "token_id")))
+      exploded("full", store.merges)
+        .unionByName(exploded("p500", store.merges.take(500)))
+        .orderBy(col("variant"), col("doc_id"), col("pos"))
     })
   )
 
@@ -3391,6 +3416,24 @@ object SparkEntry {
         .withColumn("label", when(col("lang") === "qpos", 1L).otherwise(-1L))
       graft.operators.QualityTrainer.trainAveraged(labeled, rounds = 8)
         .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  /** q204's fixture: the persisted tokenizer — the 1023-merge distilled
+    * table + derived vocab written through BpeStore's staging swap.
+    * Planted-corpus-only (the q192 schedule), so sf-independent like
+    * [[stagedQualityWeights]]; guard on vocab/_SUCCESS (written last).
+    */
+  private def stagedBpeStore(s: SparkSession): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bpe_store")
+    if (!java.nio.file.Files.exists(out.resolve("vocab").resolve("_SUCCESS"))) {
+      val docs = Planted.bpe1kDocs(s)
+      graft.operators.BpeStore.write(
+        graft.operators.BpeTrainer.learnMergesDistilled(docs, nMerges = 1023),
+        graft.operators.BpeTrainer.baseSymbols(docs),
+        out.toString)
     }
     out.toString
   }
@@ -7375,7 +7418,55 @@ object SparkEntry {
                 CAST(SUM(nt) AS BIGINT) AS tokens,
                 CAST(MIN(margin) AS BIGINT) AS cutoff_margin,
                 CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
-         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang"""
+         FROM sel WHERE cum <= 64 GROUP BY 1 ORDER BY lang""",
+    "q204_bpe_encode_ids" ->
+      // id sequences regenerated from the schedule arithmetic: merge
+      // ranks map to 61+rnk (base block 0..61 = the ASCII-sorted
+      // alphabet index — lo/hi ARE the base ids), prefix-unmerged words
+      // emit (lo, hi) at positions (2k, 2k+1)
+      """WITH i AS (SELECT unnest(range(0, 31)) AS i),
+              w AS (SELECT unnest(range(0, 33)) AS w),
+              p AS (SELECT w.w, i.i,
+                      CASE WHEN i.i = 0 THEN LEAST(61, w.w)
+                           ELSE LEAST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS lo,
+                      CASE WHEN i.i = 0 THEN GREATEST(61, w.w)
+                           ELSE GREATEST((w.w + i.i) % 61, (w.w - i.i + 61) % 61)
+                      END AS hi
+                    FROM w, i),
+              n AS (SELECT w, i, lo, hi,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(lo AS INT) + 1, 1) AS lft,
+                      substr('0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz',
+                        CAST(hi AS INT) + 1, 1) AS rgt
+                    FROM p),
+              r AS (SELECT w, i, lo, hi,
+                      ROW_NUMBER() OVER (ORDER BY w, lft, rgt) AS rnk
+                    FROM n),
+              d AS (SELECT CAST(940000000 + w * 31 + i AS BIGINT) AS doc_id,
+                      w, lo, hi, rnk
+                    FROM r),
+              fullv AS (SELECT 'full' AS variant, doc_id,
+                          unnest(range(0, 100 - 2 * w)) AS pos,
+                          61 + rnk AS token_id
+                        FROM d),
+              p500m AS (SELECT 'p500' AS variant, doc_id,
+                          unnest(range(0, 100 - 2 * w)) AS pos,
+                          61 + rnk AS token_id
+                        FROM d WHERE rnk <= 500),
+              p500u AS (SELECT doc_id, lo, hi,
+                          unnest(range(0, 100 - 2 * w)) AS k
+                        FROM d WHERE rnk > 500),
+              p500ux AS (SELECT 'p500' AS variant, doc_id, 2 * k AS pos,
+                           lo AS token_id
+                         FROM p500u
+                         UNION ALL
+                         SELECT 'p500', doc_id, 2 * k + 1, hi FROM p500u)
+         SELECT variant, doc_id, CAST(pos AS INT) AS pos,
+                CAST(token_id AS INT) AS token_id
+         FROM (SELECT * FROM fullv UNION ALL SELECT * FROM p500m
+               UNION ALL SELECT * FROM p500ux)
+         ORDER BY variant, doc_id, pos"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

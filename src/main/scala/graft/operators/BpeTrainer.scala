@@ -49,6 +49,36 @@ object BpeTrainer {
     rawWordTable(documents, textCol)
       .select(regexp_replace(col("token"), "(.)", "<$1>").as("enc"), col("freq"))
 
+  /** UTF-8 binary order — Spark's string ordering and DuckDB's binary
+    * collation; differs from String.compareTo in the surrogate range.
+    */
+  val utf8BinaryOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  /** The training corpus's BASE alphabet: distinct single code points of
+    * the word table's tokens, UTF-8-binary sorted — the id-0 block of
+    * [[BpeStore]]'s vocab. One map-side-combined distinct over symbol
+    * explode; the collect is alphabet-sized (the sanctioned sketch
+    * collect — hundreds to a few thousand rows for natural text).
+    */
+  def baseSymbols(documents: DataFrame, textCol: String = "text"): Seq[String] =
+    wordTable(documents, textCol)
+      .select(explode(split(trim(col("enc"), "<>"), "><")).as("sym"))
+      .distinct()
+      .orderBy(col("sym")) // Spark string order = UTF-8 binary
+      .collect().map(_.getString(0)).toSeq
+
   /** The ordered merge table: (round, left, right, pair_count), one row
     * per learned merge; stops early if no pair remains.
     *
@@ -214,19 +244,7 @@ object BpeTrainer {
       }
       (syms, r.getLong(1))
     }
-    // UTF-8 binary order — Spark's string ordering and DuckDB's binary
-    // collation; differs from String.compareTo in the surrogate range
-    def binLt(a: String, b: String): Boolean = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      while (i < x.length && i < y.length) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c < 0
-        i += 1
-      }
-      x.length < y.length
-    }
+    def binLt(a: String, b: String): Boolean = utf8BinaryOrdering.lt(a, b)
     def pairsOf(w: scala.collection.mutable.ArrayBuffer[String]): Seq[(String, String)] =
       (0 until w.length - 1).map(i => (w(i), w(i + 1)))
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
@@ -377,6 +395,86 @@ object BpeTrainer {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).cast("bigint").as("n_subwords"))
+  }
+
+  /** ENCODING TO TOKEN IDS — the output a training pipeline actually
+    * consumes: per document, the id SEQUENCE of its subword symbols
+    * under an ordered merge table and a [[BpeStore]] vocab. Same
+    * rank-priority merge loop as [[encodeWithTable]] (equivalence to
+    * table-order application argued there), then each final symbol maps
+    * through the vocab; a symbol absent from the vocab (a serving-time
+    * code point the training corpus never saw) maps to −1 — the pinned
+    * UNK convention, so ids are total and the caller filters or remaps.
+    *
+    * Output: (idCol, ids array<int>, n_words, n_ids) with `ids` the
+    * concatenation over the document's kept tokens in text order
+    * (delimiter-bearing tokens drop, the [[rawWordTable]] contract).
+    * Scale shape: tokens posexplode → DISTINCT-token mapPartitions with
+    * the broadcast table (each token encoded once, q134's vocab-join
+    * discipline) → join back → per-doc ordered flatten; the per-doc
+    * collect_list is bounded by document length, the same bound every
+    * per-doc agg in the engine carries.
+    */
+  def encodeToIds(documents: DataFrame, merges: Seq[(String, String)],
+                  vocab: Map[String, Int], idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents
+      .select(col(idCol),
+        posexplode(split(trim(col(textCol)), " +")).as(Seq("__pos", "token")))
+      .filter(length(col("token")) > 0
+        && !col("token").contains("<") && !col("token").contains(">"))
+    val rankOf = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
+    val vocabB = spark.sparkContext.broadcast(vocab)
+    val encoded = toks.select(col("token")).distinct().as[String]
+      .mapPartitions { it =>
+        val ranks = rankOf.value
+        val ids = vocabB.value
+        it.map { t =>
+          val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            syms += new String(Character.toChars(cp))
+            i += Character.charCount(cp)
+          }
+          var done = syms.length < 2
+          while (!done) {
+            var bestRank = Int.MaxValue
+            var j = 0
+            while (j < syms.length - 1) {
+              ranks.get((syms(j), syms(j + 1))).foreach { r =>
+                if (r < bestRank) bestRank = r
+              }
+              j += 1
+            }
+            if (bestRank == Int.MaxValue) done = true
+            else {
+              val (a, b) = merges(bestRank)
+              val out = scala.collection.mutable.ArrayBuffer.empty[String]
+              var k = 0
+              while (k < syms.length) {
+                if (k + 1 < syms.length && syms(k) == a && syms(k + 1) == b) {
+                  out += (a + b); k += 2
+                } else { out += syms(k); k += 1 }
+              }
+              syms.clear(); syms ++= out
+              done = syms.length < 2
+            }
+          }
+          (t, syms.map(s => ids.getOrElse(s, -1)).toArray)
+        }
+      }.toDF("token", "__tids")
+    toks.join(encoded, "token")
+      .groupBy(col(idCol))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__tids")))),
+          x => x.getField("__tids"))).as("ids"),
+        count(lit(1)).as("n_words"))
+      .withColumn("n_ids", size(col("ids")).cast("bigint"))
   }
 
   /** ENCODING side: per-document subword counts under an ordered merge
