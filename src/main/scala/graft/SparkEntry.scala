@@ -3383,6 +3383,31 @@ object SparkEntry {
       exploded("full", store.merges)
         .unionByName(exploded("p500", store.merges.take(500)))
         .orderBy(col("variant"), col("doc_id"), col("pos"))
+    }),
+    "q205_jpeg_decode" -> ((s, dir) => {
+      // REAL JDK baseline-JPEG decode (q28's shape; the crawl-first
+      // format the PNG path didn't cover). JPEG is lossy, so the grid
+      // is pinned by CONSTRUCTION instead of losslessness: gray
+      // two-tone splits on an 8-pixel boundary at quality 1.0 — DC-only
+      // spectra under all-ones quant tables, flat 128 chroma under
+      // subsampling — decode to exactly the constructed pixels
+      // (JpegCodecSpec proves it on this JDK, incl. bit-invariance vs
+      // the PNG path and a counterexample showing the constraints are
+      // load-bearing). The engine parses a real JFIF container per row;
+      // the oracle re-derives dims and channel sums from documents.
+      import graft.multimodal.Multimodal.JpegCodec
+      import s.implicits._
+      Parallelize.ensure(
+        s.read.parquet(stagedJpegMedia(s, dir))
+          .filter(col("media_type") === "image")
+          .select(col("media_id"), col("payload"))).as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          val st = JpegCodec.decodeStats(p)
+          (id, st.width, st.height, st.width.toLong * st.height,
+            st.sum_r, st.sum_g, st.sum_b)
+        })
+        .toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -3576,6 +3601,30 @@ object SparkEntry {
       graft.similarity.AnnIndex.write(
         Tables.embeddings(s, dir).filter(col("vec_id") % 5 =!= 4),
         out.toString, m = 8, k = 64, nLists = 16, maxIter = 3)
+    }
+    out.toString
+  }
+
+  /** q205's fixture: baseline-JPEG payloads for the image cohort
+    * (doc_id % 3 = 0, the stagedPngMedia discipline — 4 one-row-group
+    * files so the decode parallelizes regardless of core count).
+    */
+  private def stagedJpegMedia(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_jpeg_media_$key")
+    if (!java.nio.file.Files.exists(out.resolve("_SUCCESS"))) {
+      import s.implicits._
+      import graft.multimodal.Multimodal.JpegCodec
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.flatMap { case (id, nc) =>
+          if (id % 3 == 0)
+            Iterator((id, "image", JpegCodec.encodeJpeg(id, nc)))
+          else Iterator.empty
+        })
+        .toDF("media_id", "media_type", "payload")
+        .write.mode("overwrite").parquet(out.toString)
     }
     out.toString
   }
@@ -7466,7 +7515,26 @@ object SparkEntry {
                 CAST(token_id AS INT) AS token_id
          FROM (SELECT * FROM fullv UNION ALL SELECT * FROM p500m
                UNION ALL SELECT * FROM p500ux)
-         ORDER BY variant, doc_id, pos"""
+         ORDER BY variant, doc_id, pos""",
+    "q205_jpeg_decode" ->
+      // JpegCodec.imageParams re-derived literally: w = (n_chars%4+2)*16,
+      // h = (doc_id%6+2)*8, gray halves vA = doc_id%256 /
+      // vB = (doc_id*7+13)%256 — r = g = b by construction
+      """SELECT doc_id AS media_id,
+                CAST((n_chars % 4 + 2) * 16 AS INTEGER) AS width,
+                CAST((doc_id % 6 + 2) * 8 AS INTEGER) AS height,
+                CAST((n_chars % 4 + 2) * 16 * (doc_id % 6 + 2) * 8 AS BIGINT)
+                  AS n_pixels,
+                CAST(((doc_id % 256) + ((doc_id * 7 + 13) % 256))
+                     * ((n_chars % 4 + 2) * 8) * ((doc_id % 6 + 2) * 8)
+                     AS BIGINT) AS sum_r,
+                CAST(((doc_id % 256) + ((doc_id * 7 + 13) % 256))
+                     * ((n_chars % 4 + 2) * 8) * ((doc_id % 6 + 2) * 8)
+                     AS BIGINT) AS sum_g,
+                CAST(((doc_id % 256) + ((doc_id * 7 + 13) % 256))
+                     * ((n_chars % 4 + 2) * 8) * ((doc_id % 6 + 2) * 8)
+                     AS BIGINT) AS sum_b
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

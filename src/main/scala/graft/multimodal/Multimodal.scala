@@ -180,6 +180,79 @@ object Multimodal {
     }
   }
 
+  /** Real baseline-JPEG encode/decode via JDK `javax.imageio` — the
+    * crawl-first image format the PNG path didn't cover (the WAV lesson:
+    * check the JDK before declaring a codec gap; ImageIO ships a
+    * baseline JPEG codec).
+    *
+    * JPEG is lossy, so the oracle trick differs from [[PngCodec]]: the
+    * synthetic images are GRAY two-tone vertical splits whose split
+    * falls on an 8-pixel boundary, encoded at compression quality 1.0 —
+    * then every 8x8 DCT block is a CONSTANT plane (DC-only spectrum),
+    * gray pixels carry flat 128 chroma (exact under 4:2:0 subsampling),
+    * and the all-ones quantization tables at quality 1.0 round-trip the
+    * DC coefficient exactly — so the DECODED pixel grid is pinned by
+    * construction and a SQL oracle re-derives dims and channel sums
+    * closed-form, while the engine still parses a real JFIF container
+    * (SOI/DQT/SOF0/Huffman scans). JpegCodecSpec additionally asserts
+    * bit-invariance of the decoded raster against the SAME grid pushed
+    * through the lossless PNG path — two engine decode paths, one
+    * pixel truth.
+    */
+  object JpegCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Closed-form image parameters; reproduced literally in
+      * `SparkEntry.oracleSql(q205)` — change BOTH or neither. Width is a
+      * multiple of 16 (split at w/2 stays 8-aligned), height a multiple
+      * of 8 — every block single-tone.
+      */
+    final case class JpegParams(w: Int, h: Int, vA: Int, vB: Int)
+    def imageParams(docId: Long, nChars: Long): JpegParams = JpegParams(
+      w = (nChars % 4 + 2).toInt * 16,
+      h = (docId % 6 + 2).toInt * 8,
+      vA = (docId % 256).toInt,
+      vB = ((docId * 7 + 13) % 256).toInt)
+
+    /** Gray two-tone still: left half (x < w/2) value vA, right half vB,
+      * r = g = b everywhere, written as baseline JPEG at quality 1.0.
+      */
+    def encodeJpeg(docId: Long, nChars: Long): Array[Byte] = {
+      val p = imageParams(docId, nChars)
+      val img = new java.awt.image.BufferedImage(
+        p.w, p.h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val a = (p.vA << 16) | (p.vA << 8) | p.vA
+      val b = (p.vB << 16) | (p.vB << 8) | p.vB
+      val half = p.w / 2
+      var y = 0
+      while (y < p.h) {
+        var x = 0
+        while (x < p.w) { img.setRGB(x, y, if (x < half) a else b); x += 1 }
+        y += 1
+      }
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f) // all-ones quant tables: flat blocks round-trip exactly
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      writer.dispose()
+      ios.close()
+      bos.toByteArray
+    }
+
+    /** Full decode: JFIF container parse + per-pixel channel sums — the
+      * raster walk is [[PngCodec.decodeRegion]], shared format-agnostic.
+      */
+    def decodeStats(payload: Array[Byte]): PngCodec.ImageStats = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "payload is not a decodable image")
+      PngCodec.decodeRegion(img, 0, img.getHeight)
+    }
+  }
+
   /** Real RIFF/WAV PCM encode/decode via JDK `javax.sound.sampled`.
     *
     * Same oracle discipline as [[PngCodec]]: the synthetic clips are
