@@ -345,6 +345,55 @@ object Planted {
     qualityNoisyTrainRows.toDF("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Planted image-dedup corpus (q206) — gray two-tone PNGs from
+    * [[graft.multimodal.Multimodal.PngCodec.encodeSplitGray]], chosen so
+    * every aHash relation is BY CONSTRUCTION (each half's cells sit
+    * strictly on one side of the mean, so orientation + brightness
+    * order fully determine the hash):
+    *
+    * STORED (idBase+0..2): two vertical dark-left images (one aHash
+    * family, different bytes/dims) and one vertical dark-RIGHT.
+    * BATCH (idBase+100..104):
+    *   +100 exact byte copy of stored +0        -> dup_vs_store
+    *   +101/+102 identical horizontal dark-top  -> new / dup_in_batch
+    *     (horizontal vs vertical families share no 16-bit chunk — not
+    *      even blocking candidates)
+    *   +103 vertical dark-left, new values/dims -> near_dup_vs_store
+    *     (aHash identical to +0's family, payload new)
+    *   +104 horizontal dark-BOTTOM              -> new
+    *     (complement of +101's family: Hamming 64; 32 vs verticals)
+    */
+  val imgBase = 960000000L
+
+  def imageStoreRows: Seq[(Long, Array[Byte])] = {
+    import graft.multimodal.Multimodal.PngCodec.encodeSplitGray
+    Seq(
+      (imgBase + 0L, encodeSplitGray(32, 24, 10, 200, vertical = true)),
+      (imgBase + 1L, encodeSplitGray(48, 16, 30, 220, vertical = true)),
+      (imgBase + 2L, encodeSplitGray(32, 24, 200, 10, vertical = true)))
+  }
+
+  def imageBatchRows: Seq[(Long, Array[Byte])] = {
+    import graft.multimodal.Multimodal.PngCodec.encodeSplitGray
+    val horiz = encodeSplitGray(40, 32, 20, 210, vertical = false)
+    Seq(
+      (imgBase + 100L, encodeSplitGray(32, 24, 10, 200, vertical = true)),
+      (imgBase + 101L, horiz),
+      (imgBase + 102L, horiz),
+      (imgBase + 103L, encodeSplitGray(36, 40, 12, 198, vertical = true)),
+      (imgBase + 104L, encodeSplitGray(40, 32, 210, 20, vertical = false)))
+  }
+
+  def imageStoreMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    imageStoreRows.toDF("media_id", "payload")
+  }
+
+  def imageBatchMedia(s: SparkSession): DataFrame = {
+    import s.implicits._
+    imageBatchRows.toDF("media_id", "payload")
+  }
+
   def qualityEvalDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     qualityEvalRows.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -3408,6 +3408,33 @@ object SparkEntry {
         })
         .toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
         .orderBy(col("media_id"))
+    }),
+    "q206_image_dedup_store" -> ((s, dir) => {
+      // persisted MULTIMODAL dedup: the DedupStore discipline composed
+      // with the image signatures (payload-MD5 exact + decoded-raster
+      // aHash near, one decode pass for both) — same on-disk layout, so
+      // load/purge/compact and the ingestSigned verdict core are shared
+      // with the text store verbatim. The planted corpus pins every
+      // verdict by aHash construction (orientation + brightness order
+      // determine the hash; vertical and horizontal families share no
+      // 16-bit blocking chunk — see Planted.imageStoreRows). Property
+      // gate, q189's aggregated-bits shape.
+      import graft.dedup.ImageDedupStore
+      val B = Planted.imgBase
+      val store = ImageDedupStore.load(s, stagedImageDedupStore(s))
+      ImageDedupStore.ingest(store, Planted.imageBatchMedia(s))
+        .select(col("media_id"), col("verdict"))
+        .agg(
+          min(when(col("media_id") === B + 100, col("verdict") === "dup_vs_store"))
+            .as("exact_copy_suppressed"),
+          min(when(col("media_id") === B + 101, col("verdict") === "new"))
+            .as("batch_canonical_new"),
+          min(when(col("media_id") === B + 102, col("verdict") === "dup_in_batch"))
+            .as("batch_dup_labeled"),
+          min(when(col("media_id") === B + 103, col("verdict") === "near_dup_vs_store"))
+            .as("near_variant_suppressed"),
+          min(when(col("media_id") === B + 104, col("verdict") === "new"))
+            .as("fresh_new"))
     })
   )
 
@@ -3625,6 +3652,19 @@ object SparkEntry {
         })
         .toDF("media_id", "media_type", "payload")
         .write.mode("overwrite").parquet(out.toString)
+    }
+    out.toString
+  }
+
+  /** q206's fixture: the persisted image-dedup store distilled from the
+    * planted store images (sf-independent; simhashes/ written last, so
+    * its _SUCCESS guards a complete store).
+    */
+  private def stagedImageDedupStore(s: SparkSession): String = {
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_img_dedup_store")
+    if (!java.nio.file.Files.exists(out.resolve("simhashes").resolve("_SUCCESS"))) {
+      graft.dedup.ImageDedupStore.write(Planted.imageStoreMedia(s), out.toString)
     }
     out.toString
   }
@@ -7534,7 +7574,14 @@ object SparkEntry {
                 CAST(((doc_id % 256) + ((doc_id * 7 + 13) % 256))
                      * ((n_chars % 4 + 2) * 8) * ((doc_id % 6 + 2) * 8)
                      AS BIGINT) AS sum_b
-         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"""
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+    "q206_image_dedup_store" ->
+      // property oracle (q189's precedent — payload bytes and aHash are
+      // engine-internal): every planted verdict is pinned by the
+      // two-tone construction
+      """SELECT TRUE AS exact_copy_suppressed, TRUE AS batch_canonical_new,
+                TRUE AS batch_dup_labeled, TRUE AS near_variant_suppressed,
+                TRUE AS fresh_new"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

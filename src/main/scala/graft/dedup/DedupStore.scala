@@ -170,11 +170,26 @@ object DedupStore {
     */
   def ingest(store: Store, batch: DataFrame, maxHamming: Int = 3,
              maxBucketSize: Int = 256, textCol: String = "text",
-             idCol: String = "doc_id"): DataFrame = {
-    val withH = batch.withColumn("__h", md5(col(textCol)))
-    val canonIds = withH.groupBy(col("__h"))
+             idCol: String = "doc_id"): DataFrame =
+    ingestSigned(store,
+      batch.withColumn("__h", md5(col(textCol)))
+        .withColumn("__sim", HashExprs.simhash64(col(textCol))),
+      maxHamming, maxBucketSize, idCol)
+
+  /** The modality-agnostic ingest core (round-15 extraction — the
+    * [[ImageDedupStore]] shares every stage): `signed` is the batch
+    * with its signatures already materialized as `__h` (exact, any
+    * string hash) and `__sim` (64-bit locality signature). For text the
+    * columns are lazy expressions Catalyst prunes where unused; for
+    * images they come from one decode pass. Stages and verdict labels
+    * exactly as [[ingest]] documents.
+    */
+  private[dedup] def ingestSigned(store: Store, signed: DataFrame,
+                                  maxHamming: Int, maxBucketSize: Int,
+                                  idCol: String): DataFrame = {
+    val canonIds = signed.groupBy(col("__h"))
       .agg(min(col(idCol)).as("__keep"))
-    val labeledExact = withH
+    val labeledExact = signed
       .join(canonIds, Seq("__h"))
       .join(store.hashes.select(col("h").as("__h"), lit(1).as("__stored")),
         Seq("__h"), "left")
@@ -185,8 +200,7 @@ object DedupStore {
     // near stage over exact survivors only: chunk-blocked candidate join
     // against the store's signatures, then the exact Hamming verify
     val survivors = labeledExact.filter(col("__verdict") === "new")
-      .select(col(idCol).as("__id"),
-        HashExprs.simhash64(col(textCol)).as("__sim"))
+      .select(col(idCol).as("__id"), col("__sim"))
     def chunks(sim: org.apache.spark.sql.Column) = array((0 until 4).map { c =>
       shiftright(sim, c * 16).bitwiseAND(lit(0xffffL))
     }: _*)
@@ -210,7 +224,7 @@ object DedupStore {
       .withColumn("verdict",
         when(col("__verdict") === "new" && col("__near").isNotNull,
           lit("near_dup_vs_store")).otherwise(col("__verdict")))
-      .drop("__h", "__keep", "__stored", "__verdict", "__near")
+      .drop("__h", "__sim", "__keep", "__stored", "__verdict", "__near")
   }
 
   /** Per-lang exact-stage report — the SQL-replayable q186 surface:

@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IMAGE dedup state — [[DedupStore]]'s discipline applied to
+  * the multimodal columns (round-14 verdict's "opportunistic" item, and
+  * the reuse is real: same store LAYOUT on disk, so [[DedupStore.load]],
+  * purge, compact and the swap healing serve both modalities, and the
+  * same [[DedupStore.ingestSigned]] core computes the verdicts — only
+  * the SIGNATURES differ):
+  *
+  *   - exact: `h` = MD5 of the raw payload BYTES (container identity —
+  *     a re-encode is not an exact dup, by design);
+  *   - near:  `sim` = the 64-bit perceptual average-hash of the DECODED
+  *     raster ([[graft.multimodal.Multimodal.PngCodec.aHash64]] — reads
+  *     any ImageIO container), compared by the same 16-bit-chunk
+  *     pigeonhole blocking + Hamming verify as text SimHash: two images
+  *     with the same coarse light/dark layout collide regardless of
+  *     exact pixel values, dimensions or container bytes.
+  *
+  * One decode pass per payload produces both signatures ([[signatures]]
+  * — mapPartitions, the multimodal batch shape); everything downstream
+  * is signature-sized: the 100 TB image corpus persists as ~40 B per
+  * canonical image and an arriving crawl batch joins state O(corpus
+  * rows), never O(corpus bytes).
+  */
+object ImageDedupStore {
+
+  /** One decode pass per payload: (idCol, __h hex-MD5 of bytes, __sim
+    * aHash64 of the decoded raster).
+    */
+  def signatures(media: DataFrame, idCol: String = "media_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, p) =>
+          md.reset()
+          val hex = md.digest(p).map("%02x".format(_)).mkString
+          (id, hex, graft.multimodal.Multimodal.PngCodec.aHash64(p))
+        }
+      }.toDF(idCol, "__h", "__sim")
+  }
+
+  /** Distill `media` into the [[DedupStore]] layout under `dir`:
+    * `hashes` (h, canonical_id) for every distinct payload (min-id
+    * canonical), `simhashes` (doc_id, sim) for canonical images only.
+    */
+  def write(media: DataFrame, dir: String, idCol: String = "media_id",
+            payloadCol: String = "payload"): Unit = {
+    val canon = signatures(media, idCol, payloadCol)
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("canonical_id"), min(col("__sim")).as("sim"))
+    canon.select(col("__h").as("h"), col("canonical_id"))
+      .write.mode("overwrite").parquet(s"$dir/hashes")
+    canon.select(col("canonical_id").as("doc_id"), col("sim"))
+      .write.mode("overwrite").parquet(s"$dir/simhashes")
+  }
+
+  /** Same on-disk layout -> the text store's loader (incl. tombstone
+    * merge-on-read and swap healing) is THE loader here too.
+    */
+  def load(spark: SparkSession, dir: String): DedupStore.Store =
+    DedupStore.load(spark, dir)
+
+  /** O(ids) tombstone purge and O(store) compact — identical state
+    * machinery, see [[DedupStore.purge]] / [[DedupStore.compact]].
+    */
+  def purge(ids: DataFrame, dir: String, idCol: String = "media_id"): Unit =
+    DedupStore.purge(ids, dir, idCol)
+  def compact(spark: SparkSession, dir: String): Unit =
+    DedupStore.compact(spark, dir)
+
+  /** Fold an accepted (all-'new', batch-canonical) image batch into the
+    * store — new parquet files only, the [[DedupStore.append]] contract.
+    */
+  def append(accepted: DataFrame, dir: String, idCol: String = "media_id",
+             payloadCol: String = "payload"): Unit = {
+    val sigs = signatures(accepted, idCol, payloadCol)
+    sigs.select(col("__h").as("h"), col(idCol).as("canonical_id"))
+      .write.mode("append").parquet(s"$dir/hashes")
+    sigs.select(col(idCol).as("doc_id"), col("__sim").as("sim"))
+      .write.mode("append").parquet(s"$dir/simhashes")
+  }
+
+  /** Verdicts for an arriving image batch — the batch's columns +
+    * `verdict` in ('dup_in_batch', 'dup_vs_store', 'near_dup_vs_store',
+    * 'new'), computed by [[DedupStore.ingestSigned]] over the decoded
+    * signatures (exact stages on payload MD5, near stage on aHash
+    * chunk-blocking at `maxHamming`).
+    */
+  def ingest(store: DedupStore.Store, batch: DataFrame, maxHamming: Int = 3,
+             maxBucketSize: Int = 256, idCol: String = "media_id",
+             payloadCol: String = "payload"): DataFrame =
+    DedupStore.ingestSigned(store,
+      batch.join(signatures(batch, idCol, payloadCol), Seq(idCol)),
+      maxHamming, maxBucketSize, idCol)
+}

@@ -109,6 +109,33 @@ object Multimodal {
       toPng(img)
     }
 
+    /** Gray two-tone split with EXPLICIT geometry — the planted image-
+      * dedup corpus's constructor (q206): `vertical = true` puts vA on
+      * the left half, vB right; false puts vA on top, vB bottom. Two
+      * images with the same orientation and brightness order share an
+      * aHash exactly (each half's cells sit strictly on one side of the
+      * mean); vertical vs horizontal families differ in 32 bits and
+      * share NO 16-bit chunk — distinct blocking families.
+      */
+    def encodeSplitGray(w: Int, h: Int, vA: Int, vB: Int,
+                        vertical: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val a = (vA << 16) | (vA << 8) | vA
+      val b = (vB << 16) | (vB << 8) | vB
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val first = if (vertical) x < w / 2 else y < h / 2
+          img.setRGB(x, y, if (first) a else b)
+          x += 1
+        }
+        y += 1
+      }
+      toPng(img)
+    }
+
     final case class ImageStats(width: Int, height: Int,
                                 sum_r: Long, sum_g: Long, sum_b: Long)
 
