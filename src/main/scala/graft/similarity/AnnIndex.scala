@@ -78,10 +78,14 @@ object AnnIndex {
     val meanDist = broadcast(
       distortion(embeddings, Loaded(trained, cb, coarse), vecCol)
         .agg(avg(col("__distortion")).as("train_mean_distortion")))
-    trained.groupBy(col("list_id")).agg(count(lit(1)).as("n_train"))
-      .withColumn("train_share",
-        col("n_train") / sum(col("n_train")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+    val listCounts = trained.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_train"))
+    // share via a broadcast 1-row total (not an unpartitioned window —
+    // same result on the nLists-row frame, no global-window plan node)
+    listCounts
+      .crossJoin(broadcast(listCounts.agg(sum(col("n_train")).as("__tot"))))
+      .withColumn("train_share", col("n_train") / col("__tot"))
+      .drop("__tot")
       .crossJoin(meanDist)
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
@@ -144,11 +148,12 @@ object AnnIndex {
     val stats = spark.read.parquet(s"$dir/stats")
     val assigned = ProductQuantization.normalized(batch, vecCol, "ann_nvec")
       .select(Knn.assignList(col("ann_nvec"), idx.coarse).as("list_id"))
-    val batchShares = assigned.groupBy(col("list_id"))
+    val batchCounts = assigned.groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_batch_list"))
-      .withColumn("batch_share",
-        col("n_batch_list") / sum(col("n_batch_list")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+    val batchShares = batchCounts
+      .crossJoin(broadcast(batchCounts.agg(sum(col("n_batch_list")).as("__tot"))))
+      .withColumn("batch_share", col("n_batch_list") / col("__tot"))
+      .drop("__tot")
     // nLists-row outer join: lists the batch never hits (or training
     // never hit) contribute their full share to the distance
     val tvdRow = stats.select(col("list_id"), col("train_share"))
