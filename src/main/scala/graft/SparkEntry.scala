@@ -3409,6 +3409,38 @@ object SparkEntry {
         .toDF("media_id", "width", "height", "n_pixels", "sum_r", "sum_g", "sum_b")
         .orderBy(col("media_id"))
     }),
+    "q207_sequence_pack" -> ((s, dir) => {
+      // the training-data last mile: the corpus's tokens concatenated in
+      // doc_id order and cut into fixed 512-token sequences, documents
+      // crossing boundaries (GPT pack-and-split — zero padding waste,
+      // the per-sequence document spans are the attention-mask
+      // metadata). The only global state is the exclusive token prefix
+      // sum over the total order — DistRank.prefixSum's two-pass range
+      // shuffle (one long per partition on the driver), NEVER a
+      // single-partition window; everything downstream is arithmetic on
+      // (start_offset, n_tokens), so a SQL cumsum replays every
+      // sequence bit-for-bit. Every sequence carries exactly 512 tokens
+      // except the stream tail.
+      val packed = graft.operators.SequencePack.assign(
+        Tables.documents(s, dir), 512L)
+      graft.operators.SequencePack.summary(packed, 512L)
+    }),
+    "q208_bpe_pack" -> ((s, dir) => {
+      // the tokenize→pack COMPOSITION (what a training job actually
+      // consumes): the planted corpus's BPE id streams (q204's
+      // persisted store, full table) packed into 128-id sequences.
+      // Closed form end-to-end: under the full table every word
+      // collapses to one id, so doc (w,i) contributes exactly 100−2w
+      // ids, and the pack is the schedule arithmetic's cumsum in
+      // doc_id order — the oracle regenerates both stages without
+      // touching either engine path.
+      val store = graft.operators.BpeStore.load(s, stagedBpeStore(s))
+      val encoded = graft.operators.BpeTrainer.encodeToIds(
+        Planted.bpe1kDocs(s), store.merges, store.vocab)
+      graft.operators.SequencePack.summary(
+        graft.operators.SequencePack.assign(encoded, 128L,
+          tokensCol = col("n_ids")), 128L)
+    }),
     "q206_image_dedup_store" -> ((s, dir) => {
       // persisted MULTIMODAL dedup: the DedupStore discipline composed
       // with the image signatures (payload-MD5 exact + decoded-raster
@@ -7581,7 +7613,51 @@ object SparkEntry {
       // two-tone construction
       """SELECT TRUE AS exact_copy_suppressed, TRUE AS batch_canonical_new,
                 TRUE AS batch_dup_labeled, TRUE AS near_variant_suppressed,
-                TRUE AS fresh_new"""
+                TRUE AS fresh_new""",
+    "q207_sequence_pack" ->
+      // the pack replayed as a window cumsum (fine at DuckDB scale; the
+      // engine side uses the two-pass distributed prefix sum): exclusive
+      // start offsets in doc_id order, each doc exploded onto the
+      // sequences it touches, per-sequence overlap arithmetic
+      """WITH t AS (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +'))
+                           END AS BIGINT) AS nt
+                    FROM documents),
+              o AS (SELECT doc_id, nt,
+                      CAST(SUM(nt) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - nt
+                           AS BIGINT) AS s
+                    FROM t WHERE nt > 0),
+              e AS (SELECT doc_id, nt, s,
+                      unnest(range(s // 512, (s + nt - 1) // 512 + 1)) AS seq_id
+                    FROM o)
+         SELECT seq_id, COUNT(*) AS n_docs,
+                CAST(SUM(LEAST((seq_id + 1) * 512, s + nt)
+                         - GREATEST(seq_id * 512, s)) AS BIGINT) AS n_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM e GROUP BY 1 ORDER BY seq_id""",
+    "q208_bpe_pack" ->
+      // both stages regenerated: n_ids = 100 − 2w under the full merge
+      // table (every planted word is one merge output), then the q207
+      // pack arithmetic at capacity 128 in doc_id order
+      """WITH t AS (SELECT CAST(940000000 + w.w * 31 + i.i AS BIGINT) AS doc_id,
+                      CAST(100 - 2 * w.w AS BIGINT) AS nt
+                    FROM (SELECT unnest(range(0, 33)) AS w) w,
+                         (SELECT unnest(range(0, 31)) AS i) i),
+              o AS (SELECT doc_id, nt,
+                      CAST(SUM(nt) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - nt
+                           AS BIGINT) AS s
+                    FROM t WHERE nt > 0),
+              e AS (SELECT doc_id, nt, s,
+                      unnest(range(s // 128, (s + nt - 1) // 128 + 1)) AS seq_id
+                    FROM o)
+         SELECT seq_id, COUNT(*) AS n_docs,
+                CAST(SUM(LEAST((seq_id + 1) * 128, s + nt)
+                         - GREATEST(seq_id * 128, s)) AS BIGINT) AS n_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM e GROUP BY 1 ORDER BY seq_id"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

@@ -57,6 +57,38 @@ object ShardPlan {
   */
 object DistRank {
 
+  /** Append a 0-based EXCLUSIVE running sum of `valueField` following
+    * `order` (must be total) as column `offset` — the prefix-sum twin of
+    * [[byRange]], same two passes over one range shuffle: per-partition
+    * VALUE totals (one long per partition on the driver) fold into
+    * offsets added map-side beside a partition-local running sum. The
+    * first row in the order gets offset 0; row i gets the sum of all
+    * earlier rows' values. [[SequencePack]]'s global token stream.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueField: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val vIdx = sorted.schema.fieldIndex(valueField)
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator.single(i -> s)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val withOffset = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = offsets(i)
+      it.map { row =>
+        val out = Row.fromSeq(row.toSeq :+ run)
+        run += row.getLong(vIdx)
+        out
+      }
+    }
+    val schema = StructType(sorted.schema.fields :+
+      StructField("offset", LongType, nullable = false))
+    spark.createDataFrame(withOffset, schema)
+  }
+
   /** Append a 1-based `rank` column following `order` (must be total). */
   def byRange(df: DataFrame, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession

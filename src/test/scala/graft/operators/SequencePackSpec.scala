@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pack-and-split: hand-derivable placements, the full-capacity
+  * invariant, and partitioning-independence of the distributed prefix
+  * sum (the determinism the canonical order promises).
+  */
+class SequencePackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-checked placements and per-sequence report") {
+    // token stream in doc order: 3 + 4 + 6 + 2 = 15 tokens, capacity 5
+    val docs = Seq(
+      (1L, "a b c"),          // [0,3)   -> seq 0
+      (2L, "d e f g"),        // [3,7)   -> seqs 0,1
+      (3L, "h i j k l m"),    // [7,13)  -> seqs 1,2
+      (5L, "n o")             // [13,15) -> seq 2
+    ).toDF("doc_id", "text")
+    val assigned = SequencePack.assign(docs, 5L)
+    val rows = assigned.orderBy($"doc_id")
+      .select($"doc_id", $"n_tokens", $"start_offset", $"first_seq", $"last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows === Array(
+      (1L, 3L, 0L, 0L, 0L), (2L, 4L, 3L, 0L, 1L),
+      (3L, 6L, 7L, 1L, 2L), (5L, 2L, 13L, 2L, 2L)))
+    val summary = SequencePack.summary(assigned, 5L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(summary === Array(
+      (0L, 2L, 5L, 1L, 2L), (1L, 2L, 5L, 2L, 3L), (2L, 2L, 5L, 3L, 5L)))
+  }
+
+  test("zero-token docs are excluded; every sequence is full except the tail") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .unionByName(Seq((999999L, "   ")).toDF("doc_id", "text"),
+        allowMissingColumns = true)
+    val cap = 256L
+    val summary = SequencePack.summary(SequencePack.assign(docs, cap), cap)
+      .select($"seq_id", $"n_tokens").as[(Long, Long)].collect()
+    val last = summary.map(_._1).max
+    summary.foreach { case (s, n) =>
+      if (s < last) assert(n === cap, s"sequence $s not full: $n")
+      else assert(n >= 1 && n <= cap)
+    }
+    assert(summary.map(_._1).toSeq === (0L to last))
+  }
+
+  test("the pack is invariant under input partitioning") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val a = SequencePack.summary(SequencePack.assign(docs, 128L), 128L).collect()
+    val b = SequencePack.summary(
+      SequencePack.assign(docs.repartition(13), 128L), 128L).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("prefixSum matches the window cumsum on a total order") {
+    val df = Seq((3L, 10L), (1L, 5L), (7L, 2L), (2L, 8L))
+      .toDF("id", "v")
+    val got = DistRank.prefixSum(df, Seq($"id"), "v")
+      .orderBy($"id").select($"id", $"offset").as[(Long, Long)].collect()
+    assert(got === Array((1L, 0L), (2L, 5L), (3L, 13L), (7L, 23L)))
+  }
+}
