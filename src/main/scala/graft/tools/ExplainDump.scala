@@ -77,7 +77,12 @@ object ExplainDump {
     "q178_span_removal" -> "span removal (the dedup itself): q175's hashed window stream + a gram-keyed (count, min-key) agg decide canonical occurrences; non-canonical positions island per doc; the cut/rejoin is per-row array work above a left join of doc-sized cut lists — no suffix array, no driver state, text bytes pinned by a kmv_key checksum",
     "q184_gopher_repetition" -> "Gopher repetition battery: ONE codegen kernel call per doc (all nine numerators in one pass) + one lang agg with map-side partials — no explode, no join, no shuffle before the report",
     "q186_dedup_store_exact" -> "persisted-store incremental dedup: batch-side md5 canonical agg + LEFT join against the loaded 48 B/doc hash table (parquet scan, never the corpus payload) + one lang agg",
-    "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files")
+    "q153_corpus_build" -> "corpus-build capstone CARD over the five staged hops: every upstream stage (mix/dedup/decon) is a file-backed parquet scan by the time this plan runs — the stage shapes themselves are audited under q152/q68/q22/q80/q70; what remains here is the pack window over one lang-keyed exchange plus 1-row crossJoined count/distinct passes (q117's Expand-free card discipline) over narrow scans of the staged files",
+    "q200_ann_drift_audit" -> "ANN drift audit: one codegen min-dist kernel per subspace on a narrow scan (distortion), frozen-coarse argmin assign + nLists-row share agg, broadcast 1-row totals, an nLists-row full-outer TVD join — the retrain decision never shuffles anything corpus-sized",
+    "q204_bpe_encode_ids" -> "BPE id encoding: token posexplode → DISTINCT-token mapPartitions with the broadcast rank map + vocab (each token encoded once) → join back → per-doc ordered flatten (collect_list bounded by doc length) — the q134 vocab-join discipline with ids instead of counts",
+    "q205_jpeg_decode" -> "JPEG decode: narrow staged-payload scan → object-mapped partition decode (real JFIF parse) → fixed-width stats; payloads never reach an exchange (q139's shape)",
+    "q206_image_dedup_store" -> "image dedup ingest: ONE decode pass emits both signatures (payload MD5 + raster aHash), then the shared ingestSigned stages — md5 canonical agg, LEFT join against the 40 B/image store scan, chunk-blocked signature join with bucket caps",
+    "q207_sequence_pack" -> "sequence pack: two-pass range-shuffle prefix sum (one long per partition on the driver — never a single-partition window), seq arithmetic in the projection, bounded explode (tokens/capacity + 2 rows per doc) → per-seq agg")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
