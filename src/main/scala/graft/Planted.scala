@@ -394,6 +394,42 @@ object Planted {
     imageBatchRows.toDF("media_id", "payload")
   }
 
+  /** Planted structure for the STREAMING store-ingest gate (q209): rows
+    * tagged with the micro-batch (chunk) they arrive in, constructed so
+    * every verdict is pinned across batch boundaries:
+    *
+    *   chunk 0: +0 the seed doc                       -> new
+    *   chunk 1: +1 exact copy of the seed             -> dup_vs_store
+    *            +2 doubled-space variant of the seed  -> near_dup_vs_store
+    *               (same token stream => identical simhash, different md5
+    *                — the q187 construction)
+    *            +3/+4 an identical fresh pair         -> new / dup_in_batch
+    *   chunk 2: +5 another copy of the seed           -> dup_vs_store
+    *            +6 copy of chunk 1's accepted +3      -> dup_vs_store
+    *               (proves batch-1 appends reached the store)
+    *            +7 fresh                              -> new
+    */
+  val siBase = 970000000L
+
+  def streamIngestRows: Seq[(Long, String, String, Int)] = {
+    val seed = "sic seed alpha bravo charlie delta echo foxtrot"
+    val fresh1 = "sic fresh golf hotel india juliett kilo lima"
+    Seq(
+      (siBase + 0L, seed, "en", 0),
+      (siBase + 1L, seed, "en", 1),
+      (siBase + 2L, seed.replace(" ", "  "), "en", 1),
+      (siBase + 3L, fresh1, "en", 1),
+      (siBase + 4L, fresh1, "en", 1),
+      (siBase + 5L, seed, "en", 2),
+      (siBase + 6L, fresh1, "en", 2),
+      (siBase + 7L, "sic final mike november oscar papa quebec romeo", "en", 2))
+  }
+
+  def streamIngestDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    streamIngestRows.toDF("doc_id", "text", "lang", "chunk")
+  }
+
   def qualityEvalDocs(s: SparkSession): DataFrame = {
     import s.implicits._
     qualityEvalRows.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -3425,6 +3425,19 @@ object SparkEntry {
         Tables.documents(s, dir), 512L)
       graft.operators.SequencePack.summary(packed, 512L)
     }),
+    "q209_stream_store_ingest" -> ((s, dir) =>
+      // STREAMING ingestion against the persisted dedup store — the
+      // crawler tense of q186/q189: three time-ordered micro-batches
+      // (corpus terciles + Planted.streamIngestRows), each running the
+      // exact q186 ingest against the store AS OF that batch via
+      // foreachBatch, then appending its accepted rows — batch 0's seed
+      // suppresses batch 1's exact copy and doubled-space near-variant
+      // THROUGH THE STORE (no in-memory stream state holds corpus
+      // signatures: dedup state never expires, so the persisted store
+      // IS the streaming state), and batch 1's accepted rows suppress
+      // batch 2's copies. One row of construction-pinned verdict bits
+      // (q189's shape) plus a three-batches sanity bit.
+      graft.streaming.DocStreamIngest.ingestVerdictsBounded(s, dir)),
     "q208_bpe_pack" -> ((s, dir) => {
       // the tokenize→pack COMPOSITION (what a training job actually
       // consumes): the planted corpus's BPE id streams (q204's
@@ -7657,7 +7670,15 @@ object SparkEntry {
                 CAST(SUM(LEAST((seq_id + 1) * 128, s + nt)
                          - GREATEST(seq_id * 128, s)) AS BIGINT) AS n_tokens,
                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM e GROUP BY 1 ORDER BY seq_id"""
+         FROM e GROUP BY 1 ORDER BY seq_id""",
+    "q209_stream_store_ingest" ->
+      // property oracle (q189's precedent): every cross-batch verdict is
+      // pinned by Planted.streamIngestRows' construction
+      """SELECT TRUE AS seed_new, TRUE AS cross_batch_exact_suppressed,
+                TRUE AS cross_batch_near_suppressed,
+                TRUE AS batch_canonical_new, TRUE AS within_batch_dup_labeled,
+                TRUE AS appended_batches_suppress, TRUE AS fresh_new,
+                TRUE AS three_batches"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in
