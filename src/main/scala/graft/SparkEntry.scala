@@ -3425,6 +3425,19 @@ object SparkEntry {
         Tables.documents(s, dir), 512L)
       graft.operators.SequencePack.summary(packed, 512L)
     }),
+    "q210_pack_manifest" -> ((s, dir) => {
+      // the INCREMENTAL pack: a manifest written over doc_id < 300,
+      // then the rest of the corpus APPENDED (ids sort after — the
+      // crawl-increment contract, checked fail-fast) — placements
+      // continue the stream with the stored total as base offset, the
+      // stored table is never rewritten, and increment-equals-batch is
+      // EXACT: the loaded manifest's per-sequence report must equal
+      // q207's batch cumsum oracle verbatim (capacity 512, same SQL).
+      val mDir = stagedPackManifest(s, dir)
+      graft.operators.SequencePack.summary(
+        graft.operators.SequencePack.Manifest.loadAssign(s, mDir),
+        graft.operators.SequencePack.Manifest.capacityOf(s, mDir))
+    }),
     "q209_stream_store_ingest" -> ((s, dir) =>
       // STREAMING ingestion against the persisted dedup store — the
       // crawler tense of q186/q189: three time-ordered micro-batches
@@ -3710,6 +3723,27 @@ object SparkEntry {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_img_dedup_store")
     if (!java.nio.file.Files.exists(out.resolve("simhashes").resolve("_SUCCESS"))) {
       graft.dedup.ImageDedupStore.write(Planted.imageStoreMedia(s), out.toString)
+    }
+    out.toString
+  }
+
+  /** q210's fixture: the persisted pack manifest written over the
+    * doc_id < 300 prefix and grown by appending the rest — staged once
+    * per sf dir, done-sentinel created LAST (the stagedAnnAppendIndex
+    * discipline: any partial staging re-runs from the overwrite).
+    */
+  private def stagedPackManifest(s: SparkSession, dir: String): String = {
+    val key = FixtureKey(dir)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_pack_manifest_$key")
+    val done = out.resolve("__append_done")
+    if (!java.nio.file.Files.exists(done)) {
+      val docs = Tables.documents(s, dir)
+      graft.operators.SequencePack.Manifest.write(
+        docs.filter(col("doc_id") < 300), 512L, out.toString)
+      graft.operators.SequencePack.Manifest.append(
+        docs.filter(col("doc_id") >= 300), out.toString)
+      java.nio.file.Files.createFile(done)
     }
     out.toString
   }
@@ -7678,7 +7712,29 @@ object SparkEntry {
                 TRUE AS cross_batch_near_suppressed,
                 TRUE AS batch_canonical_new, TRUE AS within_batch_dup_labeled,
                 TRUE AS appended_batches_suppress, TRUE AS fresh_new,
-                TRUE AS three_batches"""
+                TRUE AS three_batches""",
+    "q210_pack_manifest" ->
+      // increment-equals-batch, proved by the oracle itself: the grown
+      // manifest must reproduce q207's batch cumsum over the WHOLE
+      // corpus — same SQL, capacity 512
+      """WITH t AS (SELECT doc_id,
+                      CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), ' +'))
+                           END AS BIGINT) AS nt
+                    FROM documents),
+              o AS (SELECT doc_id, nt,
+                      CAST(SUM(nt) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) - nt
+                           AS BIGINT) AS s
+                    FROM t WHERE nt > 0),
+              e AS (SELECT doc_id, nt, s,
+                      unnest(range(s // 512, (s + nt - 1) // 512 + 1)) AS seq_id
+                    FROM o)
+         SELECT seq_id, COUNT(*) AS n_docs,
+                CAST(SUM(LEAST((seq_id + 1) * 512, s + nt)
+                         - GREATEST(seq_id * 512, s)) AS BIGINT) AS n_tokens,
+                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM e GROUP BY 1 ORDER BY seq_id"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the last mile of a training-data pipeline: the
@@ -49,6 +49,93 @@ object SequencePack {
       .withColumn("first_seq", (col("start_offset") / capacity).cast("bigint"))
       .withColumn("last_seq",
         ((col("start_offset") + col("n_tokens") - 1) / capacity).cast("bigint"))
+  }
+
+  /** Persisted pack manifest — the INCREMENTAL tense: a training corpus
+    * grows by crawl increments, and repacking 100 TB because 1 TB
+    * arrived would be absurd. The stream-concatenation order makes
+    * increments trivial: appending documents whose ids all sort AFTER
+    * the stored ones extends the token stream, so their placements are
+    * the same arithmetic with the stored stream length as the base
+    * offset — every existing placement is UNTOUCHED (only the former
+    * tail sequence can gain cohabitants), and increment-equals-batch is
+    * exact: [[loadAssign]] after write+append is bit-identical to
+    * [[assign]] over the union (the q210 gate proves it against the
+    * batch cumsum oracle). State: the corpus-sized `assign/` table
+    * (appended, never rewritten — the DedupStore discipline) + a 1-row
+    * `meta/` (capacity, total_tokens, max_doc_id) swapped via
+    * [[graft.io.SwapDir]]. The id-ordering requirement is CHECKED
+    * (fail-fast) — interleaving ids would need a repack by definition.
+    */
+  object Manifest {
+    def write(docs: DataFrame, capacity: Long, dir: String,
+              idCol: String = "doc_id",
+              tokensCol: Column = graft.functions.TextFunctions.tokenCount(col("text"))): Unit = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val a = assign(docs, capacity, idCol, tokensCol)
+      a.write.mode("overwrite").parquet(s"$dir/assign_staging")
+      graft.io.SwapDir.swapIn(dir, "assign")
+      val Seq((tot, maxId)) = spark.read.parquet(s"$dir/assign")
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)),
+          coalesce(max(col(idCol)), lit(Long.MinValue)))
+        .as[(Long, Long)].collect().toSeq
+      Seq((capacity, tot, maxId)).toDF("capacity", "total_tokens", "max_doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_staging")
+      graft.io.SwapDir.swapIn(dir, "meta")
+    }
+
+    /** Extend the stream with `newDocs` (all ids strictly above the
+      * stored max — checked): their placements append as new parquet
+      * files, the stored table is never rewritten, and only `meta/` is
+      * swapped. O(increment) work and I/O.
+      */
+    def append(newDocs: DataFrame, dir: String, idCol: String = "doc_id",
+               tokensCol: Column = graft.functions.TextFunctions.tokenCount(col("text"))): Unit = {
+      val spark = newDocs.sparkSession
+      import spark.implicits._
+      graft.io.SwapDir.healSwap(dir, "assign")
+      graft.io.SwapDir.healSwap(dir, "meta")
+      val Seq((cap, tot, maxId)) = spark.read.parquet(s"$dir/meta")
+        .select(col("capacity"), col("total_tokens"), col("max_doc_id"))
+        .as[(Long, Long, Long)].collect().toSeq
+      val sized = newDocs
+        .select(col(idCol), tokensCol.cast("bigint").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val minNew = sized.agg(min(col(idCol))).as[Option[Long]].collect()(0)
+      minNew.foreach(m => require(m > maxId,
+        s"append ids must sort after the stored stream (min new id $m <= " +
+          s"stored max $maxId) — interleaving ids means a repack"))
+      val a = DistRank.prefixSum(sized, Seq(col(idCol)), "n_tokens")
+        .withColumn("start_offset", col("offset") + tot)
+        .drop("offset")
+        .withColumn("first_seq", (col("start_offset") / cap).cast("bigint"))
+        .withColumn("last_seq",
+          ((col("start_offset") + col("n_tokens") - 1) / cap).cast("bigint"))
+        .select(col(idCol), col("n_tokens"), col("start_offset"),
+          col("first_seq"), col("last_seq"))
+      a.write.mode("append").parquet(s"$dir/assign")
+      val Seq((dTot, dMax)) = a
+        .agg(coalesce(sum(col("n_tokens")), lit(0L)),
+          coalesce(max(col(idCol)), lit(Long.MinValue)))
+        .as[(Long, Long)].collect().toSeq
+      Seq((cap, tot + dTot, math.max(maxId, dMax)))
+        .toDF("capacity", "total_tokens", "max_doc_id")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta_staging")
+      graft.io.SwapDir.swapIn(dir, "meta")
+    }
+
+    def loadAssign(spark: SparkSession, dir: String): DataFrame = {
+      graft.io.SwapDir.healSwap(dir, "assign")
+      spark.read.parquet(s"$dir/assign")
+    }
+
+    def capacityOf(spark: SparkSession, dir: String): Long = {
+      graft.io.SwapDir.healSwap(dir, "meta")
+      spark.read.parquet(s"$dir/meta").select(col("capacity"))
+        .collect()(0).getLong(0)
+    }
   }
 
   /** Per-sequence report over an [[assign]] result:

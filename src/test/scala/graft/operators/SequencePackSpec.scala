@@ -54,6 +54,47 @@ class SequencePackSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("manifest: increment equals batch, stored placements untouched") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pack_manifest_spec_").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    SequencePack.Manifest.write(docs.filter($"doc_id" < 250), 256L, dir)
+    val before = SequencePack.Manifest.loadAssign(spark, dir)
+      .orderBy($"doc_id").collect()
+    SequencePack.Manifest.append(docs.filter($"doc_id" >= 250), dir)
+    val grown = SequencePack.Manifest.loadAssign(spark, dir)
+    // batch equivalence, placement for placement
+    val batch = SequencePack.assign(docs, 256L)
+    assert(grown.orderBy($"doc_id").collect().toSeq ===
+      batch.orderBy($"doc_id").collect().toSeq)
+    // the stored prefix was appended to, never rewritten
+    assert(grown.filter($"doc_id" < 250).orderBy($"doc_id").collect().toSeq
+      === before.toSeq)
+    assert(SequencePack.Manifest.capacityOf(spark, dir) === 256L)
+    // the former tail sequence gains cohabitants from both sides of the cut
+    val boundarySeq = before.map(_.getAs[Long]("last_seq")).max
+    val cohort = SequencePack.summary(grown, 256L)
+      .filter($"seq_id" === boundarySeq)
+      .select($"first_doc", $"last_doc").as[(Long, Long)].head()
+    assert(cohort._1 < 250 && cohort._2 >= 250,
+      s"expected the cut to land mid-sequence: $cohort")
+  }
+
+  test("manifest: interleaved append ids fail fast") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pack_manifest_spec_").toString
+    SequencePack.Manifest.write(
+      Seq((10L, "a b c"), (20L, "d e")).toDF("doc_id", "text"), 4L, dir)
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.Manifest.append(
+        Seq((15L, "x y")).toDF("doc_id", "text"), dir)
+    }
+    assert(e.getMessage.contains("repack"))
+    // an all-empty increment is a no-op, not an error
+    SequencePack.Manifest.append(Seq((30L, "  ")).toDF("doc_id", "text"), dir)
+    assert(SequencePack.Manifest.loadAssign(spark, dir).count() === 2)
+  }
+
   test("prefixSum matches the window cumsum on a total order") {
     val df = Seq((3L, 10L), (1L, 5L), (7L, 2L), (2L, 8L))
       .toDF("id", "v")
