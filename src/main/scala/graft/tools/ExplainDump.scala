@@ -82,7 +82,8 @@ object ExplainDump {
     "q204_bpe_encode_ids" -> "BPE id encoding: token posexplode → DISTINCT-token mapPartitions with the broadcast rank map + vocab (each token encoded once) → join back → per-doc ordered flatten (collect_list bounded by doc length) — the q134 vocab-join discipline with ids instead of counts",
     "q205_jpeg_decode" -> "JPEG decode: narrow staged-payload scan → object-mapped partition decode (real JFIF parse) → fixed-width stats; payloads never reach an exchange (q139's shape)",
     "q206_image_dedup_store" -> "image dedup ingest: ONE decode pass emits both signatures (payload MD5 + raster aHash), then the shared ingestSigned stages — md5 canonical agg, LEFT join against the 40 B/image store scan, chunk-blocked signature join with bucket caps",
-    "q207_sequence_pack" -> "sequence pack: two-pass range-shuffle prefix sum (one long per partition on the driver — never a single-partition window), seq arithmetic in the projection, bounded explode (tokens/capacity + 2 rows per doc) → per-seq agg")
+    "q207_sequence_pack" -> "sequence pack: two-pass range-shuffle prefix sum (one long per partition on the driver — never a single-partition window), seq arithmetic in the projection, bounded explode (tokens/capacity + 2 rows per doc) → per-seq agg",
+    "q210_pack_manifest" -> "incremental pack manifest: the grown store read back as a plain parquet scan of placements — the increment's prefix-sum work happened at append time, O(increment); what remains is q207's bounded explode + per-seq agg over the scan")
 
   /** Shapes whose production path is a SUBSET of the oracle-gated query
     * (the composed query carries a gate/recall side that exists only to be
