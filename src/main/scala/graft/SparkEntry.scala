@@ -3425,6 +3425,18 @@ object SparkEntry {
         Tables.documents(s, dir), 512L)
       graft.operators.SequencePack.summary(packed, 512L)
     }),
+    "q211_stream_store_restart" -> ((s, dir) =>
+      // q209 ACROSS A RESTART (the q75 two-incarnation pattern):
+      // incarnation 1 drains chunks 0-1 and stops; chunk 2 arrives;
+      // incarnation 2 resumes from the same checkpoint — it must skip
+      // the committed batches (exactly_once row accounting: every doc
+      // verdicted once) while chunk 2's copies are still suppressed by
+      // the STORE incarnation 1 grew. Stream state holds nothing
+      // corpus-shaped, so restart safety is the architecture: offsets
+      // in the checkpoint, dedup state on disk, and even an
+      // at-least-once foreachBatch replay would only duplicate store
+      // rows the anti-join absorbs.
+      graft.streaming.DocStreamIngest.ingestVerdictsRestartBounded(s, dir)),
     "q210_pack_manifest" -> ((s, dir) => {
       // the INCREMENTAL pack: a manifest written over doc_id < 300,
       // then the rest of the corpus APPENDED (ids sort after — the
@@ -7734,7 +7746,14 @@ object SparkEntry {
                 CAST(SUM(LEAST((seq_id + 1) * 512, s + nt)
                          - GREATEST(seq_id * 512, s)) AS BIGINT) AS n_tokens,
                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-         FROM e GROUP BY 1 ORDER BY seq_id"""
+         FROM e GROUP BY 1 ORDER BY seq_id""",
+    "q211_stream_store_restart" ->
+      // q209's bits plus the restart accounting: TRUE across the board
+      """SELECT TRUE AS seed_new, TRUE AS cross_batch_exact_suppressed,
+                TRUE AS cross_batch_near_suppressed,
+                TRUE AS batch_canonical_new, TRUE AS within_batch_dup_labeled,
+                TRUE AS appended_batches_suppress, TRUE AS fresh_new,
+                TRUE AS three_batches, TRUE AS exactly_once"""
   )
 
   /** q184's oracle: the Gopher n-gram battery replayed rule by rule in

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 import graft.dedup.DedupStore
 
 /** STREAMING crawl ingestion against the persisted dedup store — the
@@ -26,9 +26,20 @@ import graft.dedup.DedupStore
   * [[DedupStore.ingest]]'s. Batches are sequential by contract, so the
   * append of batch i is visible to load in batch i+1.
   *
-  * The bounded gate form stages the corpus's doc_id % 3 terciles as
-  * three time-ordered chunks with planted cross-batch structure
-  * ([[graft.Planted.streamIngestRows]]) and returns ONE row of
+  * RESTART SAFETY comes with the architecture instead of being bolted
+  * on: offsets live in the stream checkpoint (a clean stop resumes at
+  * the next unprocessed chunk — [[ingestVerdictsRestartBounded]] proves
+  * batches are neither skipped nor re-run), and even a CRASH replay
+  * (foreachBatch is at-least-once) cannot corrupt the store — appending
+  * the same accepted rows twice leaves duplicate hash/signature rows
+  * that the anti-join and blocking stages absorb by construction, so
+  * every later verdict is unchanged. Exactly the reason dedup state
+  * belongs in an idempotent-append store rather than exactly-once
+  * stream state.
+  *
+  * The bounded gate forms stage the corpus's doc_id % 3 terciles as
+  * time-ordered chunks with planted cross-batch structure
+  * ([[graft.Planted.streamIngestRows]]) and return ONE row of
   * aggregated verdict bits (the q189/q206 property-gate shape) — every
   * bit pinned by the construction. Work dirs are fresh per call and
   * self-clean; the result is materialized before cleanup.
@@ -40,35 +51,38 @@ object DocStreamIngest {
     StructField("text", StringType),
     StructField("lang", StringType)))
 
-  def ingestVerdictsBounded(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_stream_ingest_")
-    val src = base.resolve("src"); val ckpt = base.resolve("ckpt")
-    val store = base.resolve("store"); val sink = base.resolve("sink")
-    java.nio.file.Files.createDirectories(src)
-    // empty seed store: the stream starts from nothing ingested
-    DedupStore.write(Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
-      store.toString)
-    // three time-ordered chunks: organic terciles + the planted
-    // cross-batch rows; single part file per chunk, ascending mtimes
-    // (the stagedTimeOrderedEventsDir staging discipline)
+  /** Stage one chunk as a single part file with an ascending mtime (the
+    * stagedTimeOrderedEventsDir staging discipline).
+    */
+  private def stageChunk(src: java.nio.file.Path, chunk: DataFrame, i: Int): Unit = {
+    val tmp = src.resolve(s"_stage_chunk_$i")
+    chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
+    val target = src.resolve(s"chunk_$i.parquet")
+    java.nio.file.Files.move(part.toPath, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    tmp.toFile.listFiles().foreach(f => { f.delete(); () })
+    java.nio.file.Files.deleteIfExists(tmp)
+    ()
+  }
+
+  private def chunkOf(spark: SparkSession, sfDir: String, i: Int): DataFrame = {
     val organic = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"), col("lang"))
-    val planted = graft.Planted.streamIngestDocs(spark)
-    (0 until 3).foreach { i =>
-      val chunk = organic.filter(pmod(col("doc_id"), lit(3)) === i)
-        .unionByName(planted.filter(col("chunk") === i).drop("chunk"))
-      val tmp = src.resolve(s"_stage_chunk_$i")
-      chunk.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles().find(_.getName.startsWith("part-")).get
-      val target = src.resolve(s"chunk_$i.parquet")
-      java.nio.file.Files.move(part.toPath, target,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
-      tmp.toFile.listFiles().foreach(f => { f.delete(); () })
-      java.nio.file.Files.deleteIfExists(tmp)
-    }
+    organic.filter(pmod(col("doc_id"), lit(3)) === i)
+      .unionByName(graft.Planted.streamIngestDocs(spark)
+        .filter(col("chunk") === i).drop("chunk"))
+  }
+
+  /** One query incarnation over whatever chunks `src` currently holds:
+    * drains everything available, then stops cleanly (offsets committed
+    * in `ckpt`, so the next incarnation resumes after them).
+    */
+  private def runIncarnation(spark: SparkSession, src: java.nio.file.Path,
+                             ckpt: java.nio.file.Path, store: java.nio.file.Path,
+                             sink: java.nio.file.Path): Unit = {
     val stream = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -93,8 +107,32 @@ object DocStreamIngest {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  private def workDirs(): (java.nio.file.Path, java.nio.file.Path,
+      java.nio.file.Path, java.nio.file.Path, java.nio.file.Path) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_ingest_")
+    val src = base.resolve("src")
+    java.nio.file.Files.createDirectories(src)
+    (base, src, base.resolve("ckpt"), base.resolve("store"), base.resolve("sink"))
+  }
+
+  private def seedEmptyStore(spark: SparkSession, store: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    DedupStore.write(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang"),
+      store.toString)
+  }
+
+  /** Aggregate the construction-pinned verdict bits; `withExactlyOnce`
+    * adds the restart gate's row-accounting bit (every document
+    * verdicted exactly once across incarnations).
+    */
+  private def verdictBits(spark: SparkSession, sink: java.nio.file.Path,
+                          nDocsExpected: Long,
+                          withExactlyOnce: Boolean): DataFrame = {
     val B = graft.Planted.siBase
-    val out = spark.read.parquet(sink.toString).agg(
+    val baseCols = Seq(
       min(when(col("doc_id") === B + 0, col("verdict") === "new"))
         .as("seed_new"),
       min(when(col("doc_id") === B + 1, col("verdict") === "dup_vs_store"))
@@ -110,14 +148,54 @@ object DocStreamIngest {
       min(when(col("doc_id") === B + 7, col("verdict") === "new"))
         .as("fresh_new"),
       (count_distinct(col("batch_id")) === 3).as("three_batches"))
-      .collect()
-    graft.io.SwapDir.deleteRecursively(base)
+    val cols = if (withExactlyOnce)
+      baseCols :+ (count(lit(1)) === nDocsExpected).as("exactly_once")
+    else baseCols
+    val out = spark.read.parquet(sink.toString)
+      .agg(cols.head, cols.tail: _*).collect()
+    val names = Seq("seed_new", "cross_batch_exact_suppressed",
+      "cross_batch_near_suppressed", "batch_canonical_new",
+      "within_batch_dup_labeled", "appended_batches_suppress",
+      "fresh_new", "three_batches") ++
+      (if (withExactlyOnce) Seq("exactly_once") else Nil)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq, 1),
-      StructType(Seq("seed_new", "cross_batch_exact_suppressed",
-        "cross_batch_near_suppressed", "batch_canonical_new",
-        "within_batch_dup_labeled", "appended_batches_suppress",
-        "fresh_new", "three_batches")
-        .map(StructField(_, org.apache.spark.sql.types.BooleanType))))
+      StructType(names.map(StructField(_, BooleanType))))
+  }
+
+  def ingestVerdictsBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src, ckpt, store, sink) = workDirs()
+    seedEmptyStore(spark, store)
+    (0 until 3).foreach(i => stageChunk(src, chunkOf(spark, sfDir, i), i))
+    runIncarnation(spark, src, ckpt, store, sink)
+    val out = verdictBits(spark, sink, 0L, withExactlyOnce = false)
+    graft.io.SwapDir.deleteRecursively(base)
+    out
+  }
+
+  /** The restart proof (q75's two-incarnation pattern applied to the
+    * store-backed ingest): incarnation 1 sees chunks 0–1, drains, and
+    * stops — leaving committed offsets in the checkpoint and batch 0–1's
+    * accepted content in the STORE (on disk, not in stream state). Chunk
+    * 2 then "arrives" and incarnation 2 resumes from the same
+    * checkpoint: it must skip the committed batches (no replayed
+    * verdicts — the `exactly_once` row-accounting bit) yet still
+    * suppress chunk 2's copies of chunk 0–1 content through the store
+    * the first incarnation grew. A broken offset restore double-counts
+    * rows; a store that lived in stream state would come back empty and
+    * flip `appended_batches_suppress`.
+    */
+  def ingestVerdictsRestartBounded(spark: SparkSession, sfDir: String): DataFrame = {
+    val (base, src, ckpt, store, sink) = workDirs()
+    seedEmptyStore(spark, store)
+    val nDocs = graft.Tables.documents(spark, sfDir).count() +
+      graft.Planted.streamIngestRows.length
+    (0 until 2).foreach(i => stageChunk(src, chunkOf(spark, sfDir, i), i))
+    runIncarnation(spark, src, ckpt, store, sink)
+    stageChunk(src, chunkOf(spark, sfDir, 2), 2)
+    runIncarnation(spark, src, ckpt, store, sink)
+    val out = verdictBits(spark, sink, nDocs, withExactlyOnce = true)
+    graft.io.SwapDir.deleteRecursively(base)
+    out
   }
 }

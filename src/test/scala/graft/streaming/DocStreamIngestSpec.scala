@@ -16,4 +16,14 @@ class DocStreamIngestSpec extends SparkSpec {
     }
     assert(row.schema.fieldNames.length === 8)
   }
+
+  test("restart resumes from the checkpoint with store-held state") {
+    val row = DocStreamIngest
+      .ingestVerdictsRestartBounded(spark, sf("sf0.001")).collect()(0)
+    row.schema.fieldNames.foreach { f =>
+      assert(row.getAs[Boolean](f), s"bit $f is false: $row")
+    }
+    assert(row.schema.fieldNames.length === 9)
+    assert(row.schema.fieldNames.contains("exactly_once"))
+  }
 }
