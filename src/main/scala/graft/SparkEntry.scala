@@ -186,7 +186,7 @@ object SparkEntry {
       // (q61's partitioned sink) between the stages; recompute is the
       // correct stateless form for the composed one-shot query.
       val exactDeduped = ExactDedup.deduplicate(docs)
-      val pairs = MinHashLSH.nearDuplicates(exactDeduped, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(exactDeduped, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val cleaned = graft.dedup.ConnectedComponents.deduplicate(exactDeduped, pairs)
       cleaned.groupBy(col("lang"))
@@ -204,7 +204,7 @@ object SparkEntry {
       // exactly the stage-to-storage pipeline a real run uses. Shares q68's
       // oracle: the staging hop must be value-preserving end to end.
       val deduped = s.read.parquet(stagedExactDedupedDocs(s, dir))
-      val pairs = MinHashLSH.nearDuplicates(deduped, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(deduped, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val cleaned = graft.dedup.ConnectedComponents.deduplicate(deduped, pairs)
       cleaned.groupBy(col("lang"))
@@ -220,7 +220,7 @@ object SparkEntry {
       // k-sized component table; singleton docs (no near-dup) counted from
       // the corpus total so the histogram is complete.
       val docs = Parallelize.ensure(Tables.documents(s, dir))
-      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(docs, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val comp = graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
       val sizes = comp.groupBy(col("canonical_id"))
@@ -239,7 +239,7 @@ object SparkEntry {
       // group resolution over the q22 pair graph: connected components by
       // min-label propagation → one canonical id per near-dup'd document
       val docs = Parallelize.ensure(Tables.documents(s, dir))
-      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(docs, threshold = 0.3)
         .select(col("id1"), col("id2"))
       graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
         .orderBy(col("doc_id"))
@@ -623,7 +623,16 @@ object SparkEntry {
     }),
     "q36_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
-      operators.AsOfJoin.asof(ev, Tables.orders(s, dir),
+      // project the right side to exactly (key, time, tie-break) BEFORE the
+      // as-of merge-scan: AsOfJoin packs every right column into the struct
+      // payload that rides the union's keyed exchange and the running
+      // last() window, and Catalyst cannot prune struct fields through the
+      // window — the unprojected form shipped six orders columns per row
+      // where the query consumes one (guide §2.3: project before the
+      // exchange). Result unchanged: only asof_o_orderkey is selected.
+      operators.AsOfJoin.asof(ev,
+          Tables.orders(s, dir)
+            .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey")),
           leftKey = "user_id", rightKey = "o_custkey",
           leftTime = "ts", rightTime = "o_orderdate",
           rightTieBreak = "o_orderkey")
@@ -862,7 +871,7 @@ object SparkEntry {
       // verification + disjoint vocabulary), so canonical = group base id
       val docs = Parallelize.ensure(Tables.documents(s, dir))
         .unionByName(Planted.docs(s))
-      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(docs, threshold = 0.3)
         .select(col("id1"), col("id2"))
       graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
         .filter(col("doc_id") >= Planted.base)
@@ -873,7 +882,7 @@ object SparkEntry {
       // construction + the 8 exact pairs in bucket 2 + 10 singletons
       val docs = Parallelize.ensure(Tables.documents(s, dir))
         .unionByName(Planted.docs(s))
-      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(docs, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val comp = graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
         .filter(col("doc_id") >= Planted.base)
@@ -895,7 +904,7 @@ object SparkEntry {
       val docs = Parallelize.ensure(Tables.documents(s, dir))
         .unionByName(Planted.docs(s))
       val exactDeduped = ExactDedup.deduplicate(docs)
-      val pairs = MinHashLSH.nearDuplicates(exactDeduped, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(exactDeduped, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val cleaned = graft.dedup.ConnectedComponents.deduplicate(exactDeduped, pairs)
       cleaned.filter(col("lang") === "planted")
@@ -909,7 +918,7 @@ object SparkEntry {
       // corpus+planted is staged to the lang-partitioned parquet layout,
       // then LSH -> components -> stats run over the staged copy
       val deduped = s.read.parquet(stagedPlantedDedupedDocs(s, dir))
-      val pairs = MinHashLSH.nearDuplicates(deduped, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(deduped, threshold = 0.3)
         .select(col("id1"), col("id2"))
       val cleaned = graft.dedup.ConnectedComponents.deduplicate(deduped, pairs)
       cleaned.filter(col("lang") === "planted")
@@ -1005,7 +1014,14 @@ object SparkEntry {
       // the token stream (vocab-join shape); the oracle re-derives the
       // merges AND the per-token subword sizes in SQL.
       val docs = Parallelize.ensure(Tables.documents(s, dir))
-      val merges = graft.operators.BpeTrainer.learnMerges(docs, nMerges = 8)
+      // training via the DISTILLED path (one distributed word-table pass +
+      // driver-side merge loop) instead of the batched cluster loop: the
+      // two are bit-identical by construction (BpeTrainerSpec pins the
+      // equality to exhaustion; q197 gates the distilled path against the
+      // q192 closed-form schedule), and this query's subject is the
+      // ENCODING — the batched trainer keeps its own dedicated gates
+      // (q149/q181/q192). Saves the per-wave distributed pair-count jobs.
+      val merges = graft.operators.BpeTrainer.learnMergesDistilled(docs, nMerges = 8)
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.BpeTrainer.subwordCounts(docs, merges)
         .orderBy(col("doc_id"))
@@ -1082,7 +1098,7 @@ object SparkEntry {
       // closed-form expected rows, real operator over the full corpus.
       val docs = Parallelize.ensure(Tables.documents(s, dir))
         .unionByName(Planted.docs(s))
-      val pairs = MinHashLSH.nearDuplicates(docs, threshold = 0.3)
+      val pairs = MinHashLSH.nearDuplicatePairs(docs, threshold = 0.3)
         .select(col("id1"), col("id2"))
       graft.dedup.BigStar
         .canonicalAssignments(pairs.unionByName(Planted.chainEdges(s)))
@@ -1375,7 +1391,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
-      val pairs = graft.similarity.CosineLSH.nearDuplicates(
+      val pairs = graft.similarity.CosineLSH.nearDuplicatePairs(
         emb.unionByName(planted), threshold = 0.99)
       graft.dedup.ConnectedComponents.canonicalAssignments(pairs)
         .select(col("doc_id").as("vec_id"), col("canonical_id"))

@@ -96,7 +96,16 @@ object ImageDedupStore {
   def ingest(store: DedupStore.Store, batch: DataFrame, maxHamming: Int = 3,
              maxBucketSize: Int = 256, idCol: String = "media_id",
              payloadCol: String = "payload"): DataFrame =
+    // Materialize the signed batch ONCE before handing it to ingestSigned:
+    // the core references its input in three branches (canonical grouping,
+    // exact labeling, near-stage survivors), and a lazy signed frame
+    // re-ran the per-payload image decode + MD5 pass up to 3x per batch —
+    // the decode is exactly the cost the "one decode pass" contract exists
+    // to pay once (round-15 ADVICE). copyOut (not localCheckpoint) keeps
+    // the operator leak-free: file-staged, zero block-manager state, the
+    // returned verdict frame stays re-actionable.
     DedupStore.ingestSigned(store,
-      batch.join(signatures(batch, idCol, payloadCol), Seq(idCol)),
+      graft.IterState.copyOut(
+        batch.join(signatures(batch, idCol, payloadCol), Seq(idCol))),
       maxHamming, maxBucketSize, idCol)
 }

@@ -100,11 +100,26 @@ object MinHashLSH {
   def nearDuplicates(documents: DataFrame, threshold: Double = 0.7,
                      textCol: String = "text", idCol: String = "doc_id",
                      numHashes: Int = 32, bands: Int = 8,
-                     shingleSize: Int = 3): DataFrame = {
+                     shingleSize: Int = 3): DataFrame =
+    nearDuplicatePairs(documents, threshold, textCol, idCol, numHashes,
+      bands, shingleSize)
+      .orderBy(col("id1"), col("id2"))
+
+  /** [[nearDuplicates]] without the final global sort — the form for
+    * pipeline consumers (connected components, dedup drops, corpus builds)
+    * whose downstream aggregations are order-blind: the range exchange +
+    * sort bought nothing there (guide §2.4 — an `orderBy` used only to make
+    * output deterministic is an accidental shuffle; Catalyst's
+    * EliminateSorts does not reach through the staged/checkpointed
+    * consumers these pipelines feed). Pair SET is identical.
+    */
+  def nearDuplicatePairs(documents: DataFrame, threshold: Double = 0.7,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         numHashes: Int = 32, bands: Int = 8,
+                         shingleSize: Int = 3): DataFrame = {
     val sigs = signatures(documents, textCol, idCol, numHashes, shingleSize)
       .repartition(col("id"))
     verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
       .filter(col("jaccard") >= threshold)
-      .orderBy(col("id1"), col("id2"))
   }
 }

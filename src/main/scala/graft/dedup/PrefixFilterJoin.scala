@@ -66,6 +66,16 @@ object PrefixFilterJoin {
   /** The construction, staged: `(grams, prefix, candidate-slots)` — shared
     * by [[similarPairs]] and [[blockingStats]] so the audited counts are
     * counts of the REAL plan's frames, not a parallel reimplementation.
+    *
+    * The `grams` frame is FILE-STAGED eagerly ([[graft.IterState.copyOut]]):
+    * it feeds three downstream consumers (the df→sorted→prefix chain and the
+    * verify's two gram fetches) whose subtrees Catalyst does not share — the
+    * round-15 plan re-ran the shingling kernel over the corpus once per
+    * consumer (q133's physical plan held SIX documents scans; guide §1.2
+    * step 1: don't compute things twice). Staging writes one narrow
+    * (id, grams) table to scratch and every consumer scans that instead —
+    * at 100 TB this is the stage-to-scratch form the other multi-consumer
+    * operators (Triangles adjacency, CorpusBuild hops) already use.
     */
   private def stages(documents: DataFrame, num: Long, den: Long,
                      shingleWords: Int, textCol: String,
@@ -74,10 +84,15 @@ object PrefixFilterJoin {
       s"threshold must be a rational in (0,1]: $num/$den")
     // distinct 64-bit shingle-hash set per doc (same tokenization and
     // short-doc whole-text fallback as MinHashLSH.signatures / q22)
-    val grams = documents
-      .select(col(idCol).as("id"), split(trim(col(textCol)), " +").as("toks"))
+    // ensure() parallelizes the shingle kernel over one-row-group local
+    // inputs (single-task scans otherwise run the whole tokenize+hash pass
+    // on one core); no-op at real scale. Staged output is written once.
+    val grams = graft.IterState.copyOut(
+      graft.Parallelize.ensure(documents
+        .select(col(idCol).as("id"), col(textCol).as("__text")))
+      .select(col("id"), split(trim(col("__text")), " +").as("toks"))
       .select(col("id"),
-        MinHashExprs.shingleHashes(col("toks"), shingleWords).as("grams"))
+        MinHashExprs.shingleHashes(col("toks"), shingleWords).as("grams")))
     val tokens = grams.select(col("id"), explode(col("grams")).as("g"))
     val df = tokens.groupBy(col("g")).agg(count(lit(1)).as("df"))
     // assemble each doc's shingles sorted by the global (df asc, hash)
@@ -86,13 +101,16 @@ object PrefixFilterJoin {
       .groupBy(col("id"))
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("sorted"))
       .select(col("id"), col("sorted"), size(col("sorted")).cast("long").as("len"))
-    // prefix length ℓ − ⌈t·ℓ⌉ + 1; explode only the prefix rows
-    val prefix = sorted
+    // prefix length ℓ − ⌈t·ℓ⌉ + 1; explode only the prefix rows. Staged for
+    // the same reason as grams: it feeds both sides of the candidate
+    // self-join (whose exchanges Catalyst did not reuse) plus the funnel's
+    // count branch, and its df-join + array_sort chain is two shuffles deep.
+    val prefix = graft.IterState.copyOut(sorted
       .select(col("id"), col("len"),
         explode(slice(col("sorted"), lit(1),
           (col("len") - ceilMul(col("len"), num, den) + 1).cast("int")))
           .as("p"))
-      .select(col("id"), col("len"), col("p.g").as("g"))
+      .select(col("id"), col("len"), col("p.g").as("g")))
     // candidates: shared prefix token + the size-ratio necessary condition
     val candSlots = prefix.as("x").join(prefix.as("y"),
         col("x.g") === col("y.g") && col("x.id") < col("y.id")
@@ -128,15 +146,23 @@ object PrefixFilterJoin {
   def blockingStats(documents: DataFrame, num: Long, den: Long,
                     shingleWords: Int = 5, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
-    val (grams, prefix, candSlots) =
+    val (grams, prefix, candSlots0) =
       stages(documents, num, den, shingleWords, textCol, idCol)
+    // candSlots feeds three branches (slot count, distinct-pair count, the
+    // verify path) — stage it once instead of re-running the prefix join
+    // per branch; the verify reuses the SAME staged grams/candidates the
+    // counts are counts of, so the funnel stays an audit of the real plan
+    // (the round-15 form rebuilt the whole pipeline via similarPairs for
+    // n_result_pairs: q180's physical plan held 26 documents scans)
+    val candSlots = graft.IterState.copyOut(candSlots0)
     val slots = candSlots
       .agg(count(lit(1)).as("n_candidate_slots"),
         count_distinct(struct(col("id1"), col("id2"))).as("n_candidate_pairs"))
     grams.agg(count(lit(1)).as("n_docs"))
       .crossJoin(prefix.agg(count(lit(1)).as("n_prefix_rows")))
       .crossJoin(slots)
-      .crossJoin(similarPairs(documents, num, den, shingleWords, textCol, idCol)
+      .crossJoin(verify(candSlots.select(col("id1"), col("id2")).distinct(),
+          grams, num, den)
         .agg(count(lit(1)).as("n_result_pairs")))
       .select(col("n_docs"), col("n_prefix_rows"), col("n_candidate_slots"),
         col("n_candidate_pairs"), col("n_result_pairs"))

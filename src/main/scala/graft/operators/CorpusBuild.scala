@@ -67,7 +67,7 @@ object CorpusBuild {
 
     // --- stage 3: near-dup pairs + component dedup over the staged
     //     exact-deduped corpus (both consumers read the staged files) ---
-    val pairs = MinHashLSH.nearDuplicates(exact, threshold = threshold)
+    val pairs = MinHashLSH.nearDuplicatePairs(exact, threshold = threshold)
       .select(col("id1"), col("id2"))
     val cleaned = IterState.copyOut(
       ConnectedComponents.deduplicate(exact, pairs))

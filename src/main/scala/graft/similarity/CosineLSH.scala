@@ -70,7 +70,20 @@ object CosineLSH {
   def nearDuplicates(embeddings: DataFrame, threshold: Double = 0.99,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      bands: Int = 0, bitsPerBand: Int = 0, seed: Long = 42L,
-                     maxBucketSize: Int = 64): DataFrame = {
+                     maxBucketSize: Int = 64): DataFrame =
+    nearDuplicatePairs(embeddings, threshold, idCol, vecCol, bands,
+      bitsPerBand, seed, maxBucketSize)
+      .orderBy(col("id1"), col("id2"))
+
+  /** [[nearDuplicates]] without the final global sort — for pipeline
+    * consumers (connected components, dedup drops) whose downstream
+    * aggregations are order-blind; the range exchange + sort bought
+    * nothing there (guide §2.4). Pair SET is identical.
+    */
+  def nearDuplicatePairs(embeddings: DataFrame, threshold: Double = 0.99,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         bands: Int = 0, bitsPerBand: Int = 0, seed: Long = 42L,
+                         maxBucketSize: Int = 64): DataFrame = {
     val dimRow = embeddings.select(size(col(vecCol))).limit(1).collect()
     if (dimRow.isEmpty) { // empty corpus -> empty result, not a crash
       val idT = embeddings.schema(idCol).dataType
@@ -115,6 +128,5 @@ object CosineLSH {
         round(Knn.dot(col("v1"), col("v2")) / (Knn.norm(col("v1")) * Knn.norm(col("v2"))), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
-      .orderBy(col("id1"), col("id2"))
   }
 }

@@ -77,14 +77,69 @@ object ProductQuantization {
           .select(col("pq_nvec")).collect()
           .map(_.getSeq[Double](0).toArray)
       else null
-    val centroids = (0 until m).toArray.map { j =>
-      val sub = normed.select(subVec(col("pq_nvec"), j, subDim).as("sub"))
-      val init = if (initRows != null)
-        initRows.map(v => v.slice(j * subDim, (j + 1) * subDim))
-      else null
-      ArrayKMeans.fitFrom(sub, "sub", init, k = k, maxIter = maxIter, seed = seed)
-    }
-    Codebook(subDim, centroids)
+    val inits: Array[Array[Array[Double]]] =
+      if (initRows != null)
+        (0 until m).toArray.map(j =>
+          initRows.map(v => v.slice(j * subDim, (j + 1) * subDim)))
+      else (0 until m).toArray.map { j =>
+        ArrayKMeans.sampleInit(
+          normed.select(subVec(col("pq_nvec"), j, subDim).as("sub")),
+          "sub", k, seed)
+      }
+    // FUSED Lloyd's across all m subspaces (round-16): the per-subspace
+    // ArrayKMeans loop materialized the normalized corpus once PER SUBSPACE
+    // (m full scans) and ran m·maxIter separate aggregation jobs; every one
+    // of those jobs reads the same rows. One pass per iteration computes
+    // every subspace's assignment + per-(subspace, list, dim) partial sums
+    // together — the corpus is scanned maxIter+1 times total instead of
+    // m·(maxIter+1). Per-subspace semantics are IDENTICAL to the
+    // independent fits: same init, same argmin assignment, same mean
+    // update, same empty-cluster drop, same per-subspace tol early-stop
+    // (a converged subspace's centroids freeze while the rest iterate).
+    val vecs = normed.select(col("pq_nvec").as("v"))
+      .where(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents: Array[Array[Array[Double]]] = inits.clone()
+      val done = Array.fill(m)(false)
+      val tol = 1e-6
+      var iter = 0
+      while (iter < maxIter && !done.forall(identity)) {
+        val live = (0 until m).filterNot(done)
+        val perSub = live.map { j =>
+          struct(lit(j).as("j"),
+            Knn.assignList(subVec(col("v"), j, subDim), cents(j)).as("list"),
+            subVec(col("v"), j, subDim).as("sub"))
+        }
+        val agg = vecs.select(explode(array(perSub: _*)).as("a"))
+          .select(col("a.j").as("j"), col("a.list").as("list"),
+            posexplode(col("a.sub")).as(Seq("dim", "x")))
+          .groupBy(col("j"), col("list"), col("dim"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val sums = scala.collection.mutable.Map.empty[(Int, Int), Array[Double]]
+        val ns = scala.collection.mutable.Map.empty[(Int, Int), Long]
+        agg.foreach { r =>
+          val key = (r.getInt(0), r.getInt(1))
+          sums.getOrElseUpdate(key, new Array[Double](subDim))(r.getInt(2)) =
+            r.getDouble(3)
+          ns(key) = r.getLong(4)
+        }
+        live.foreach { j =>
+          val updated = cents(j).indices
+            .filter(l => ns.getOrElse((j, l), 0L) > 0)
+            .map(l => sums((j, l)).map(_ / ns((j, l))))
+            .toArray
+          done(j) = updated.length == cents(j).length &&
+            cents(j).zip(updated).forall { case (a, b) =>
+              a.zip(b).forall { case (x, y) => math.abs(x - y) <= tol }
+            }
+          cents(j) = updated
+        }
+        iter += 1
+      }
+      Codebook(subDim, cents)
+    } finally { vecs.unpersist(); () }
   }
 
   /** Encode each row's normalized vector as `m` codes — a narrow,
