@@ -66,9 +66,22 @@ object SwapDir {
         if (!Files.exists(to)) throw e // target vanished again: a real error
     }
 
+  /** Recursive delete with [[moveTolerant]]'s intent-satisfied semantics:
+    * a reader's healSwap and the writer's swapIn can both race to delete
+    * `<name>_old`, and the loser's walk/delete would otherwise throw
+    * NoSuchFileException (or the UncheckedIOException Files.walk surfaces)
+    * even though the tree is gone — which is exactly what this side
+    * wanted (round-15 ADVICE). Losing the race is success, not failure.
+    */
   def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    try Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => Files.deleteIfExists(f))
+    catch {
+      case _: java.nio.file.NoSuchFileException => ()
+      case e: java.io.UncheckedIOException
+        if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+    }
   }
 }

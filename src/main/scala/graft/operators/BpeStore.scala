@@ -52,6 +52,14 @@ object BpeStore {
     val sortedBase = baseSymbols.sorted(BpeTrainer.utf8BinaryOrdering)
     val vocabRows = sortedBase.zipWithIndex ++
       ordered.zipWithIndex.map { case (sym, i) => sym -> (sortedBase.size + i) }
+    // Vocab ids are only well-defined when merge-output symbols are unique:
+    // two merges producing the same string (e.g. (a,bc) and (ab,c) -> "abc")
+    // would write duplicate symbol rows and load()'s .toMap would silently
+    // keep an arbitrary id (round-15 ADVICE). Fail fast at write time.
+    val dup = vocabRows.groupBy(_._1).collectFirst { case (s, g) if g.size > 1 => s }
+    require(dup.isEmpty,
+      s"duplicate vocab symbol '${dup.get}': two merges produce the same " +
+        "output string — this merge table cannot be id-encoded unambiguously")
     vocabRows.toSeq.toDF("symbol", "id")
       .write.mode("overwrite").parquet(s"$dir/vocab_staging")
     graft.io.SwapDir.swapIn(dir, "vocab")
@@ -65,9 +73,15 @@ object BpeStore {
       .orderBy(col("round"))
       .select(col("left"), col("right")).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    val vocab = spark.read.parquet(s"$dir/vocab")
+    val vocabRows = spark.read.parquet(s"$dir/vocab")
       .select(col("symbol"), col("id")).collect()
-      .map(r => r.getString(0) -> r.getInt(1)).toMap
+      .map(r => r.getString(0) -> r.getInt(1))
+    val vocab = vocabRows.toMap
+    // symbol uniqueness is write()'s invariant; a store that violates it
+    // (hand-edited, pre-guard) must not silently encode with arbitrary ids
+    require(vocab.size == vocabRows.length,
+      s"vocab at $dir holds duplicate symbols (${vocabRows.length} rows, " +
+        s"${vocab.size} distinct) — refusing ambiguous id encoding")
     Loaded(merges, vocab)
   }
 }

@@ -91,6 +91,40 @@ object SequencePack {
       * files, the stored table is never rewritten, and only `meta/` is
       * swapped. O(increment) work and I/O.
       */
+    /** The id column of a stored assign table (caller-named at write time;
+      * the other four columns are fixed by [[assign]]'s contract).
+      */
+    private def idColOf(df: DataFrame): String = {
+      val fixed = Set("n_tokens", "start_offset", "first_seq", "last_seq")
+      df.schema.fieldNames.find(!fixed.contains(_)).getOrElse("doc_id")
+    }
+
+    /** Crash/retry recovery for [[append]] (round-15 ADVICE): placements
+      * land in `assign/` BEFORE `meta/` swaps, so `meta.max_doc_id` is the
+      * COMMIT POINT — any assign file whose rows all carry ids above it was
+      * written by an append that died (or will be retried) before its meta
+      * swap. Files never mix committed and uncommitted ids (each append's
+      * rows all exceed its base max), so deleting exactly those files
+      * restores the committed state; a retry then re-derives the same
+      * placements from the committed totals instead of duplicating them.
+      */
+    private def cleanUncommitted(spark: SparkSession, dir: String,
+                                 committedMax: Long): Unit = {
+      val assign = spark.read.parquet(s"$dir/assign")
+      val idc = idColOf(assign)
+      // pushdown on id > committedMax prunes committed files via row-group
+      // stats — the scan reads footers, not the table
+      val orphans = assign
+        .withColumn("__f", input_file_name())
+        .filter(col(idc) > committedMax)
+        .select(col("__f")).distinct().collect().map(_.getString(0))
+      orphans.foreach { uri =>
+        try java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(new java.net.URI(uri).getPath))
+        catch { case _: Exception => () }
+      }
+    }
+
     def append(newDocs: DataFrame, dir: String, idCol: String = "doc_id",
                tokensCol: Column = graft.functions.TextFunctions.tokenCount(col("text"))): Unit = {
       val spark = newDocs.sparkSession
@@ -100,6 +134,7 @@ object SequencePack {
       val Seq((cap, tot, maxId)) = spark.read.parquet(s"$dir/meta")
         .select(col("capacity"), col("total_tokens"), col("max_doc_id"))
         .as[(Long, Long, Long)].collect().toSeq
+      cleanUncommitted(spark, dir, maxId)
       val sized = newDocs
         .select(col(idCol), tokensCol.cast("bigint").as("n_tokens"))
         .filter(col("n_tokens") > 0)
@@ -128,7 +163,15 @@ object SequencePack {
 
     def loadAssign(spark: SparkSession, dir: String): DataFrame = {
       graft.io.SwapDir.healSwap(dir, "assign")
-      spark.read.parquet(s"$dir/assign")
+      graft.io.SwapDir.healSwap(dir, "meta")
+      // visibility = the committed snapshot: rows above meta.max_doc_id
+      // belong to an append that never reached its meta swap (see
+      // cleanUncommitted) and must not be readable — the filter pushes down
+      // to the scan, so committed files prune via row-group stats
+      val maxId = spark.read.parquet(s"$dir/meta")
+        .select(col("max_doc_id")).collect()(0).getLong(0)
+      val assign = spark.read.parquet(s"$dir/assign")
+      assign.filter(col(idColOf(assign)) <= maxId)
     }
 
     def capacityOf(spark: SparkSession, dir: String): Long = {

@@ -80,6 +80,31 @@ class SequencePackSpec extends SparkSpec {
       s"expected the cut to land mid-sequence: $cohort")
   }
 
+  test("manifest: a crashed append (placements written, meta not swapped) " +
+      "is invisible to loads and absorbed by the retry") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pack_manifest_spec_").toString
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    SequencePack.Manifest.write(docs.filter($"doc_id" < 250), 256L, dir)
+    val committed = SequencePack.Manifest.loadAssign(spark, dir)
+      .orderBy($"doc_id").collect().toSeq
+    // simulate the crash window: the increment's placement files land in
+    // assign/ but the meta swap never happens (ids > committed max)
+    SequencePack.assign(docs, 256L).filter($"doc_id" >= 250)
+      .write.mode("append").parquet(s"$dir/assign")
+    // (a) the orphan rows are not visible — loads read the committed snapshot
+    assert(SequencePack.Manifest.loadAssign(spark, dir)
+      .orderBy($"doc_id").collect().toSeq === committed)
+    // (b) the retry cleans the orphans and lands exactly the batch answer
+    SequencePack.Manifest.append(docs.filter($"doc_id" >= 250), dir)
+    val grown = SequencePack.Manifest.loadAssign(spark, dir)
+    val batch = SequencePack.assign(docs, 256L)
+    assert(grown.orderBy($"doc_id").collect().toSeq ===
+      batch.orderBy($"doc_id").collect().toSeq)
+    // no duplicate placements survived the replay
+    assert(grown.count() === grown.select($"doc_id").distinct().count())
+  }
+
   test("manifest: interleaved append ids fail fast") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_pack_manifest_spec_").toString
