@@ -76,6 +76,41 @@ object DocStreamIngest {
         .filter(col("chunk") === i).drop("chunk"))
   }
 
+  /** The three tercile chunks staged ONCE per sf dir (`_SUCCESS`-guarded,
+    * shared across JVMs — the [[graft.streaming.EventsStream]] fixture
+    * discipline): the chunk CONTENT is a deterministic function of the
+    * corpus + planted rows, so re-deriving it per call was three corpus
+    * scans + three single-task writes of fixture I/O billed to every
+    * bench/verify invocation (round-17, guide §1.2 — don't compute things
+    * twice). Per-call state (store, checkpoint, sink, and the src dir the
+    * chunks are COPIED into with ascending mtimes) stays fresh per call —
+    * the query's own work is computed from scratch every time.
+    */
+  private def stagedChunksDir(spark: SparkSession, sfDir: String): java.nio.file.Path = {
+    val key = graft.FixtureKey(sfDir)
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_si_chunks_$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      java.nio.file.Files.createDirectories(dir)
+      (0 until 3).foreach(i => stageChunk(dir, chunkOf(spark, sfDir, i), i))
+      java.nio.file.Files.createFile(dir.resolve("_SUCCESS"))
+      ()
+    }
+    dir
+  }
+
+  /** Copy staged chunk `i` into this call's src dir with the ascending
+    * mtime the file source orders by.
+    */
+  private def arriveChunk(staged: java.nio.file.Path, src: java.nio.file.Path,
+                          i: Int): Unit = {
+    val target = src.resolve(s"chunk_$i.parquet")
+    java.nio.file.Files.copy(staged.resolve(s"chunk_$i.parquet"), target)
+    java.nio.file.Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 60000L))
+    ()
+  }
+
   /** One query incarnation over whatever chunks `src` currently holds:
     * drains everything available, then stops cleanly (offsets committed
     * in `ckpt`, so the next incarnation resumes after them).
@@ -87,24 +122,37 @@ object DocStreamIngest {
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(src.toString)
-    val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val st = DedupStore.load(spark, store.toString)
-        val verdicts = DedupStore.ingest(st, batch)
-        // one materialization serves both the sink write and the append
-        val staged = verdicts.localCheckpoint(true)
-        staged.select(col("doc_id"), col("verdict"), lit(batchId).as("batch_id"))
-          .write.mode("append").parquet(sink.toString)
-        DedupStore.append(
-          staged.filter(col("verdict") === "new")
-            .select(col("doc_id"), col("text"), col("lang")),
-          store.toString)
-        staged.unpersist()
-        ()
-      }
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
+    val q = {
+      // pin the drain's shuffle-partition count like every EventsStream
+      // drain does (runToMemory's statePartitions discipline): each batch
+      // is increment-sized, so batch-oriented counts only multiply the
+      // per-stage task constant. start() clones the session conf, and the
+      // batch body plans against the CLONED session (batch.sparkSession),
+      // so the pin covers every per-batch job; the session value is
+      // restored the moment start returns.
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", 8)
+      try stream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val st = DedupStore.load(sp, store.toString)
+          val verdicts = DedupStore.ingest(st, batch)
+          // one materialization serves both the sink write and the append
+          val staged = verdicts.localCheckpoint(true)
+          staged.select(col("doc_id"), col("verdict"), lit(batchId).as("batch_id"))
+            .write.mode("append").parquet(sink.toString)
+          DedupStore.append(
+            staged.filter(col("verdict") === "new")
+              .select(col("doc_id"), col("text"), col("lang")),
+            store.toString)
+          staged.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.processAllAvailable()
     q.stop()
   }
@@ -166,7 +214,8 @@ object DocStreamIngest {
   def ingestVerdictsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val (base, src, ckpt, store, sink) = workDirs()
     seedEmptyStore(spark, store)
-    (0 until 3).foreach(i => stageChunk(src, chunkOf(spark, sfDir, i), i))
+    val staged = stagedChunksDir(spark, sfDir)
+    (0 until 3).foreach(i => arriveChunk(staged, src, i))
     runIncarnation(spark, src, ckpt, store, sink)
     val out = verdictBits(spark, sink, 0L, withExactlyOnce = false)
     graft.io.SwapDir.deleteRecursively(base)
@@ -188,11 +237,14 @@ object DocStreamIngest {
   def ingestVerdictsRestartBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val (base, src, ckpt, store, sink) = workDirs()
     seedEmptyStore(spark, store)
-    val nDocs = graft.Tables.documents(spark, sfDir).count() +
-      graft.Planted.streamIngestRows.length
-    (0 until 2).foreach(i => stageChunk(src, chunkOf(spark, sfDir, i), i))
+    val staged = stagedChunksDir(spark, sfDir)
+    // exactly-once row accounting: the staged chunks partition the corpus +
+    // planted rows exactly, so their row count IS nDocs — a scan of the
+    // three small staged files instead of a fresh corpus count per call
+    val nDocs = spark.read.parquet(staged.toString).count()
+    (0 until 2).foreach(i => arriveChunk(staged, src, i))
     runIncarnation(spark, src, ckpt, store, sink)
-    stageChunk(src, chunkOf(spark, sfDir, 2), 2)
+    arriveChunk(staged, src, 2)
     runIncarnation(spark, src, ckpt, store, sink)
     val out = verdictBits(spark, sink, nDocs, withExactlyOnce = true)
     graft.io.SwapDir.deleteRecursively(base)

@@ -34,15 +34,44 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** One-chunk-per-micro-batch file stream over a staged fixture dir —
-    * the shared scan recipe for every bounded drain (ts stays raw Long
-    * nanos; callers convert or filter as their query needs).
+  /** File stream over a staged fixture dir — the shared scan recipe for
+    * every bounded drain (ts stays raw Long nanos; callers convert or
+    * filter as their query needs).
+    *
+    * `filesPerTrigger` is DRAIN MECHANICS, not chunk semantics: the staged
+    * chunk files (and therefore which rows arrive together relative to the
+    * late/flush sentinels) are fixed by [[stagedTimeOrderedEventsDir]];
+    * this knob only sets how many of those files one micro-batch drains
+    * (0 = everything available in one batch). Each micro-batch costs one
+    * incremental-planning pass plus one state-store commit per stateful
+    * operator per state partition, so drains whose RESULT is provably
+    * batch-count-independent (complete-mode aggregates, argmax upserts,
+    * interval joins whose oracle is the batch theta join, append windows
+    * finalized by the final watermark) coalesce to fewer, larger batches
+    * — the guide §5 driver-overhead cut. Drains whose oracle or spec PINS
+    * the per-file batching (q44's >=5-batch contract, q62's same-batch
+    * dedup demonstration, q111's tercile update history, the restart
+    * proofs) keep 1.
+    *
+    * The append-mode WINDOWED drains (q44/q62/q102/q110) also keep 1, for
+    * a measured reason: they leave '__late' unfiltered so the watermark
+    * late-DROP is asserted end-to-end by row count, and Spark filters late
+    * records with the PREVIOUS batch's watermark while evicting with the
+    * current one (the SPARK-40925 two-watermark semantics) — under
+    * [0,1,2],[late,flush] coalescing the late row's late-filter watermark
+    * is still 1970, so it enters state and the eviction pass EMITS its
+    * window (observed at sf0.01: one extra '__late' row). The late file
+    * must arrive >= 2 batches after the real chunks, which per-file
+    * batching provides. Sentinel-filtering drains are immune (the late
+    * row never reaches their stateful op), as are the interval joins
+    * (late is neither a click nor a purchase).
     */
-  private def chunkedStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+  private def chunkedStream(spark: SparkSession, dir: String,
+                            filesPerTrigger: Int = 1): DataFrame = {
+    val reader = spark.readStream.schema(rawSchema)
+    if (filesPerTrigger > 0) reader.option("maxFilesPerTrigger", filesPerTrigger)
+    reader.parquet(dir)
+  }
 
   /** Watermarked tumbling-window aggregation: per (1-minute window,
     * event_type) counts and value sums. The value sum goes through
@@ -77,6 +106,15 @@ object EventsStream {
     */
   def slidingWindowedCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    // 1 file/trigger is PINNED here (round-17 coalescing finding): this
+    // drain keeps '__late' unfiltered so the late-DROP is asserted
+    // end-to-end by row count — and Spark filters late records with the
+    // PREVIOUS batch's watermark while evicting with the current one (the
+    // SPARK-40925 two-watermark semantics), so any coalescing that moves
+    // the late file into batch <= 1 makes its late-filter watermark 1970
+    // and the row leaks (measured: [0,1,2],[late,flush] emitted the late
+    // window). The late row must arrive >= 2 batches after real data —
+    // exactly what per-file batching provides.
     val stream = chunkedStream(spark, dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val agg = stream.withWatermark("ts", "10 minutes")
@@ -114,6 +152,8 @@ object EventsStream {
     */
   def updateModeCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    // 1 file/trigger is PINNED here: the oracle derives n_updates from
+    // tercile-batch membership, so the per-file batching IS the semantics
     val stream = chunkedStream(spark, dir).select(col("event_type"))
     val agg = stream.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val name = "stream_upd_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -144,6 +184,10 @@ object EventsStream {
     rmTreeAll(root)
     val out = root.resolve("out").toString
     val ckpt = root.resolve("ckpt").toString
+    // 1 file/trigger PINNED — same reason as slidingWindowedCountsBounded:
+    // '__late' is unfiltered here by design (late-drop gated end-to-end),
+    // and the SPARK-40925 late-filter watermark lags one batch, so
+    // coalescing the late file into batch <= 1 leaks it (measured)
     val stream = chunkedStream(spark, srcDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = startWithShufflePartitions(spark, 8) {
@@ -172,7 +216,10 @@ object EventsStream {
     */
   def hllDistinctUsersBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = chunkedStream(spark, dir)
+    // complete-mode aggregate: the drained table is the final state whatever
+    // the batching (HLL register merge is commutative/associative), so the
+    // whole fixture drains in ONE batch — one planning pass, one commit
+    val stream = chunkedStream(spark, dir, filesPerTrigger = 0)
       .filter(!col("event_type").startsWith("__"))
       .select(col("event_type"), col("user_id"))
     val agg = stream.groupBy(col("event_type"))
@@ -229,7 +276,10 @@ object EventsStream {
         .select(col("user_id"), col("m.ts").as("ts"),
           col("m.event_id").as("event_id"),
           col("m.event_type").as("event_type"), col("m.value").as("value"))
-    val stream = chunkedStream(spark, dir)
+    // the snapshot is the argmax per user over EVERYTHING drained —
+    // chunking-independent by the oracle's own statement — so the merge
+    // runs once over one coalesced batch instead of once per chunk file
+    val stream = chunkedStream(spark, dir, filesPerTrigger = 0)
       .filter(!col("event_type").startsWith("__"))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
@@ -390,8 +440,9 @@ object EventsStream {
     * watermark passes a row's matchable band — the only form in which a
     * stream-stream join is feasible at 100 TB (unbounded-state joins are
     * rejected by the planner). Self-join of one file-source stream: both
-    * scans advance in lockstep one chunk file per micro-batch, so pairs
-    * that straddle a batch boundary prove the cross-batch state buffering.
+    * scans advance in lockstep (two chunk files per micro-batch — see the
+    * coalescing note at `side`), so pairs that straddle the batch boundary
+    * prove the cross-batch state buffering.
     * Inner-join results emit as soon as both sides arrive (the watermark
     * governs eviction, not emission); the per-user pair counts are
     * aggregated batch-side from the drained sink and must equal the batch
@@ -399,8 +450,13 @@ object EventsStream {
     */
   def clickPurchaseJoinBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    // 2 files/trigger: the per-user pair counts equal the batch theta join
+    // under ANY batching (inner results emit whenever both sides have
+    // arrived), so the drain pays 3 micro-batches instead of 5 — while the
+    // [0,1] | [2,late] boundary still runs real pairs ACROSS batches, so
+    // cross-batch join-state buffering stays exercised
     def side(eventType: String, idAs: String, tsAs: String, userAs: String) =
-      chunkedStream(spark, dir)
+      chunkedStream(spark, dir, filesPerTrigger = 2)
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .filter(col("event_type") === eventType)
         .select(col("user_id").as(userAs), col("event_id").as(idAs),
@@ -450,9 +506,14 @@ object EventsStream {
     */
   def clickPurchaseLeftOuterBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
+    // 2 files/trigger (the q87 coalescing): matched pairs emit on arrival
+    // and the null half is fixed by the FINAL watermark alone (flushTs -
+    // delay — the deterministic emission boundary the oracle mirrors), so
+    // the pair set and the expired set are batch-count-independent; the
+    // eviction-emission no-data batch still runs after the flush batch
     def side(eventType: String, idAs: String, tsAs: String, userAs: String,
              sentinelUser: Long) =
-      chunkedStream(spark, dir)
+      chunkedStream(spark, dir, filesPerTrigger = 2)
         .filter(col("event_type") === eventType || col("event_type") === "__flush")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         .withColumn("uid", when(col("event_type") === "__flush", lit(sentinelUser))
@@ -487,7 +548,10 @@ object EventsStream {
     */
   def enrichedSegmentCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = chunkedStream(spark, dir)
+    // complete-mode aggregate (the q109 batching argument): final state is
+    // batching-independent, so drain everything in one micro-batch — the
+    // per-batch dimension broadcast then happens once, not five times
+    val stream = chunkedStream(spark, dir, filesPerTrigger = 0)
       .filter(!col("event_type").startsWith("__"))
       .select(col("user_id"), col("event_type"), col("value"))
     val dim = graft.Tables.customer(spark, sfDir)
@@ -718,7 +782,12 @@ object EventsStream {
     */
   def milestoneCountsBounded(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = stagedTimeOrderedEventsDir(spark, sfDir)
-    val stream = chunkedStream(spark, dir)
+    // 2 files/trigger: each crossing is emitted exactly once whatever the
+    // batching (state = exact running cents; milestones are the quotients
+    // between previous and new state), so per-user counts are batch-count-
+    // independent — and 3 batches instead of 5 still cross real batch
+    // boundaries, keeping the cross-batch GroupState demonstration alive
+    val stream = chunkedStream(spark, dir, filesPerTrigger = 2)
       .filter(!col("event_type").startsWith("__"))
     val name = "stream_ms_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = runToMemory(valueMilestones(stream).toDF(), name, OutputMode.Update(),
