@@ -38,8 +38,10 @@ import graft.functions.TextFunctions
   * recomputed per consumer, and the card's count/distinct passes are
   * narrow scans of the staged parquet. The only collects are the
   * lang-count mixing stats (q152's sanction). The card itself follows
-  * q117's Expand-free discipline — separate distinct→count passes
-  * crossJoined as 1-row frames, never multiple countDistincts in one agg.
+  * q117's Expand-free discipline — never multiple countDistincts in one
+  * agg (which rewrite to an input-multiplying Expand); a SINGLE distinct
+  * aggregate beside non-distinct ones is Expand-free (two-level
+  * aggregation) and is how the card keeps its sliced scans to two.
   *
   * `slice` restricts the REPORTED card to a sub-corpus (the planted-gate
   * q154 slices to `doc_id >= Planted.base`) while every stage still runs
@@ -93,26 +95,40 @@ object CorpusBuild {
     val sliced = corpus.filter(slice)
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // n_langs rides the shard-count-sized per-(lang, shard) frame: a lang
+    // with >= 1 sliced doc has >= 1 shard, so COUNT(DISTINCT lang) over it
+    // equals the distinct-lang count over `sliced` — one pass saved. A
+    // SINGLE distinct aggregate beside non-distinct ones plans as two-level
+    // aggregation (partial by lang, then final), never Expand, so the q117
+    // Expand-free discipline holds (it forbids MULTIPLE countDistincts in
+    // one agg, which rewrite to an Expand multiplying the input).
     val shardStats = sliced.withColumn("cum", sum(col("nt")).over(w))
       .withColumn("shard", expr(s"(cum - nt) div $shardTokens"))
       .groupBy(col("lang"), col("shard")).agg(sum(col("nt")).as("st"))
-      .agg(count(lit(1)).as("n_shards"), max(col("st")).as("max_shard_tokens"))
+      .agg(count(lit(1)).as("n_shards"), max(col("st")).as("max_shard_tokens"),
+        count_distinct(col("lang")).as("n_langs"))
 
-    // --- the card: stage cardinalities + final headline numbers ---
+    // --- the card: stage cardinalities + final headline numbers. The four
+    //     stage counts scan four DIFFERENT staged tables (irreducible); the
+    //     `sliced` branches fuse to TWO passes (round-17): headline +
+    //     n_sources in one agg (single distinct — no Expand, see above),
+    //     n_langs on the shard frame. The round-15 form ran four separate
+    //     sliced scans (headline, langs, sources, shards). ---
     val stageCounts = mixed.filter(slice).agg(count(lit(1)).as("n_mixed"))
       .crossJoin(exact.filter(slice).agg(count(lit(1)).as("n_exact")))
       .crossJoin(cleaned.filter(slice).agg(count(lit(1)).as("n_clean")))
       .crossJoin(contaminated.filter(slice)
         .agg(count(lit(1)).as("n_contaminated")))
     val headline = sliced.agg(count(lit(1)).as("n_docs"),
-      sum(col("nt")).as("total_tokens"), max(col("nt")).as("max_tokens"))
-    val langs = sliced.select(col("lang")).distinct()
-      .agg(count(lit(1)).as("n_langs"))
-    val sources = sliced.select(col("source")).distinct()
-      .agg(count(lit(1)).as("n_sources"))
-    stageCounts.crossJoin(headline).crossJoin(langs).crossJoin(sources)
-      .crossJoin(shardStats)
+      sum(col("nt")).as("total_tokens"), max(col("nt")).as("max_tokens"),
+      count_distinct(col("source")).as("n_sources"))
+    stageCounts.crossJoin(headline).crossJoin(shardStats)
       .withColumn("mean_tokens", round(
         col("total_tokens").cast("double") / col("n_docs").cast("double"), 6))
+      // exact round-15 column order — the correctness gate hashes schemas
+      .select(col("n_mixed"), col("n_exact"), col("n_clean"),
+        col("n_contaminated"), col("n_docs"), col("total_tokens"),
+        col("max_tokens"), col("n_langs"), col("n_sources"),
+        col("n_shards"), col("max_shard_tokens"), col("mean_tokens"))
   }
 }
