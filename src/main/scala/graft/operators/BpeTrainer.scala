@@ -336,10 +336,12 @@ object BpeTrainer {
     * 1023-merge schedule closed-form.
     *
     * Output contract matches [[subwordCounts]]: (idCol, n_words,
-    * n_subwords). Scale shape: token explode + distinct (partial-agg) →
+    * n_subwords). Scale shape: ONE token explode folded to per-(doc,
+    * token) multiplicities (map-side-combinable) → distinct →
     * mapPartitions over vocab rows with a broadcast table (a 32k-row
-    * map, KBs) → join back → per-doc agg. Corpus tokens are never
-    * re-encoded per occurrence.
+    * map, KBs) → join back onto the multiplicity frame → per-doc agg.
+    * Corpus tokens are never re-encoded per occurrence, and the corpus
+    * is never exploded twice.
     */
   def encodeWithTable(documents: DataFrame, merges: Seq[(String, String)],
                       idCol: String = "doc_id",
@@ -350,9 +352,14 @@ object BpeTrainer {
       .select(col(idCol), explode(split(trim(col(textCol)), " +")).as("token"))
       .filter(length(col("token")) > 0
         && !col("token").contains("<") && !col("token").contains(">"))
+    // one corpus explode, not two (the subwordCounts round-17 fold): the
+    // distinct-token table and the join-back both read the per-(doc,
+    // token) multiplicity frame
+    val docTok = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
     val rankOf = spark.sparkContext.broadcast(
       merges.zipWithIndex.map { case (p, i) => p -> i }.toMap)
-    val sized = toks.select(col("token")).distinct().as[String]
+    val sized = docTok.select(col("token")).distinct().as[String]
       .mapPartitions { it =>
         val ranks = rankOf.value
         it.map { t =>
@@ -391,10 +398,10 @@ object BpeTrainer {
           (t, syms.length)
         }
       }.toDF("token", "n_sub")
-    toks.join(sized, "token")
+    docTok.join(sized, "token")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).cast("bigint").as("n_subwords"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_words"),
+        sum(col("c") * col("n_sub")).cast("bigint").as("n_subwords"))
   }
 
   /** ENCODING TO TOKEN IDS — the output a training pipeline actually
@@ -496,12 +503,20 @@ object BpeTrainer {
       regexp_replace(col("token"), "(.)", "<$1>")) {
       case (c, (l, r)) => replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
     }
-    val sized = toks.select(col("token")).distinct()
+    // ONE corpus explode (round-17; the round-16 shape exploded twice —
+    // once under distinct(), once for the join-back): fold the token
+    // stream to per-(doc, token) multiplicities first with a map-side-
+    // combinable count, then both the distinct-token table and the
+    // join-back read that vocab-per-doc-sized frame. n_words = Σc and
+    // n_subwords = Σ c·n_sub reproduce the per-occurrence sums exactly.
+    val docTok = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val sized = docTok.select(col("token")).distinct()
       .select(col("token"),
         size(split(trim(mergedEnc, "<>"), "><")).as("n_sub"))
-    toks.join(sized, "token")
+    docTok.join(sized, "token")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).cast("bigint").as("n_subwords"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_words"),
+        sum(col("c") * col("n_sub")).cast("bigint").as("n_subwords"))
   }
 }
