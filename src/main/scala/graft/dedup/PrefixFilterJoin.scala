@@ -53,6 +53,15 @@ object PrefixFilterJoin {
     * >= num/den, exactly. Output: id1, id2, inter_size, union_size
     * (longs; the similarity is inter/union — kept as exact integers so
     * the result is engine-independent).
+    *
+    * EXECUTION CONTRACT (round-16 ADVICE): above the [[shouldStage]]
+    * input-size threshold this runs EAGER work at DataFrame-construction
+    * time (a full shingle pass staged to scratch parquet via
+    * [[graft.IterState.copyOut]]) — the returned frame scans those staged
+    * files and is INVALIDATED by `IterState.purge`; build it only when you
+    * will execute it, and purge only after consuming it. Below the
+    * threshold the plan is fully lazy (small inputs recompute cheaper than
+    * they stage — measured crossover between sf0.1 and sf1).
     */
   def similarPairs(documents: DataFrame, num: Long, den: Long,
                    shingleWords: Int = 5, textCol: String = "text",
@@ -63,31 +72,72 @@ object PrefixFilterJoin {
       grams, num, den)
   }
 
+  /** Stage-to-scratch gate: staging pays a ~fixed write cost to make each
+    * downstream consumer a file scan, while the unstaged plan re-runs the
+    * shingle chain per consumer — a cost that grows with the corpus. The
+    * measured crossover sits between sf0.1 (~0.6 MB of documents: staging
+    * LOST, 2.0 → 2.5 s) and sf1 (~6 MB: staging WON, 6.4 → 3.4 s), so the
+    * default threshold is 2 MB of input files, configurable via
+    * `spark.graft.prefix.stage.minBytes`. Many-file inputs (> 64 files)
+    * stage without stat calls — at 100 TB the answer is always "stage",
+    * and a per-file getFileStatus loop over thousands of files would be
+    * driver-side listing waste (guide §5). Non-file inputs (tests, local
+    * relations) never stage.
+    */
+  private def shouldStage(documents: DataFrame): Boolean = {
+    val files = documents.inputFiles
+    if (files.isEmpty) false
+    else if (files.length > 64) true
+    else {
+      val spark = documents.sparkSession
+      val minBytes = spark.conf.getOption("spark.graft.prefix.stage.minBytes")
+        .map(_.toLong).getOrElse(2000000L)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      var total = 0L
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try total += p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: Exception => () }
+      }
+      total >= minBytes
+    }
+  }
+
   /** The construction, staged: `(grams, prefix, candidate-slots)` — shared
     * by [[similarPairs]] and [[blockingStats]] so the audited counts are
     * counts of the REAL plan's frames, not a parallel reimplementation.
     *
-    * The `grams` frame is FILE-STAGED eagerly ([[graft.IterState.copyOut]]):
-    * it feeds three downstream consumers (the df→sorted→prefix chain and the
-    * verify's two gram fetches) whose subtrees Catalyst does not share — the
-    * round-15 plan re-ran the shingling kernel over the corpus once per
-    * consumer (q133's physical plan held SIX documents scans; guide §1.2
-    * step 1: don't compute things twice). Staging writes one narrow
-    * (id, grams) table to scratch and every consumer scans that instead —
-    * at 100 TB this is the stage-to-scratch form the other multi-consumer
-    * operators (Triangles adjacency, CorpusBuild hops) already use.
+    * Above the [[shouldStage]] input-size threshold the `grams` frame is
+    * FILE-STAGED eagerly ([[graft.IterState.copyOut]]): it feeds three
+    * downstream consumers (the df→sorted→prefix chain and the verify's two
+    * gram fetches) whose subtrees Catalyst does not share — the round-15
+    * plan re-ran the shingling kernel over the corpus once per consumer
+    * (q133's physical plan held SIX documents scans; guide §1.2 step 1:
+    * don't compute things twice). Staging writes one narrow (id, grams)
+    * table to scratch and every consumer scans that instead — at 100 TB
+    * this is the stage-to-scratch form the other multi-consumer operators
+    * (Triangles adjacency, CorpusBuild hops) already use. Below the
+    * threshold the staging write costs more than the recompute it saves
+    * (round-16 measured q133 sf0.1 2.0 → 2.5 s) and the plan stays lazy.
     */
   private def stages(documents: DataFrame, num: Long, den: Long,
                      shingleWords: Int, textCol: String,
                      idCol: String): (DataFrame, DataFrame, DataFrame) = {
     require(num > 0 && den > 0 && num <= den,
       s"threshold must be a rational in (0,1]: $num/$den")
+    // staging gated on input size (round-17, guide §1.2/§6): above the
+    // [[shouldStage]] threshold each multi-consumer frame is file-staged
+    // once; below it the fixed staging I/O costs more than the recompute
+    // it saves and the plan stays lazy (the round-15 shape)
+    val stageLarge = shouldStage(documents)
+    def staged(df: DataFrame): DataFrame =
+      if (stageLarge) graft.IterState.copyOut(df) else df
     // distinct 64-bit shingle-hash set per doc (same tokenization and
     // short-doc whole-text fallback as MinHashLSH.signatures / q22)
     // ensure() parallelizes the shingle kernel over one-row-group local
     // inputs (single-task scans otherwise run the whole tokenize+hash pass
     // on one core); no-op at real scale. Staged output is written once.
-    val grams = graft.IterState.copyOut(
+    val grams = staged(
       graft.Parallelize.ensure(documents
         .select(col(idCol).as("id"), col(textCol).as("__text")))
       .select(col("id"), split(trim(col("__text")), " +").as("toks"))
@@ -105,7 +155,7 @@ object PrefixFilterJoin {
     // the same reason as grams: it feeds both sides of the candidate
     // self-join (whose exchanges Catalyst did not reuse) plus the funnel's
     // count branch, and its df-join + array_sort chain is two shuffles deep.
-    val prefix = graft.IterState.copyOut(sorted
+    val prefix = staged(sorted
       .select(col("id"), col("len"),
         explode(slice(col("sorted"), lit(1),
           (col("len") - ceilMul(col("len"), num, den) + 1).cast("int")))
@@ -153,8 +203,13 @@ object PrefixFilterJoin {
     // per branch; the verify reuses the SAME staged grams/candidates the
     // counts are counts of, so the funnel stays an audit of the real plan
     // (the round-15 form rebuilt the whole pipeline via similarPairs for
-    // n_result_pairs: q180's physical plan held 26 documents scans)
-    val candSlots = graft.IterState.copyOut(candSlots0)
+    // n_result_pairs: q180's physical plan held 26 documents scans).
+    // Same input-size gate as stages(): below the threshold recompute
+    // beats the staging write. Eager-execution + purge-lifetime contract
+    // as documented on [[similarPairs]].
+    val candSlots =
+      if (shouldStage(documents)) graft.IterState.copyOut(candSlots0)
+      else candSlots0
     val slots = candSlots
       .agg(count(lit(1)).as("n_candidate_slots"),
         count_distinct(struct(col("id1"), col("id2"))).as("n_candidate_pairs"))
