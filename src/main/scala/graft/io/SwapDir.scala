@@ -72,8 +72,18 @@ object SwapDir {
     * NoSuchFileException (or the UncheckedIOException Files.walk surfaces)
     * even though the tree is gone — which is exactly what this side
     * wanted (round-15 ADVICE). Losing the race is success, not failure.
+    *
+    * DirectoryNotEmptyException gets the same treatment (round-16 ADVICE):
+    * when two deleters interleave, the loser's deleteIfExists on a
+    * directory whose children the winner has not yet removed throws it —
+    * one bounded retry after the winner's pass, and a tree that is gone
+    * (or going) by then satisfies the intent. A tree that persists through
+    * the retry is a REAL error (e.g. a concurrent writer adding files) and
+    * propagates.
     */
-  def deleteRecursively(p: Path): Unit = {
+  def deleteRecursively(p: Path): Unit = deleteRecursively(p, retries = 1)
+
+  private def deleteRecursively(p: Path, retries: Int): Unit = {
     if (!Files.exists(p)) return
     import scala.jdk.CollectionConverters._
     try Files.walk(p).iterator().asScala.toSeq.reverse
@@ -82,6 +92,10 @@ object SwapDir {
       case _: java.nio.file.NoSuchFileException => ()
       case e: java.io.UncheckedIOException
         if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] => ()
+      case e: java.nio.file.DirectoryNotEmptyException =>
+        if (Files.exists(p)) {
+          if (retries > 0) deleteRecursively(p, retries - 1) else throw e
+        }
     }
   }
 }

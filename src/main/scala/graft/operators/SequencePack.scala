@@ -66,6 +66,16 @@ object SequencePack {
     * `meta/` (capacity, total_tokens, max_doc_id) swapped via
     * [[graft.io.SwapDir]]. The id-ordering requirement is CHECKED
     * (fail-fast) — interleaving ids would need a repack by definition.
+    *
+    * SINGLE-WRITER CONTRACT (the [[graft.io.SwapDir]] contract, stated
+    * here because `append` also deletes): at most one process may mutate
+    * a manifest directory at a time. Readers are safe beside that one
+    * writer EXCEPT during [[append]]'s orphan cleanup: `cleanUncommitted`
+    * physically deletes uncommitted assign files a concurrent reader may
+    * already have LISTED, so that reader's scan can fail mid-execution
+    * with FileNotFoundException even though its `id <= max_doc_id` filter
+    * excludes every orphan row (round-16 ADVICE). Schedule appends like
+    * compactions: as the single maintenance writer, not beside readers.
     */
   object Manifest {
     def write(docs: DataFrame, capacity: Long, dir: String,
@@ -118,10 +128,28 @@ object SequencePack {
         .withColumn("__f", input_file_name())
         .filter(col(idc) > committedMax)
         .select(col("__f")).distinct().collect().map(_.getString(0))
-      orphans.foreach { uri =>
-        try java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(new java.net.URI(uri).getPath))
-        catch { case _: Exception => () }
+      if (orphans.nonEmpty) {
+        // Hadoop FS API (round-16 ADVICE/VERDICT): input_file_name yields a
+        // URI on whatever filesystem the store lives on — java.nio against
+        // URI.getPath silently no-ops on HDFS/S3, exactly where the 100 TB
+        // deployment runs (IterState.purge already deletes this way).
+        // delete() returning false (already gone — a concurrent cleaner)
+        // is fine; the recheck below is the correctness gate.
+        val hconf = spark.sparkContext.hadoopConfiguration
+        orphans.foreach { uri =>
+          val p = new org.apache.hadoop.fs.Path(uri)
+          p.getFileSystem(hconf).delete(p, false)
+        }
+        // post-condition, not best-effort (round-16 ADVICE): a surviving
+        // orphan row would let the retry append DUPLICATE placements whose
+        // ids the meta swap then commits — fail the append instead. The
+        // re-read re-lists the dir, and the filter is footer-pruned.
+        val survivors = spark.read.parquet(s"$dir/assign")
+          .filter(col(idc) > committedMax).limit(1).count()
+        require(survivors == 0L,
+          s"cleanUncommitted: uncommitted rows (id > $committedMax) survive " +
+            s"under $dir/assign — orphan delete failed; refusing to append " +
+            "duplicate placements")
       }
     }
 

@@ -103,6 +103,11 @@ class SequencePackSpec extends SparkSpec {
       batch.orderBy($"doc_id").collect().toSeq)
     // no duplicate placements survived the replay
     assert(grown.count() === grown.select($"doc_id").distinct().count())
+    // and the orphan FILES are physically gone — deleted through the
+    // filesystem URI via the Hadoop FS API (round-16 ADVICE: the java.nio
+    // form silently no-ops on non-local filesystems): a RAW, unfiltered
+    // scan of assign/ holds exactly the batch rows, nothing orphaned
+    assert(spark.read.parquet(s"$dir/assign").count() === batch.count())
   }
 
   test("manifest: interleaved append ids fail fast") {
