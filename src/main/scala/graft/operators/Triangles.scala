@@ -69,13 +69,21 @@ object Triangles {
   def perVertexCounts(edges: DataFrame, materialize: Boolean = true): DataFrame = {
     def stage(df: DataFrame): DataFrame =
       if (materialize) graft.IterState.copyOut(df) else df
-    // normalized distinct edge set: two consumers (degree agg and the
-    // orientation join), so staged once
+    // normalized edge MULTISET (round-17; was .distinct() through round
+    // 16): cross-input duplicates survive to the adjacency build, whose
+    // collect_set dedups them INSIDE the aggregate — the dedicated
+    // distinct() exchange of the full edge table is gone, and collect_set's
+    // partial aggregation dedups map-side before the one remaining
+    // edge-keyed exchange. Degrees are therefore MULTISET degrees; (deg,
+    // id) is still a total order, any total order yields a valid acyclic
+    // orientation, and the triangle set — hence every per-vertex count —
+    // is orientation-invariant (TrianglesSpec pins duplicate/reversed-edge
+    // tolerance). The ~sqrt(m) out-degree cost bound survives: multiset
+    // degree majorizes distinct degree monotonically per vertex.
     val pairs = stage(edges
       .select(least(col("a"), col("b")).cast("bigint").as("a"),
         greatest(col("a"), col("b")).cast("bigint").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct())
+      .filter(col("a") =!= col("b")))
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = pairs
@@ -86,7 +94,7 @@ object Triangles {
     val orient = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("s"),
       when(aFirst, col("b")).otherwise(col("a")).as("t"))
-    // out-adjacency (distinct by construction), ASCENDING-sorted once and
+    // out-adjacency (deduped by collect_set), ASCENDING-sorted once and
     // varint-DELTA-PACKED to binary ([[graft.functions.VdeltaKernels]]):
     // ~3 B/neighbor on the wire and on disk vs Tungsten's 8 B + header —
     // the probe join below ships one such list per EDGE, so the packing
@@ -95,7 +103,7 @@ object Triangles {
     // orientation, so no list outgrows an executor.
     val adj = stage(orient.groupBy(col("s"))
       .agg(graft.functions.SetExprs.vdeltaPack(
-        sort_array(collect_list(col("t")))).as("nbrs")))
+        sort_array(collect_set(col("t")))).as("nbrs")))
     // probe each oriented edge (s, t): common out-neighbors of s and t are
     // exactly the third vertices w with s→w and t→w — one triangle each,
     // each triangle seen only at its (lowest, middle) edge. The edge

@@ -29,10 +29,10 @@ object TriProbe {
         transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val pairs = timed("edges: pairgen+distinct") {
-      IterState.copyOut(rawPairs.filter(col("a") =!= col("b")).distinct())
+    val pairs = timed("edges: pairgen (multiset)") {
+      IterState.copyOut(rawPairs.filter(col("a") =!= col("b")))
     }
-    println(s"  m = ${pairs.count()} edges")
+    println(s"  m = ${pairs.count()} edge slots (incl. cross-order dups)")
     val deg = pairs.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
     val withDeg = pairs
@@ -46,7 +46,7 @@ object TriProbe {
     val adj = timed("deg+orient+adj (stage)") {
       IterState.copyOut(orient.groupBy(col("s"))
         .agg(graft.functions.SetExprs.vdeltaPack(
-          sort_array(collect_list(col("t")))).as("nbrs")))
+          sort_array(collect_set(col("t")))).as("nbrs")))
     }
     val stats = adj.select(count(lit(1)).as("n"),
       sum(length(col("nbrs"))).as("bytes"), max(length(col("nbrs"))).as("mx"))
