@@ -202,6 +202,23 @@ object Bench {
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.adaptive.enabled", "true")
+        // Size post-shuffle partitions by DATA, not core count (round-17;
+        // guide §2.1/§2.2 and VERDICT r16 item 5): parallelismFirst=true
+        // (Spark's default) keeps ~`shuffle.partitions` post-shuffle tasks
+        // however tiny the data, so store/recovery queries over KB-scale
+        // state ran 32 tasks per stage at local[32] and measured SLOWER
+        // than at local[8] (driver scaling block: q189 0.14, q71 0.10).
+        // With parallelismFirst=false AQE coalesces to the advisory target
+        // and the per-stage task count follows bytes — the same constant
+        // at 8 or 32 cores for overhead-bound shuffles, unchanged for
+        // data-bound ones. Local default 1m keeps sf0.1/sf1 partitions
+        // data-sized without starving CPU-heavy reduce stages (A/B'd:
+        // see OPTIMIZATION_r17.md); a 100 TB deployment raises it to the
+        // guide §9 256m via the env knob.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+          sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          sys.env.getOrElse("SPARK_GRAFT_AQE_ADVISORY", "1m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir",
