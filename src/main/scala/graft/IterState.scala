@@ -95,6 +95,41 @@ object IterState {
     df.sparkSession.read.parquet(dir)
   }
 
+  /** Stage-to-scratch gate shared by the multi-consumer operators
+    * (PrefixFilterJoin, MinHashLSH, CosineLSH): staging pays a ~fixed
+    * write to make every downstream consumer a pruned file scan, while
+    * the unstaged plan re-runs the upstream kernel per consumer — a cost
+    * that grows with the corpus. Measured (round-17): at ~0.6 MB of input
+    * (sf0.1) staging already wins for the signature-kernel families (q93
+    * 3.0 → 1.8 s, q55 1.4 → 1.3 s, q143 4.0 → 3.6 s) and is a wash for
+    * the cheap-kernel prefix family; at the ~10x-smaller gate scales the
+    * fixed write costs more than the trivial recompute. Default threshold
+    * 250 KB, configurable via
+    * `spark.graft.stage.minBytes`. Many-file inputs (> 64 files) stage
+    * without stat calls — at cluster scale the answer is always "stage",
+    * and a per-file getFileStatus loop over thousands of files would be
+    * driver-side listing waste (guide §5). Non-file inputs (tests, local
+    * relations) never stage.
+    */
+  def shouldStage(df: DataFrame): Boolean = {
+    val files = df.inputFiles
+    if (files.isEmpty) false
+    else if (files.length > 64) true
+    else {
+      val spark = df.sparkSession
+      val minBytes = spark.conf.getOption("spark.graft.stage.minBytes")
+        .map(_.toLong).getOrElse(250000L)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      var total = 0L
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try total += p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: Exception => () }
+      }
+      total >= minBytes
+    }
+  }
+
   /** Deletes every dir [[copyOut]] has staged since the last purge (any
     * filesystem — local, HDFS, S3 — via the Hadoop FS API) and returns the
     * count removed. Call between pipeline stages or at session teardown,

@@ -88,14 +88,28 @@ object MinHashLSH {
 
   /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.
     *
-    * The signature table has three consumers (banding + both verify joins).
-    * Instead of caching it (a leak-prone fixed-memory cost that cannot fit at
-    * 100 TB), it is routed through ONE hash-partition exchange shared by all
-    * three plan branches: Catalyst's exchange reuse (ReusedExchange, AQE-aware)
-    * computes the shingle/signature subtree once and replays the shuffle
-    * output for the other two consumers — same single-computation guarantee as
-    * persist(), but spill-backed, and with zero persisted state outliving the
-    * call (the returned plan is pure; re-executing it re-runs the shuffle).
+    * The signature table has FIVE runtime consumers (banding's pair join
+    * feeds both sides and its bucket cap, plus both verify joins). Through
+    * round 16 it was routed through one hash-partition exchange on the
+    * theory that exchange reuse / AQE stage caching would compute the
+    * shingle+minhash subtree once — but the round-17 final-plan audit
+    * showed that does NOT hold: Catalyst pushes each consumer's own
+    * predicates (join-key isnotnull, callers' planted-id restrictions)
+    * BELOW the exchange, the five subtrees stop being canonically
+    * identical, and the signature kernel ran five times per chain
+    * (ShuffleQueryStages 9/10/12/13/16 in the committed q140 final plan).
+    * Above the [[graft.IterState.shouldStage]] input-size gate the SLIM
+    * (id, sig) table is therefore FILE-STAGED once
+    * ([[graft.IterState.copyOut]] — the PrefixFilterJoin/Triangles
+    * stage-to-scratch form): the minhash-mix kernel (the heavy half) runs
+    * once and the banding branches scan 8·numHashes B/doc from parquet.
+    * The verify branches keep the lazy gram fetch — Catalyst prunes the
+    * sig expression there, so they re-run only the cheap shingle kernel;
+    * staging the corpus-sized sh_hash column was A/B'd and lost (see
+    * nearDuplicatePairs). Below the gate the shared-exchange lazy form is
+    * kept (small inputs recompute cheaper than they stage).
+    * EXECUTION CONTRACT above the gate: eager staging at construction
+    * time; the returned frame is invalidated by `IterState.purge`.
     */
   def nearDuplicates(documents: DataFrame, threshold: Double = 0.7,
                      textCol: String = "text", idCol: String = "doc_id",
@@ -117,9 +131,23 @@ object MinHashLSH {
                          textCol: String = "text", idCol: String = "doc_id",
                          numHashes: Int = 32, bands: Int = 8,
                          shingleSize: Int = 3): DataFrame = {
-    val sigs = signatures(documents, textCol, idCol, numHashes, shingleSize)
-      .repartition(col("id"))
-    verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
-      .filter(col("jaccard") >= threshold)
+    val raw = signatures(documents, textCol, idCol, numHashes, shingleSize)
+    if (graft.IterState.shouldStage(documents)) {
+      // Stage the SLIM (id, sig) table only — 8·numHashes B/doc — for the
+      // banding path's three consumers: the minhash kernel (numHashes
+      // mixes per shingle, the heavy half) runs once. The verify's two
+      // gram fetches stay LAZY on purpose: staging sh_hash too was A/B'd
+      // and LOST at sf1 (q22 2.9 → 6.8 s — the per-doc shingle array is
+      // the corpus-sized column, and writing + re-decoding it costs more
+      // than re-running the cheap shingle kernel, whose sig expression
+      // Catalyst prunes away in these branches).
+      val sigsSlim = graft.IterState.copyOut(raw.select(col("id"), col("sig")))
+      verifyPairs(candidatePairs(sigsSlim, bands, numHashes / bands), raw)
+        .filter(col("jaccard") >= threshold)
+    } else {
+      val sigs = raw.repartition(col("id"))
+      verifyPairs(candidatePairs(sigs, bands, numHashes / bands), sigs)
+        .filter(col("jaccard") >= threshold)
+    }
   }
 }

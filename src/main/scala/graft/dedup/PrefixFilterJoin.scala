@@ -72,36 +72,14 @@ object PrefixFilterJoin {
       grams, num, den)
   }
 
-  /** Stage-to-scratch gate: staging pays a ~fixed write cost to make each
-    * downstream consumer a file scan, while the unstaged plan re-runs the
-    * shingle chain per consumer — a cost that grows with the corpus. The
-    * measured crossover sits between sf0.1 (~0.6 MB of documents: staging
-    * LOST, 2.0 → 2.5 s) and sf1 (~6 MB: staging WON, 6.4 → 3.4 s), so the
-    * default threshold is 2 MB of input files, configurable via
-    * `spark.graft.prefix.stage.minBytes`. Many-file inputs (> 64 files)
-    * stage without stat calls — at 100 TB the answer is always "stage",
-    * and a per-file getFileStatus loop over thousands of files would be
-    * driver-side listing waste (guide §5). Non-file inputs (tests, local
-    * relations) never stage.
+  /** Stage-to-scratch gate — the shared [[graft.IterState.shouldStage]]
+    * policy (`spark.graft.stage.minBytes`, default 250 KB; for this
+    * family sf0.1 staging measured a wash on this host — 1.6/1.8/1.9 s
+    * staged vs 1.8/1.7/1.9 s lazy for q133/q145/q180 — and sf1 a clear
+    * win, 6.4 → 3.4 s on q133).
     */
-  private def shouldStage(documents: DataFrame): Boolean = {
-    val files = documents.inputFiles
-    if (files.isEmpty) false
-    else if (files.length > 64) true
-    else {
-      val spark = documents.sparkSession
-      val minBytes = spark.conf.getOption("spark.graft.prefix.stage.minBytes")
-        .map(_.toLong).getOrElse(2000000L)
-      val hconf = spark.sparkContext.hadoopConfiguration
-      var total = 0L
-      files.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        try total += p.getFileSystem(hconf).getFileStatus(p).getLen
-        catch { case _: Exception => () }
-      }
-      total >= minBytes
-    }
-  }
+  private def shouldStage(documents: DataFrame): Boolean =
+    graft.IterState.shouldStage(documents)
 
   /** The construction, staged: `(grams, prefix, candidate-slots)` — shared
     * by [[similarPairs]] and [[blockingStats]] so the audited counts are

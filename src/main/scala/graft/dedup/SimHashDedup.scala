@@ -44,7 +44,14 @@ object SimHashDedup {
       .distinct()
   }
 
-  /** Pairs within the given Hamming distance (bit_count of XOR). */
+  /** Pairs within the given Hamming distance (bit_count of XOR).
+    *
+    * Deliberately NOT staged (round-17 A/B): the simhash64 kernel is one
+    * pass over the text and the per-branch recompute measured CHEAPER
+    * than a copyOut round-trip at every scale tried (q71 sf1 1.26 s lazy
+    * vs 2.19 s staged; q23 1.76 vs 2.32) — the MinHash/Cosine staging
+    * rationale does not transfer to a kernel this light.
+    */
   def nearDuplicates(documents: DataFrame, maxHamming: Int = 3,
                      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val sigs = signatures(documents, textCol, idCol)

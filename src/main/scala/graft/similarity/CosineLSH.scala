@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * signatures are narrow per-row codegen'd expressions (bands·bits dot
   * products per row, zero shuffle); the only pre-verify shuffle is keyed by
   * (band, bucket-hash); degenerate buckets are size-capped; the exact
-  * verify touches candidate pairs only. The vector table feeds three plan
-  * branches through ONE shared repartition exchange (ReusedExchange — no
-  * persisted state outlives the call).
+  * verify touches candidate pairs only. Above the input-size gate the
+  * vector and band-signature tables are file-staged once so no plan
+  * branch recomputes them (see [[nearDuplicatePairs]]); below it they
+  * route through one shared repartition exchange.
   */
 object CosineLSH {
 
@@ -99,16 +100,30 @@ object CosineLSH {
     val bits = if (bitsPerBand > 0) bitsPerBand else autoBits(embeddings.count())
     val nBands = if (bands > 0) bands else autoBands(bits)
     val planes = hyperplanes(nBands * bits, dim, seed)
-    val prepped = embeddings
+    // Above the input-size gate both multi-consumer frames are FILE-STAGED
+    // once (the MinHashLSH round-17 finding: pushed-down per-consumer
+    // predicates defeat exchange/stage reuse, so the lazy form re-ran the
+    // signature compute per branch): `prepped` feeds both verify joins,
+    // `banded` — nBands·bits dot products per row, the expensive kernel —
+    // feeds the bucket cap and both sides of the pair join. `banded` is
+    // tiny on disk (3 longs per (doc, band)). Below the gate the lazy
+    // shared-exchange form is kept. Eager-staging contract as documented
+    // on MinHashLSH.nearDuplicatePairs.
+    val stageLarge = graft.IterState.shouldStage(embeddings)
+    val preppedRaw = embeddings
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(col("id")) // one exchange shared by banding + both verifies
-    val banded = prepped.select(col("id"), explode(array(
+    val prepped =
+      if (stageLarge) graft.IterState.copyOut(preppedRaw)
+      else preppedRaw.repartition(col("id")) // one shared exchange when lazy
+    val bandedRaw = prepped.select(col("id"), explode(array(
       (0 until nBands).map { b =>
         struct(lit(b).as("band"),
           bandSignature(col("v"),
             (0 until bits).map(j => planes(b * bits + j))).as("sig"))
       }: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded =
+      if (stageLarge) graft.IterState.copyOut(bandedRaw) else bandedRaw
     // bucket cap via groupBy().count() + semi-join (no per-bucket SORT; the
     // (band, sig) exchange is shared with the pair join via ReusedExchange)
     val smallBuckets = banded.groupBy(col("band"), col("sig"))

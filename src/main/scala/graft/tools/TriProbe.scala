@@ -52,6 +52,15 @@ object TriProbe {
       sum(length(col("nbrs"))).as("bytes"), max(length(col("nbrs"))).as("mx"))
       .collect()(0)
     println(s"  adj: n=${stats.getLong(0)} packedBytes=${stats.getLong(1)} maxBytes=${stats.getInt(2)}")
+    // probe-join skew evidence: the join is keyed by t, so its hot-key risk
+    // is max IN-degree under orientation (hubs become targets); compare to
+    // the median to adjudicate guide §2.5's 5-10x bar
+    val inDeg = orient.groupBy(col("t")).agg(count(lit(1)).as("ind"))
+    val Array(q50) = inDeg.stat.approxQuantile("ind", Array(0.5), 0.001)
+    val mxIn = inDeg.agg(max(col("ind"))).collect()(0).getLong(0)
+    val totDegMax = deg.agg(max(col("d"))).collect()(0).getLong(0)
+    println(f"  probe-key skew: max in-degree=$mxIn median=$q50%.0f " +
+      f"ratio=${mxIn / math.max(q50, 1.0)}%.1f  (max total degree=$totDegMax)")
     val probes = adj.select(col("s"), col("nbrs").as("nbrs_s"),
       explode(graft.functions.SetExprs.vdeltaUnpack(col("nbrs"))).as("t"))
     val closed = probes.join(
