@@ -910,9 +910,19 @@ object Bench {
         if (h.rejected)
           (true, "incumbent was probe-rejected")
         else if (c.master != h.master)
-          (false, s"env mismatch: candidate ${c.master} vs incumbent " +
-            s"${h.master} — a refresh may only replace an artifact " +
-            "measured in the same environment")
+          // env-keyed, with one asymmetry: local[32] is the artifact-of-
+          // record environment (every BASELINE/round table uses it), so a
+          // canonical candidate may RECLAIM the slot from an off-env
+          // incumbent (round 16's local[8] displacement is the incumbent
+          // this unwedges) — but an off-env candidate never displaces a
+          // canonical incumbent, which is the round-16 hole.
+          if (c.master == "local[32]" && h.master != "local[32]")
+            (true, s"incumbent is off-environment (${h.master}); candidate " +
+              "restores the canonical local[32] artifact")
+          else
+            (false, s"env mismatch: candidate ${c.master} vs incumbent " +
+              s"${h.master} — a refresh may only replace an artifact " +
+              "measured in the same environment (or restore local[32])")
         else if (c.floor > h.floor || c.singles > h.singles ||
             c.failed > h.failed || c.dedFalse > h.dedFalse)
           (false, s"strictly worse on honesty metrics: floor_missed " +
